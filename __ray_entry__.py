@@ -20,8 +20,15 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: synthesize the
+    Common-Crawl-style pages table from the documents table (deterministic,
+    BASELINE.json input_hint shape) and run the main-content extraction
+    pipeline (HTML density classifier + PDF XY-cut actor pool)."""
+    from pdf_extractor_ray import corpus
+    from pdf_extractor_ray.pipelines.extract import extract_pages
+
+    pages = corpus.read_pages("/root/testdata/sf0.001")
+    return extract_pages(pages, batch_size=64, concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1,0 +1,86 @@
+"""Flagship extraction pipeline: pages → extracted (+ quality-by-host stats).
+
+Ray-Data-first shape (SURVEY.md §7.1): ``read_parquet`` (or the synthetic
+pages stage) → one actor-pool ``map_batches`` extraction stage → streaming
+consumers (``write_parquet`` partitioned by url-hash, or grouped quality
+stats with per-batch pre-aggregation before the shuffle).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..schemas import DEFAULT_NUM_PARTITIONS
+from ..stages.extract import ExtractDocuments
+
+
+def extract_pages(
+    pages_ds,
+    *,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    batch_size: int = 128,
+    concurrency=(1, 8),
+):
+    """pages Dataset → extracted Dataset (EXTRACTED_SCHEMA rows).
+
+    ``concurrency`` is an autoscaling actor-pool spec; ``batch_size`` is kept
+    moderate because each input row carries a wide binary payload
+    (SURVEY.md §4.2: a batch × pool size must fit the worker heap).
+    """
+    return pages_ds.map_batches(
+        ExtractDocuments,
+        fn_constructor_kwargs={"num_partitions": num_partitions},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def _quality_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial aggregation (combiner) before the groupby shuffle:
+    emit one row per host per batch instead of one per page, so the
+    all-to-all exchange moves ~|hosts| rows per block, not the whole table.
+    This is also the skew defence — a 40%-of-corpus host contributes one
+    partial row per block regardless of its row share."""
+    import pyarrow.compute as pc
+
+    tbl = pa.table(
+        {
+            "host": batch.column("host"),
+            "is_ok": pc.cast(pc.equal(batch.column("status"), "ok"), pa.int64()),
+            "is_error": pc.cast(pc.equal(batch.column("status"), "error"), pa.int64()),
+            "is_empty": pc.cast(pc.equal(batch.column("status"), "empty"), pa.int64()),
+            "n_chars": pc.cast(
+                pc.utf8_length(pc.cast(batch.column("extracted_text"), pa.string())),
+                pa.int64(),
+            ),
+            "n_blocks": pc.cast(batch.column("n_blocks"), pa.int64()),
+        }
+    )
+    return tbl.group_by("host").aggregate(
+        [
+            ("is_ok", "sum"),
+            ("is_error", "sum"),
+            ("is_empty", "sum"),
+            ("n_chars", "sum"),
+            ("n_blocks", "sum"),
+            ("host", "count"),
+        ]
+    ).rename_columns(["host", "n_ok", "n_error", "n_empty", "sum_chars", "sum_blocks", "n_pages"])
+
+
+def quality_by_host(extracted_ds):
+    """groupby(host) extraction-quality stats with partial pre-aggregation
+    (reference analog: per-parser success/fail rollup, SURVEY.md §2.5)."""
+    from ray.data.aggregate import Sum
+
+    partials = extracted_ds.map_batches(_quality_partials, batch_format="pyarrow")
+    return partials.groupby("host").aggregate(
+        Sum("n_pages", alias_name="n_pages"),
+        Sum("n_ok", alias_name="n_ok"),
+        Sum("n_error", alias_name="n_error"),
+        Sum("n_empty", alias_name="n_empty"),
+        Sum("sum_chars", alias_name="sum_chars"),
+        Sum("sum_blocks", alias_name="sum_blocks"),
+    )

@@ -1,0 +1,119 @@
+"""Unified extraction stage: detect payload kind → route → extract → emit.
+
+The reference routes each file through ``detect_parser_for_file`` (first
+``can_parse`` winner, /root/reference/dataextractai/parsers_core/
+registry.py:23-36) and *never fails the job on one bad document* (per-row
+try/except → log + skip, registry.py:33-35). Here detection is a magic-bytes
+sniff per row and extraction errors become ``status="error"`` rows — the
+ok/error column convention that every downstream stage preserves
+(SURVEY.md §7.4 "error semantics").
+
+Implemented as ONE actor-pool ``map_batches`` stage that routes per row
+inside the batch instead of two ``ds.filter`` branch datasets: Ray datasets
+re-execute upstream lineage per consumer, so branching at this point would
+scan (and re-render) every page twice. The actor holds the stateful
+``PdfLayoutExtractor`` (constructed once per actor); the HTML path is a pure
+function. The wide ``html`` binary column is dropped on output so downstream
+blocks shrink (SURVEY.md §4.2 "wide binary rows").
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+from ..schemas import DEFAULT_NUM_PARTITIONS, EXTRACTED_SCHEMA, EXTRACTOR_VERSION, SPAN_TYPE
+from .html_extract import EXTRACTOR_NAME as HTML_EXTRACTOR
+from .html_extract import extract_html
+from .pdf_extract import EXTRACTOR_NAME as PDF_EXTRACTOR
+from .pdf_extract import PdfLayoutExtractor
+
+
+def detect_kind(payload: bytes) -> str:
+    """Content sniffing on the payload head (``can_parse`` analog)."""
+    head = payload[:64].lstrip()
+    if head.startswith(b"%PDF"):
+        return "pdf"
+    if head.startswith(b"<"):
+        return "html"
+    return "unknown"
+
+
+def url_host(url: str) -> str:
+    rest = url.split("://", 1)[-1]
+    return rest.split("/", 1)[0]
+
+
+def url_part_id(url: str, num_partitions: int = DEFAULT_NUM_PARTITIONS) -> int:
+    """Deterministic url-hash partition id (the explicit partitioning key the
+    north rule asks for; crc32 is stable across processes/platforms)."""
+    return zlib.crc32(url.encode("utf-8")) % num_partitions
+
+
+class ExtractDocuments:
+    """Callable class for ``map_batches(ExtractDocuments, concurrency=N)``.
+
+    Stateful setup (layout-parser geometry, compiled token regex) happens once
+    per actor in ``__init__``; each ``__call__`` processes one Arrow batch.
+    """
+
+    def __init__(self, num_partitions: int = DEFAULT_NUM_PARTITIONS):
+        self.num_partitions = num_partitions
+        self.pdf = PdfLayoutExtractor()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist() if "doc_id" in batch.column_names else [None] * batch.num_rows
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        langs = batch.column("lang").to_pylist() if "lang" in batch.column_names else [None] * batch.num_rows
+
+        out: dict[str, list] = {k: [] for k in (
+            "status", "extracted_text", "spans", "n_blocks", "doc_kind",
+            "extractor", "error", "host", "part_id",
+        )}
+        for url, payload in zip(urls, payloads):
+            kind = detect_kind(payload or b"")
+            if kind == "pdf":
+                r = self.pdf.extract(payload)
+                name = PDF_EXTRACTOR
+            elif kind == "html":
+                r = extract_html(payload)
+                name = HTML_EXTRACTOR
+            else:
+                r = {
+                    "status": "error",
+                    "extracted_text": "",
+                    "spans": [],
+                    "n_blocks": 0,
+                    "error": "unknown_payload_kind",
+                }
+                name = "none"
+            out["status"].append(r["status"])
+            out["extracted_text"].append(r["extracted_text"])
+            out["spans"].append(r["spans"])
+            out["n_blocks"].append(r["n_blocks"])
+            out["doc_kind"].append(kind)
+            out["extractor"].append(name)
+            out["error"].append(r["error"])
+            out["host"].append(url_host(url))
+            out["part_id"].append(url_part_id(url, self.num_partitions))
+
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "url": pa.array(urls, type=pa.string()),
+                "status": pa.array(out["status"], type=pa.string()),
+                "extracted_text": pa.array(out["extracted_text"], type=pa.large_string()),
+                "spans": pa.array(out["spans"], type=pa.list_(SPAN_TYPE)),
+                "n_blocks": pa.array(out["n_blocks"], type=pa.int32()),
+                "doc_kind": pa.array(out["doc_kind"], type=pa.string()),
+                "extractor": pa.array(out["extractor"], type=pa.string()),
+                "extractor_version": pa.array([EXTRACTOR_VERSION] * batch.num_rows, type=pa.string()),
+                "error": pa.array(out["error"], type=pa.string()),
+                "lang": pa.array(langs, type=pa.string()),
+                "host": pa.array(out["host"], type=pa.string()),
+                "part_id": pa.array(out["part_id"], type=pa.int32()),
+            },
+            schema=EXTRACTED_SCHEMA,
+        )
