@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Conventions (enforced in tests/test_oracle_parity.py):
+- output column NAMES match between the Ray pipeline and the SQL,
+- float aggregates are rounded to 4 (sums) / 6 (cosines) decimals on BOTH
+  sides so accumulation-order differences cannot flip the hash,
+- integer aggregates are CAST(... AS BIGINT) in SQL (DuckDB SUM yields
+  HUGEINT otherwise) to match Arrow int64.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -32,20 +35,265 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2 plus the
+    large-scale training-data ops. Each callable takes ``sf_dir``."""
+    from pdf_extractor_ray.pipelines import dedup, relational, similarity, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- flagship extraction (the north-rule pipeline) -----------------
+        "extract_pages_text": textops.extract_pages_text,
+        "quality_by_host_stats": textops.quality_by_host_stats,
+        "problem_rows": textops.problem_rows,
+        # --- aggregates (§2.5) ---------------------------------------------
+        "pricing_summary": relational.pricing_summary,
+        "counts_by_source": relational.counts_by_source,
+        "hash_bucket_counts": relational.hash_bucket_counts,
+        # --- filters (§2.2) ------------------------------------------------
+        "amount_threshold_filter": relational.amount_threshold_filter,
+        "keyword_exclude_filter": relational.keyword_exclude_filter,
+        "keyword_include_filter": relational.keyword_include_filter,
+        "year_filter": relational.year_filter,
+        "validity_split_problems": relational.validity_split_problems,
+        # --- projections / normalizers (§2.2, §2.8) ------------------------
+        "projection_map": relational.projection_map,
+        "desc_clean": relational.desc_clean,
+        "sign_normalize": relational.sign_normalize,
+        "date_normalize_iso": relational.date_normalize_iso,
+        "row_hash": relational.row_hash,
+        "json_field_extract": relational.json_field_extract,
+        # --- set ops / sort / dedup (§2.6, §2.7) ---------------------------
+        "union_all_sources": relational.union_all_sources,
+        "sort_topk": relational.sort_topk,
+        "dedup_exact": relational.dedup_exact,
+        # --- joins as broadcast lookups (§2.4) -----------------------------
+        "broadcast_join_enrich": relational.broadcast_join_enrich,
+        "semi_join_keys": relational.semi_join_keys,
+        "anti_join_keys": relational.anti_join_keys,
+        # --- explode / token ops (§2.2, §2.8) ------------------------------
+        "explode_tokens": relational.explode_tokens,
+        "token_stats_by_lang": relational.token_stats_by_lang,
+        "quality_score": relational.quality_score,
+        # --- windowed aggregates over the events log -----------------------
+        "tumbling_window_agg": relational.tumbling_window_agg,
+        "session_windows": relational.session_windows,
+        # --- similarity search ---------------------------------------------
+        "ann_topk": similarity.ann_topk,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
+        "embedding_near_dup": similarity.embedding_near_dup,
+        # --- dedup family (training-data ops) ------------------------------
+        "minhash_near_dup": dedup.minhash_near_dup,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # --- text analysis / multimodal ------------------------------------
+        "langid_predict": textops.langid_predict,
+        "fingerprint_rolling": textops.fingerprint_rolling,
+        "media_features": textops.media_features,
+    }
+
+
+def _host_case_sql() -> str:
+    """SQL reproduction of corpus.host_for_doc (pure arithmetic)."""
+    from pdf_extractor_ray.corpus import HOST_CUTS, HOSTS
+
+    whens = " ".join(
+        f"WHEN (doc_id * 37) % 100 < {cut} THEN '{host}'"
+        for host, cut in zip(HOSTS, HOST_CUTS)
+    )
+    return f"CASE {whens} END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracles, keyed like ``queries()``. Entries
+    omitted for genuinely non-SQL-expressible ops (heuristic models,
+    sketches, approximate search) — the driver records rows-only checks."""
+    host = _host_case_sql()
+    # extraction status rules mirror corpus routing arithmetic (corpus.py)
+    status_case = (
+        "CASE WHEN doc_id % 50 = 17 AND doc_id % 8 = 5 THEN 'error' "
+        "WHEN doc_id % 50 = 17 THEN 'empty' "
+        "WHEN length(text) = 0 THEN 'empty' ELSE 'ok' END"
+    )
+    return {
+        "extract_pages_text": (
+            "SELECT doc_id, text AS extracted_text FROM documents "
+            "WHERE doc_id % 50 <> 17 AND length(text) > 0"
+        ),
+        "quality_by_host_stats": f"""
+            WITH st AS (
+              SELECT doc_id, {status_case} AS status, {host} AS host,
+                     length(text) AS len
+              FROM documents)
+            SELECT host,
+              CAST(COUNT(*) AS BIGINT) AS n_pages,
+              CAST(SUM(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+              CAST(SUM(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+              CAST(SUM(CASE WHEN status = 'empty' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+              CAST(SUM(CASE WHEN status = 'ok' THEN len ELSE 0 END) AS BIGINT) AS sum_chars
+            FROM st GROUP BY host
+        """,
+        "problem_rows": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 50 = 17 AND doc_id % 8 = 5 THEN 'error'
+                   ELSE 'empty' END AS status,
+              CASE WHEN doc_id % 50 = 17 AND doc_id % 8 = 5 THEN 'missing_eof'
+                   WHEN doc_id % 50 = 17 THEN 'no_content_blocks'
+                   WHEN doc_id % 8 = 5 THEN 'no_content_tokens'
+                   ELSE 'no_content_blocks' END AS error
+            FROM documents WHERE doc_id % 50 = 17 OR length(text) = 0
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity), 4) AS sum_qty,
+              ROUND(SUM(l_extendedprice), 4) AS sum_base,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+              CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "counts_by_source": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+              CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY source
+        """,
+        "hash_bucket_counts": """
+            SELECT CAST((o_orderkey * 2654435761) % 64 AS INTEGER) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY 1
+        """,
+        "amount_threshold_filter": (
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 100000"
+        ),
+        "keyword_exclude_filter": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE NOT (text LIKE '%slow%' OR text LIKE '%error%')"
+        ),
+        "keyword_include_filter": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE text LIKE '%merge%' OR text LIKE '%join%'"
+        ),
+        "year_filter": (
+            "SELECT o_orderkey, o_orderpriority FROM orders "
+            "WHERE EXTRACT(year FROM o_orderdate) = 1995"
+        ),
+        "validity_split_problems": """
+            WITH r AS (
+              SELECT CASE WHEN value < 5.0 THEN 'low_value'
+                          WHEN CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) > 90
+                               THEN 'k_out_of_range' END AS reason
+              FROM events)
+            SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM r WHERE reason IS NOT NULL GROUP BY reason
+        """,
+        "projection_map": """
+            SELECT c_custkey AS id,
+              lower(regexp_replace(c_name, '\\W+', '_', 'g')) AS name_std,
+              lower(c_mktsegment) AS segment,
+              CASE WHEN c_acctbal < 0 THEN 'negative' ELSE 'ok' END AS balance_flag
+            FROM customer
+        """,
+        "desc_clean": (
+            "SELECT doc_id, trim(regexp_replace(regexp_replace(text, '\\bdup\\b', '', 'g'),"
+            " ' +', ' ', 'g')) AS cleaned FROM documents"
+        ),
+        "sign_normalize": """
+            SELECT event_id,
+              CASE WHEN event_type IN ('click', 'view') THEN -value ELSE value END AS amount
+            FROM events
+        """,
+        "date_normalize_iso": """
+            SELECT event_id, strftime(ts, '%Y-%m-%d') AS iso_date,
+              CAST(EXTRACT(year FROM ts) AS BIGINT) AS year,
+              CAST(EXTRACT(month FROM ts) AS BIGINT) AS month
+            FROM events
+        """,
+        "row_hash": """
+            SELECT o_orderkey,
+              sha256(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+                     o_orderpriority) AS txn_hash
+            FROM orders
+        """,
+        "json_field_extract": (
+            "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)"
+            " AS k_val FROM events"
+        ),
+        "union_all_sources": """
+            SELECT o_orderkey, 'high_value' AS origin FROM orders WHERE o_totalprice >= 150000
+            UNION ALL
+            SELECT o_orderkey, 'urgent' AS origin FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "sort_topk": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "dedup_exact": (
+            "SELECT sha256(text) AS text_sha, MIN(doc_id) AS doc_id "
+            "FROM documents GROUP BY sha256(text)"
+        ),
+        "broadcast_join_enrich": """
+            SELECT c_custkey, n_name AS nation, r_name AS region
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        """,
+        "semi_join_keys": (
+            "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+        ),
+        "anti_join_keys": (
+            "SELECT o_orderkey FROM orders WHERE o_custkey NOT IN "
+            "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+        ),
+        "explode_tokens": (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+        ),
+        "token_stats_by_lang": """
+            SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+              CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "quality_score": """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(len(list_filter(string_split(text, ' '),
+                   x -> list_contains(['the', 'a', 'and', 'row', 'data'], x))) AS BIGINT)
+                AS n_stop
+            FROM documents
+        """,
+        "tumbling_window_agg": """
+            SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS window_start,
+              ROUND(SUM(value), 4) AS sum_value, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "session_windows": """
+            WITH d AS (
+              SELECT user_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events)
+            SELECT user_id,
+              CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND ts - prev > INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM d GROUP BY user_id
+        """,
+        "ann_topk": """
+            WITH s AS (
+              SELECT vec_id,
+                ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+                  6) AS cos_r
+              FROM embeddings WHERE vec_id <> 0)
+            SELECT vec_id,
+              CAST(ROW_NUMBER() OVER (ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank
+            FROM s QUALIFY rank <= 10
+        """,
+        "media_features": """
+            SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+              sha256(text) AS payload_sha
+            FROM documents
+        """,
+        # rows-only (non-SQL-expressible): ann_topk_ivf (approximate probe),
+        # embedding_near_dup / minhash_near_dup / ngram_jaccard_pairs (LSH),
+        # simhash_fingerprints / fingerprint_rolling (bit-level sketches),
+        # langid_predict (heuristic model).
+    }

@@ -1,0 +1,115 @@
+"""Similarity sketches: shingling, MinHash (+LSH banding), SimHash.
+
+Deterministic, dependency-free (numpy only), PYTHONHASHSEED-independent
+(fnv1a token hashing). Designed for the Ray-Data dedup pattern
+(ray_guide: shingle+minhash per batch → explode (band_id, band_hash, doc_id)
+→ groupby(band) → candidate pairs → verify Jaccard).
+
+MinHash uses the standard universal-hash family h_i(x) = (a_i·x + b_i) mod p
+with FIXED seeded parameters (derived from splitmix64 of the permutation
+index), so sketches are identical across workers and runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import fnv1a64
+
+MERSENNE31 = (1 << 31) - 1  # hash universe: a·x+b with a,x,b < 2^31 fits uint64
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    a = np.array(
+        [(_splitmix64(2 * i + 1) % (MERSENNE31 - 1)) + 1 for i in range(num_perm)],
+        dtype=np.uint64,
+    )
+    b = np.array(
+        [_splitmix64(2 * i + 2) % MERSENNE31 for i in range(num_perm)], dtype=np.uint64
+    )
+    return a, b
+
+
+def shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-shingle hashes (uint64), deduplicated."""
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(
+        np.fromiter((fnv1a64(g.encode()) for g in grams), dtype=np.uint64, count=len(grams))
+    )
+
+
+def char_ngrams(text: str, n: int = 3) -> set[str]:
+    if len(text) < n:
+        return {text} if text else set()
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+class MinHasher:
+    """num_perm minhash values per document; state (the hash family) is built
+    once — use as actor state or module-level singleton."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3):
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+        self.a, self.b = minhash_params(num_perm)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingles(text, self.shingle_k)
+        if sh.size == 0:
+            return np.full(self.num_perm, np.uint64(MERSENNE31), dtype=np.uint64)
+        x = (sh % np.uint64(MERSENNE31))[None, :]  # (1, n_shingles), < 2^31
+        # (num_perm, n_shingles): a·x+b < 2^62 — exact in uint64
+        vals = (self.a[:, None] * x + self.b[:, None]) % np.uint64(MERSENNE31)
+        return vals.min(axis=1)
+
+    def band_hashes(self, sig: np.ndarray, num_bands: int) -> list[int]:
+        """LSH banding: hash each band of rows to one bucket key."""
+        rows = self.num_perm // num_bands
+        out = []
+        for band in range(num_bands):
+            chunk = sig[band * rows : (band + 1) * rows]
+            h = fnv1a64(chunk.tobytes())
+            out.append(h)
+        return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (unweighted)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    v = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = fnv1a64(t.encode())
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        v += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if v[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -1,0 +1,212 @@
+"""Deduplication family over the documents table (training-data ops).
+
+Ray-Data shapes (ray_guide "Aggregation at scale"):
+- exact: content-hash → groupby(hash) → deterministic representative
+  (in relational.dedup_exact),
+- MinHash+LSH: per-batch shingle→minhash→band rows (explode) →
+  groupby(band_id, band_hash) → candidate pairs → verify exact Jaccard,
+- SimHash: 64-bit fingerprint per doc; near-dup = same fingerprint bucket
+  (or small Hamming distance within buckets),
+- n-gram Jaccard: char-trigram sets, LSH-free small-scale verify within
+  hash-prefix buckets.
+
+All sketches are deterministic (functions/sketches.py) — identical across
+workers, runs, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.sketches import MinHasher, char_ngrams, jaccard, shingles, simhash64
+
+NUM_PERM = 64
+NUM_BANDS = 16  # 16 bands × 4 rows → catches J≳0.6 with high prob
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+class MinHashBander:
+    """Actor: the hash family is built once per worker (§2.3 pattern)."""
+
+    def __init__(self, num_perm: int = NUM_PERM, num_bands: int = NUM_BANDS, shingle_k: int = 3):
+        self.mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+        self.num_bands = num_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_band, out_hash = [], [], []
+        for d, t in zip(doc_ids, texts):
+            sig = self.mh.signature(t)
+            for band_id, h in enumerate(self.mh.band_hashes(sig, self.num_bands)):
+                out_doc.append(d)
+                out_band.append(band_id)
+                out_hash.append(h - (1 << 63))  # to signed int64
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "band_id": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_hash, type=pa.int64()),
+            }
+        )
+
+
+def minhash_candidates(sf_dir: str, concurrency=(1, 4)):
+    """documents → (band_id, band_hash) buckets → unique candidate pairs."""
+    ds = _read_docs(sf_dir).map_batches(
+        MinHashBander,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    return ds.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+
+
+def minhash_near_dup(sf_dir: str, threshold: float = 0.6):
+    """Candidate pairs (deduped across bands) verified by exact shingle
+    Jaccard. The verify stage broadcasts nothing: it re-reads only candidate
+    docs' texts via a broadcast id→text map built from the (small) candidate
+    id set — at larger scale this becomes a semi-join read of the candidate
+    partition files."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cand = minhash_candidates(sf_dir).to_pandas().drop_duplicates()
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "jaccard_r": pd.Series([], dtype=np.float64),
+            }
+        )
+    need = set(cand.doc_a) | set(cand.doc_b)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    id2text = {
+        d: t
+        for d, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+        if d in need
+    }
+    texts_ref = ray.put(id2text)
+    import ray.data as rd
+
+    cand_ds = rd.from_pandas(cand)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        m = ray.get(texts_ref)
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        jac = [
+            jaccard(set(shingles(m[x]).tolist()), set(shingles(m[y]).tolist()))
+            for x, y in zip(a, b)
+        ]
+        t = pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "jaccard_r": pa.array(np.round(jac, 6)),
+            }
+        )
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("jaccard_r"), threshold))
+
+    return cand_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def simhash_fingerprints(sf_dir: str):
+    """64-bit SimHash per document (as hex string — int64-overflow-safe)."""
+    ds = _read_docs(sf_dir)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(
+                    [f"{simhash64(t):016x}" for t in batch.column("text").to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_dup_groups(sf_dir: str):
+    """Exact-SimHash duplicate buckets: fingerprint → groupby → groups with
+    >1 member (near-dup at Hamming distance 0; banding over 16-bit chunks
+    would extend to distance ≤3 at scale)."""
+    from ray.data.aggregate import Count, Min
+
+    return (
+        simhash_fingerprints(sf_dir)
+        .groupby("simhash")
+        .aggregate(Count(alias_name="n_docs"), Min("doc_id", alias_name="rep_doc"))
+        .filter(lambda row: row["n_docs"] > 1)
+    )
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, prefix_bits: int = 6):
+    """Char-trigram Jaccard near-dup: docs are bucketed by the low bits of
+    their min trigram hash (cheap blocking key), verified exactly within
+    buckets. Returns (doc_a, doc_b, jaccard_r)."""
+    from ..functions.hashing import fnv1a64
+
+    ds = _read_docs(sf_dir)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        buckets = []
+        for t in texts:
+            grams = char_ngrams(t)
+            mn = min((fnv1a64(g.encode()) for g in grams), default=0)
+            buckets.append(mn & ((1 << prefix_bits) - 1))
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, type=pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "text": batch.column("text"),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        grams = [char_ngrams(t) for t in g["text"]]
+        rows_a, rows_b, js = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jac = jaccard(grams[i], grams[j])
+                if jac >= threshold:
+                    rows_a.append(ids[i])
+                    rows_b.append(ids[j])
+                    js.append(round(jac, 6))
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows_a, dtype=np.int64),
+                "doc_b": pd.Series(rows_b, dtype=np.int64),
+                "jaccard_r": pd.Series(js, dtype=np.float64),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )

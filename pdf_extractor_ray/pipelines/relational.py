@@ -1,0 +1,575 @@
+"""Relational operator catalog over the driver testdata tables.
+
+Each function re-expresses one operator family from the reference inventory
+(SURVEY.md §2) as an idiomatic Ray Data pipeline and is paired with an ANSI
+SQL oracle in ``__ray_entry__.oracle_sql`` (same output column NAMES — the
+driver sorts columns by name and value-hashes).
+
+Scale conventions used throughout (these are the patterns that must hold at
+100 TB):
+- column pruning at the read (`read_parquet(columns=[...])`),
+- vectorized pyarrow.compute bodies inside `map_batches` (no row loops in
+  hot paths; per-row digests are flagged where inherent),
+- per-batch partial aggregation (combiner) before every `groupby` shuffle,
+- small sides broadcast via `ray.put` once, read per actor/task — never a
+  shuffle join against a dimension table.
+
+Float discipline: aggregate outputs are rounded to 4 decimals on BOTH sides
+(here and in the oracle SQL) so double-summation order differences cannot
+flip the driver's value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.dates import to_iso_hour
+from ..functions.hashing import hash_bucket, row_sha256, sha256_hex
+from ..functions.quality import quality_features
+from ..functions.text import clean_description, keyword_filter_batch, standardize_column
+from ..functions.tokens import explode_tokens as explode_tokens_batch
+from ..functions.tokens import token_counts
+
+EXCLUDE_KEYWORDS = ["slow", "error"]  # PERSONAL_EXPENSES-style exclusion vocab
+INCLUDE_KEYWORDS = ["merge", "join"]
+CHARGE_EVENT_TYPES = frozenset({"click", "view"})
+BUILDING = "BUILDING"
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round4(tbl: pa.Table, cols: list[str]) -> pa.Table:
+    # np.round (scale→rint→unscale) lands on the same double as DuckDB's
+    # ROUND-to-DECIMAL; pyarrow's pc.round does not (it can return the
+    # unrounded double for values like 109.53999999999999).
+    for c in cols:
+        v = tbl.column(c).to_numpy(zero_copy_only=False)
+        tbl = tbl.set_column(tbl.column_names.index(c), c, pa.array(np.round(v, 4)))
+    return tbl
+
+
+# ---------------------------------------------------------------------------
+# aggregates (§2.5) — partial-aggregate inside map_batches, then small groupby
+# ---------------------------------------------------------------------------
+
+def pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped rollup (per-source counts / amount rollups analog).
+
+    The per-batch combiner emits ≤|groups| rows per block, so the groupby
+    shuffle moves partials, not the fact table."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(1.0, batch.column("l_discount"))
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": batch.column("l_quantity"),
+                "base": batch.column("l_extendedprice"),
+                "disc_price": disc_price,
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base", "sum"), ("disc_price", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty", "base", "disc_price", "n_rows"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base", alias_name="sum_base"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: _round4(t, ["sum_qty", "sum_base", "sum_disc_price"]),
+        batch_format="pyarrow",
+    )
+
+
+def counts_by_source(sf_dir: str):
+    """documents value_counts + length stats (transaction_normalizer.py:351-352)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column("one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+        g = t.group_by("source").aggregate(
+            [("one", "sum"), ("n_chars", "sum"), ("n_chars", "min"), ("n_chars", "max")]
+        )
+        return g.rename_columns(["source", "n_docs", "sum_chars", "min_chars", "max_chars"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Min("min_chars", alias_name="min_chars"),
+            Max("max_chars", alias_name="max_chars"),
+        )
+    )
+
+
+def hash_bucket_counts(sf_dir: str):
+    """Explicit hash-partitioning key distribution (the url-hash repartition
+    analog, SQL-reproducible Knuth multiplicative hash)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "bucket": hash_bucket(batch.column("o_orderkey"), 64),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("bucket").aggregate([("one", "sum")]).rename_columns(["bucket", "n_rows"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("n_rows", alias_name="n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# filters (§2.2) — vectorized masks inside map_batches
+# ---------------------------------------------------------------------------
+
+def amount_threshold_filter(sf_dir: str):
+    """EXPENSE_THRESHOLD analog (utils/utils.py:73-81)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("o_totalprice"), 100000.0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def keyword_exclude_filter(sf_dir: str):
+    """Drop rows whose text contains any exclusion keyword (utils.py:53-70)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return ds.map_batches(
+        lambda t: keyword_filter_batch(t, "text", EXCLUDE_KEYWORDS, "exclude").select(
+            ["doc_id", "source"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def keyword_include_filter(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return ds.map_batches(
+        lambda t: keyword_filter_batch(t, "text", INCLUDE_KEYWORDS, "include").select(
+            ["doc_id", "source"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def year_filter(sf_dir: str):
+    """Keep rows of one calendar year (scripts/grok.py:502-503)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.year(t.column("o_orderdate")), 1995)).select(
+            ["o_orderkey", "o_orderpriority"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# projections / normalizers (§2.2)
+# ---------------------------------------------------------------------------
+
+def projection_map(sf_dir: str):
+    """Declarative TRANSFORMATION_MAPS analog (utils/config.py:302-417):
+    rename + computed columns, fully vectorized."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t.column("c_custkey"),
+                "name_std": standardize_column(t.column("c_name")),
+                "segment": pc.utf8_lower(t.column("c_mktsegment")),
+                "balance_flag": pc.if_else(
+                    pc.less(t.column("c_acctbal"), 0.0),
+                    pa.scalar("negative"),
+                    pa.scalar("ok"),
+                ),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def desc_clean(sf_dir: str):
+    """Description cleaner (transaction_normalizer.py:381-407)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"), "cleaned": clean_description(t.column("text"))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def sign_normalize(sf_dir: str):
+    """Keyword-driven sign convention (utils/data_transformation.py:31-83):
+    'charge'-class event types become negative amounts."""
+    from ..functions.amounts import normalize_sign
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "amount": normalize_sign(
+                    t.column("value"), t.column("event_type"), CHARGE_EVENT_TYPES
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def date_normalize_iso(sf_dir: str):
+    """ISO date normalization + component extraction (§2.2 date normalizer)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "iso_date": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+                "year": pc.cast(pc.year(t.column("ts")), pa.int64()),
+                "month": pc.cast(pc.month(t.column("ts")), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def row_hash(sf_dir: str):
+    """transaction_hash analog: sha256 over joined fields (normalize_api.py:
+    21-33). The digest is per-row by nature; the join is vectorized."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "txn_hash": row_sha256(t, ["o_orderkey", "o_orderstatus", "o_orderpriority"]),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def json_field_extract(sf_dir: str):
+    """Tolerant JSON field extraction (amazon_parser.py:293-302 analog),
+    vectorized as a regex pull instead of per-row json.loads."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        g = pc.struct_field(
+            pc.extract_regex(t.column("props"), pattern=r'"k": (?P<g>\d+)'), "g"
+        )
+        return pa.table(
+            {"event_id": t.column("event_id"), "k_val": pc.cast(g, pa.int64())}
+        )
+
+    return ds.map_batches(ext, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def validity_split_problems(sf_dir: str):
+    """Validity filter with problem-row diversion (transaction_normalizer.py:
+    41-65, 354-368): rows failing a predicate become (reason, count) — the
+    problems side-table rollup. Valid predicate: value >= 5.0 and k <= 90;
+    reason precedence: low_value first (CASE order in the oracle)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "value", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(pc.extract_regex(t.column("props"), pattern=r'"k": (?P<g>\d+)'), "g"),
+            pa.int64(),
+        )
+        low_value = pc.less(t.column("value"), 5.0)
+        bad_k = pc.greater(k, 90)
+        reason = pc.if_else(
+            low_value,
+            pa.scalar("low_value"),
+            pc.if_else(bad_k, pa.scalar("k_out_of_range"), pa.scalar(None, pa.string())),
+        )
+        tt = pa.table(
+            {"reason": reason, "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        ).filter(pc.is_valid(reason))
+        return tt.group_by("reason").aggregate([("one", "sum")]).rename_columns(["reason", "n_rows"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("reason")
+        .aggregate(Sum("n_rows", alias_name="n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# set ops / dedup (§2.7), sorts (§2.6)
+# ---------------------------------------------------------------------------
+
+def union_all_sources(sf_dir: str):
+    """pd.concat-of-sources analog (transaction_normalizer.py:306): two
+    filtered branches tagged with an origin column, unioned."""
+    def tagged(t: pa.Table, mask, origin: str) -> pa.Table:
+        f = t.filter(mask)
+        return pa.table(
+            {
+                "o_orderkey": f.column("o_orderkey"),
+                "origin": pa.array([origin] * f.num_rows, type=pa.string()),
+            }
+        )
+
+    high = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: tagged(t, pc.greater_equal(t.column("o_totalprice"), 150000.0), "high_value"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    urgent = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: tagged(t, pc.equal(t.column("o_orderpriority"), "1-URGENT"), "urgent"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return high.union(urgent)
+
+
+def sort_topk(sf_dir: str):
+    """Global sort + limit (grok.py:427-450 final sort; export-only sort)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash groupby, deterministic representative
+    (min doc_id) — normalize_api.py:21-33 semantics done relationally."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text_sha": pa.array(
+                    [sha256_hex(v) for v in t.column("text").to_pylist()], type=pa.string()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_sha")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins as broadcast lookups (§2.4)
+# ---------------------------------------------------------------------------
+
+def broadcast_join_enrich(sf_dir: str):
+    """customer ⋈ nation ⋈ region via broadcast dimension dicts: the small
+    sides are ray.put ONCE and read inside the batch fn — no shuffle join."""
+    import pyarrow.parquet as pq
+    import ray
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    n2name = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+    n2region = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist()))
+    r2name = dict(zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()))
+    lookup_ref = ray.put((n2name, {k: r2name[v] for k, v in n2region.items()}))
+
+    def enrich(t: pa.Table) -> pa.Table:
+        n2n, n2r = ray.get(lookup_ref)
+        keys = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "nation": pa.array([n2n[k] for k in keys], type=pa.string()),
+                "region": pa.array([n2r[k] for k in keys], type=pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    return ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _building_custkeys(sf_dir: str) -> set[int]:
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    m = pc.equal(cust.column("c_mktsegment"), BUILDING)
+    return cust.filter(m).column("c_custkey").to_pylist()
+
+
+def semi_join_keys(sf_dir: str):
+    """Semi join = broadcast key set + vectorized is_in (ray_guide pattern;
+    reference: cache-key semi-join, transaction_classifier.py:82-118)."""
+    import ray
+
+    keys_ref = ray.put(_building_custkeys(sf_dir))
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pc.is_in(t.column("o_custkey"), value_set=pa.array(keys))
+        return t.filter(mask).select(["o_orderkey"])
+
+    return ds.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def anti_join_keys(sf_dir: str):
+    """Anti join — the problem-row diversion shape (normalize_api.py:36-56)."""
+    import ray
+
+    keys_ref = ray.put(_building_custkeys(sf_dir))
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pc.invert(pc.is_in(t.column("o_custkey"), value_set=pa.array(keys)))
+        return t.filter(mask).select(["o_orderkey"])
+
+    return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# explode / token ops (§2.2 amazon explode, §2.8)
+# ---------------------------------------------------------------------------
+
+def explode_tokens(sf_dir: str):
+    """1 document row → N token rows (amazon_parser.py:305-338 explode)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: explode_tokens_batch(t, "doc_id", "text"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def token_stats_by_lang(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_tokens": pc.cast(token_counts(t.column("text")), pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            tt.group_by("lang")
+            .aggregate([("n_tokens", "sum"), ("one", "sum")])
+            .rename_columns(["lang", "sum_tokens", "n_docs"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("sum_tokens", alias_name="sum_tokens"), Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+def quality_score(sf_dir: str):
+    """Quality features per document (integer-valued → hash-exact oracle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: quality_features(t).select(["doc_id", "n_chars_q", "n_tokens", "n_stop"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregates over the events log (ray_guide streaming-shaped section)
+# ---------------------------------------------------------------------------
+
+def tumbling_window_agg(sf_dir: str):
+    """Tumbling 1-hour windows per user: groupby (user_id, window_start) with
+    per-batch partial aggregation; window label as ISO string (hash-stable)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "window_start": to_iso_hour(t.column("ts")),
+                "value": t.column("value"),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            tt.group_by(["user_id", "window_start"])
+            .aggregate([("value", "sum"), ("one", "sum")])
+            .rename_columns(["user_id", "window_start", "sum_value", "n_events"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_start"])
+        .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n_events", alias_name="n_events"))
+    )
+    return agg.map_batches(lambda t: _round4(t, ["sum_value"]), batch_format="pyarrow")
+
+
+def session_windows(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization per user (30-min inactivity gap): sort-within-group +
+    gap cumsum inside map_groups. Partitioning assumption: one user's events
+    fit one group (holds at any scale for bounded per-user activity)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        n = 1 + int((ts.diff() > gap).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

@@ -1,0 +1,108 @@
+"""Text-analysis + flagship-derived query pipelines (driver surface).
+
+These are the ``queries()`` entries built on the extraction corpus and the
+text-analysis operators (language ID, fingerprinting, media features).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import corpus
+from ..functions.hashing import rolling_fingerprint
+from ..functions.langid import LangId
+from ..stages.multimodal import MediaFeatures, media_table_from_documents
+from .extract import extract_pages, quality_by_host
+
+
+def _read_docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def extract_pages_text(sf_dir: str):
+    """Flagship correctness query: synthesize pages → extract → ok rows'
+    (doc_id, extracted_text). The DuckDB oracle is simply the source
+    documents table (byte-identity), minus the deterministically-malformed
+    and empty rows — the strongest end-to-end check the driver can hash."""
+    pages = corpus.read_pages(sf_dir)
+    ext = extract_pages(pages)
+    return ext.map_batches(
+        lambda t: t.filter(pc.equal(t.column("status"), "ok")).select(
+            ["doc_id", "extracted_text"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def quality_by_host_stats(sf_dir: str):
+    """groupby(host) extraction-quality stats (north-rule requirement),
+    restricted to the SQL-reproducible columns."""
+    pages = corpus.read_pages(sf_dir)
+    q = quality_by_host(extract_pages(pages))
+    return q.map_batches(
+        lambda t: t.select(["host", "n_pages", "n_ok", "n_error", "n_empty", "sum_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+def problem_rows(sf_dir: str):
+    """The diverted problems side-table (transaction_normalizer.py:33-39
+    pattern): every non-ok row with its machine-readable reason."""
+    pages = corpus.read_pages(sf_dir)
+    ext = extract_pages(pages)
+    return ext.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("status"), "ok")).select(
+            ["doc_id", "status", "error"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def langid_predict(sf_dir: str):
+    """n-gram-profile language ID as an actor-pool stage (model state built
+    once per actor). No SQL oracle (heuristic model) — rows-only check."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    return ds.map_batches(
+        LangId,
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=(1, 4),
+    ).select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def fingerprint_rolling(sf_dir: str):
+    """Order-sensitive document fingerprint (rolling polynomial hash)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array(
+                    [f"{rolling_fingerprint(t):016x}" for t in batch.column("text").to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def media_features(sf_dir: str):
+    """Multimodal plumbing end-to-end: documents → opaque binary media column
+    → actor-pool byte-level feature extraction (decode stubbed; see
+    stages/multimodal.py). Small batch_size — wide binary rows."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    media = ds.map_batches(media_table_from_documents, batch_format="pyarrow", zero_copy_batch=True)
+    return media.map_batches(
+        MediaFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=(1, 4),
+    ).select_columns(["doc_id", "n_bytes", "payload_sha"])

@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as opaque ``binary`` columns with
+typed metadata columns alongside (the reference's analog: PDFs consumed as
+binary, PNG crops base64'd to a vision LLM — organizer_extractor.py:489-533 —
+never stored in the record model).
+
+The decode/feature kernels that need codec libraries are STUBBED (this
+container has no image/audio libs): ``decode_image`` raises
+``NotImplementedError`` behind an import-try, and ``MediaFeatures`` uses the
+deterministic byte-level fallback. The Ray-side plumbing — schema, actor
+signature, batch sizing, output layout — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("media", pa.binary()),  # opaque payload
+        pa.field("media_type", pa.string()),  # e.g. image/png, audio/wav
+    ]
+)
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload to HxWxC uint8. STUB: needs an image codec
+    library that is not available in this container."""
+    try:
+        import PIL.Image  # noqa: F401  (not installed here)
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires an image codec library (e.g. Pillow); "
+            "not available in this environment — byte-level features only"
+        ) from e
+    raise NotImplementedError("unreachable in this container")
+
+
+class MediaFeatures:
+    """Actor-pool stage: per-payload byte-level features.
+
+    ``__init__`` holds the (cheap) state — at scale this is where a model or
+    codec context would load once per actor. ``__call__`` emits one metadata
+    row per payload; batch sizes should stay small because each row carries
+    a wide binary value (SURVEY.md §4.2)."""
+
+    def __init__(self, with_decode: bool = False):
+        self.with_decode = with_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("media").to_pylist()
+        n_bytes = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+        sha = [hashlib.sha256(p).hexdigest() for p in payloads]
+        decoded = []
+        if self.with_decode:
+            for p in payloads:
+                try:
+                    decode_image(p)
+                    decoded.append(True)
+                except NotImplementedError:
+                    decoded.append(False)
+        else:
+            decoded = [False] * len(payloads)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bytes": pa.array(n_bytes),
+                "payload_sha": pa.array(sha, type=pa.string()),
+                "decoded": pa.array(decoded, type=pa.bool_()),
+            }
+        )
+
+
+def media_table_from_documents(batch: pa.Table) -> pa.Table:
+    """Deterministic media stand-in: the document text bytes as an opaque
+    payload (utf-8) — lets the byte-level feature path be oracle-checked
+    (octet_length / sha256 in DuckDB)."""
+    texts = batch.column("text").to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "media": pa.array([t.encode("utf-8") for t in texts], type=pa.binary()),
+            "media_type": pa.array(["text/plain"] * batch.num_rows, type=pa.string()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
