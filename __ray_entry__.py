@@ -30,8 +30,8 @@ def entry() -> Any:
     from pdf_extractor_ray import corpus
     from pdf_extractor_ray.pipelines.extract import extract_pages
 
-    pages = corpus.read_pages("/root/testdata/sf0.001")
-    return extract_pages(pages, batch_size=64, concurrency=2)
+    pages = corpus.read_pages("/root/testdata/sf0.001", fanout_blocks=16)
+    return extract_pages(pages)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

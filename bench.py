@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Plain run: executes the headline pipeline (flagship extraction over the
+replicated synthetic pages corpus) plus a panel of representative operator
+queries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32), and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: runs the headline pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus scaling efficiency = (t_8 / t_32) / (32/8) — the sandbox stand-in for
+the north rule's N vs 4N cluster-size criterion (see BASELINE.md).
+
+This script OWNS its Ray session (unlike __ray_entry__ / library code).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "48"))
+# fixed block count so both scaling runs split work identically
+NUM_BLOCKS = int(os.environ.get("GRAFT_BENCH_BLOCKS", "128"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    # untimed warm-up: spawn the worker pool + touch the input files once so
+    # timed sections measure compute + shuffle, not process forks / cold reads
+    import ray.data as rd
+
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b
+    ).materialize()
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "lineitem", "events", "orders", "embeddings", "customer"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+
+def headline(num_cpus: int) -> dict:
+    """Flagship extraction: pages (replicated corpus) → extract → grouped
+    quality stats (consumes the full stream; tiny result)."""
+    from pdf_extractor_ray import corpus
+    from pdf_extractor_ray.pipelines.extract import extract_pages, quality_by_host
+
+    # warm the page cache / catalog with one untimed metadata read
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows * REPLICATE
+
+    t0 = time.time()
+    pages = corpus.read_pages(SF_DIR, replicate=REPLICATE, fanout_blocks=NUM_BLOCKS)
+    ext = extract_pages(pages)  # stateless tasks, block-driven batching
+    stats = quality_by_host(ext).to_pandas()
+    sec = time.time() - t0
+    assert int(stats["n_pages"].sum()) == n_docs
+    return {"sec": sec, "docs": n_docs, "docs_per_sec": n_docs / sec}
+
+
+QUERY_PANEL = [
+    "pricing_summary",
+    "dedup_exact",
+    "tumbling_window_agg",
+    "session_windows",
+    "token_stats_by_lang",
+    "sort_topk",
+    "ann_topk",
+    "minhash_near_dup",
+    "semi_join_keys",
+    "extract_pages_text",
+]
+
+
+def run_panel() -> dict[str, float]:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(os.path.dirname(os.path.abspath(__file__)), "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    import pandas as pd
+
+    out = {}
+    for name in QUERY_PANEL:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if not isinstance(res, pd.DataFrame):  # Datasets are lazy — consume
+            res.to_pandas()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    _init_ray(NUM_CPUS)
+    h = headline(NUM_CPUS)
+    queries = run_panel()
+    result = {
+        "metric": "extraction_headline_sec",
+        "value": round(h["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": h["docs"],
+        "docs_per_sec": round(h["docs_per_sec"], 1),
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    """Same headline job at 8 and 32 CPUs in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_HEADLINE_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "docs_per_sec_8": r_lo["docs_per_sec"],
+                "docs_per_sec_32": r_hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "docs": r_lo["docs"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+def main_headline_only() -> None:
+    import ray
+
+    _init_ray(NUM_CPUS)
+    h = headline(NUM_CPUS)
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "extraction_headline_sec",
+                "value": round(h["sec"], 3),
+                "unit": "sec",
+                "queries": {},
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "docs": h["docs"],
+                "docs_per_sec": round(h["docs_per_sec"], 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        main_headline_only()
+    else:
+        main()

@@ -31,6 +31,7 @@ import html as _html
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # --- host pool: skewed like real crawls (few giant hosts + long tail) -------
 HOSTS = [
@@ -204,17 +205,57 @@ def pages_batch_from_documents(batch: pa.Table) -> pa.Table:
 
 
 def pages_from_documents(docs_ds):
-    """documents Dataset → pages Dataset (stateless map_batches, zero-copy in)."""
+    """documents Dataset → pages Dataset (stateless map_batches, zero-copy in;
+    batch_size=None keeps block-driven batching — no cross-block bundling)."""
     return docs_ds.map_batches(
-        pages_batch_from_documents, batch_format="pyarrow", zero_copy_batch=True
+        pages_batch_from_documents,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
     )
 
 
-def read_pages(sf_dir: str):
-    """Read the documents table (only needed columns) and synthesize pages."""
+REPLICA_STRIDE = 100_000_000  # doc_id offset between corpus replicas
+
+
+def replicate_documents(batch: pa.Table, replicate: int) -> pa.Table:
+    """Deterministic corpus expansion for benchmarking: replica k gets
+    doc_id + k·stride (routing arithmetic stays deterministic per new id)."""
+    if replicate <= 1:
+        return batch
+    parts = []
+    ids = batch.column("doc_id")
+    for k in range(replicate):
+        t = batch.set_column(
+            batch.column_names.index("doc_id"),
+            "doc_id",
+            pc.add(ids, pa.scalar(k * REPLICA_STRIDE, pa.int64())),
+        )
+        parts.append(t)
+    return pa.concat_tables(parts)
+
+
+def read_pages(sf_dir: str, replicate: int = 1, fanout_blocks: int | None = None):
+    """Read the documents table (only needed columns) and synthesize pages.
+
+    ``fanout_blocks``: the testdata table is ONE small parquet file, so the
+    read is a single task and Ray fuses the whole downstream chain into it
+    (serializing everything). A cheap ``repartition`` right after the read
+    breaks that fusion and fans the chain out. This is a small-input shim
+    ONLY — a real 100 TB corpus has thousands of files and natural read
+    parallelism, and an all-to-all repartition there would be wrong."""
     import ray.data as rd
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
+    if fanout_blocks:
+        docs = docs.repartition(fanout_blocks)
+    if replicate > 1:
+        docs = docs.map_batches(
+            lambda t: replicate_documents(t, replicate),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
     return pages_from_documents(docs)

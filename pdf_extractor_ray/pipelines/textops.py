@@ -27,7 +27,7 @@ def extract_pages_text(sf_dir: str):
     (doc_id, extracted_text). The DuckDB oracle is simply the source
     documents table (byte-identity), minus the deterministically-malformed
     and empty rows — the strongest end-to-end check the driver can hash."""
-    pages = corpus.read_pages(sf_dir)
+    pages = corpus.read_pages(sf_dir, fanout_blocks=32)
     ext = extract_pages(pages)
     return ext.map_batches(
         lambda t: t.filter(pc.equal(t.column("status"), "ok")).select(
@@ -41,7 +41,7 @@ def extract_pages_text(sf_dir: str):
 def quality_by_host_stats(sf_dir: str):
     """groupby(host) extraction-quality stats (north-rule requirement),
     restricted to the SQL-reproducible columns."""
-    pages = corpus.read_pages(sf_dir)
+    pages = corpus.read_pages(sf_dir, fanout_blocks=32)
     q = quality_by_host(extract_pages(pages))
     return q.map_batches(
         lambda t: t.select(["host", "n_pages", "n_ok", "n_error", "n_empty", "sum_chars"]),
@@ -52,7 +52,7 @@ def quality_by_host_stats(sf_dir: str):
 def problem_rows(sf_dir: str):
     """The diverted problems side-table (transaction_normalizer.py:33-39
     pattern): every non-ok row with its machine-readable reason."""
-    pages = corpus.read_pages(sf_dir)
+    pages = corpus.read_pages(sf_dir, fanout_blocks=32)
     ext = extract_pages(pages)
     return ext.map_batches(
         lambda t: t.filter(pc.not_equal(t.column("status"), "ok")).select(
