@@ -1,0 +1,41 @@
+"""Sinks: partitioned parquet (primary) + CSV export tail (SURVEY.md §2.1).
+
+The reference writes one CSV per source plus a consolidated CSV
+(/root/reference/dataextractai/utils/config.py:117-202); the engine's primary
+sink is url-hash-partitioned parquet (resumable layout — one directory per
+partition, see state/lineage.py for the committed-partition ledger), with CSV
+export as an explicit tail step for interop.
+"""
+
+from __future__ import annotations
+
+
+def write_partitioned_parquet(
+    ds,
+    out_dir: str,
+    *,
+    partition_cols: list[str] | None = None,
+    min_rows_per_file: int | None = None,
+    mode: str = "append",
+):
+    """Partitioned parquet sink. ``partition_cols`` defaults to the url-hash
+    ``part_id`` so output layout aligns with the resume ledger; never one
+    giant file (min_rows_per_file bounds file counts, partitions bound
+    re-computation on failure)."""
+    kwargs = {"mode": mode}
+    if partition_cols is None:
+        partition_cols = ["part_id"]
+    kwargs["partition_cols"] = partition_cols
+    if min_rows_per_file is not None:
+        kwargs["min_rows_per_file"] = min_rows_per_file
+    return ds.write_parquet(out_dir, **kwargs)
+
+
+def export_csv(ds, out_dir: str, drop_columns: list[str] | None = None):
+    """CSV export tail (drops non-CSV-representable columns like the spans
+    list first — mirrors the reference's flat CSV contract)."""
+    if drop_columns:
+        present = [c for c in drop_columns if c in ds.schema().names]
+        if present:
+            ds = ds.drop_columns(present)
+    return ds.write_csv(out_dir)

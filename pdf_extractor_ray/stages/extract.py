@@ -24,10 +24,7 @@ import zlib
 import pyarrow as pa
 
 from ..schemas import DEFAULT_NUM_PARTITIONS, EXTRACTED_SCHEMA, EXTRACTOR_VERSION, SPAN_TYPE
-from .html_extract import EXTRACTOR_NAME as HTML_EXTRACTOR
-from .html_extract import extract_html
-from .pdf_extract import EXTRACTOR_NAME as PDF_EXTRACTOR
-from .pdf_extract import PdfLayoutExtractor
+from .registry import ExtractorRegistry, default_registry
 
 
 def detect_kind(payload: bytes) -> str:
@@ -52,15 +49,23 @@ def url_part_id(url: str, num_partitions: int = DEFAULT_NUM_PARTITIONS) -> int:
 
 
 class ExtractDocuments:
-    """Callable class for ``map_batches(ExtractDocuments, concurrency=N)``.
+    """Callable class for ``map_batches`` (actor pool or per-worker-cached
+    task state — see pipelines/extract.py).
 
-    Stateful setup (layout-parser geometry, compiled token regex) happens once
-    per actor in ``__init__``; each ``__call__`` processes one Arrow batch.
+    Stateful setup (the extractor registry with its layout-parser geometry
+    and compiled token regexes) happens once in ``__init__``; each
+    ``__call__`` processes one Arrow batch, routing every row through the
+    first registered extractor whose content sniff matches (§2.10 registry
+    contract). Custom extractors plug in via ``registry=``.
     """
 
-    def __init__(self, num_partitions: int = DEFAULT_NUM_PARTITIONS):
+    def __init__(
+        self,
+        num_partitions: int = DEFAULT_NUM_PARTITIONS,
+        registry: ExtractorRegistry | None = None,
+    ):
         self.num_partitions = num_partitions
-        self.pdf = PdfLayoutExtractor()
+        self.registry = registry or default_registry()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist() if "doc_id" in batch.column_names else [None] * batch.num_rows
@@ -73,13 +78,12 @@ class ExtractDocuments:
             "extractor", "error", "host", "part_id",
         )}
         for url, payload in zip(urls, payloads):
-            kind = detect_kind(payload or b"")
-            if kind == "pdf":
-                r = self.pdf.extract(payload)
-                name = PDF_EXTRACTOR
-            elif kind == "html":
-                r = extract_html(payload)
-                name = HTML_EXTRACTOR
+            payload = payload or b""
+            kind = detect_kind(payload)
+            ex = self.registry.detect(payload)
+            if ex is not None:
+                r = ex.extract(payload)
+                name = ex.name
             else:
                 r = {
                     "status": "error",

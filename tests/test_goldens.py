@@ -1,0 +1,39 @@
+"""Byte-identity against FROZEN goldens (SURVEY.md §5b, the north rule's
+per-url invariant): the distributed pipeline must reproduce the committed
+golden extraction exactly, keyed by url — any batch-order, parallelism, or
+extractor-semantics drift fails here."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+GOLDEN_PATH = "tests/goldens/goldens_sf0.001.parquet"
+
+
+def test_ray_pipeline_matches_frozen_goldens(sf_dir):
+    from pdf_extractor_ray import corpus
+    from pdf_extractor_ray.pipelines.extract import extract_pages
+
+    golden = pq.read_table(GOLDEN_PATH).to_pandas().set_index("url")
+    pages = corpus.read_pages(sf_dir, fanout_blocks=16)
+    out = extract_pages(pages).to_pandas().set_index("url")
+
+    assert set(out.index) == set(golden.index)
+    g = golden.loc[out.index]  # align, order-insensitive
+    assert (out["extracted_text"] == g["extracted_text"]).all(), "text not byte-identical"
+    assert (out["status"] == g["status"]).all()
+    assert (out["n_blocks"] == g["n_blocks"]).all()
+    assert (out["host"] == g["host"]).all()
+    assert (out["doc_id"] == g["doc_id"]).all()
+
+
+def test_goldens_regeneration_is_stable(sf_dir):
+    """The generator itself is deterministic: regenerating now must equal the
+    frozen file (guards against hidden wall-clock/locale dependence)."""
+    from pdf_extractor_ray.goldens import generate_goldens
+
+    fresh = generate_goldens(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    frozen = (
+        pq.read_table(GOLDEN_PATH).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert fresh.equals(frozen)

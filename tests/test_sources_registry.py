@@ -1,0 +1,96 @@
+"""Extension surface (registry) + CSV sources/sinks tests."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+from pdf_extractor_ray.sources.csv_source import read_headered_csv, read_wf_bank_positional
+from pdf_extractor_ray.sources.sinks import export_csv, write_partitioned_parquet
+from pdf_extractor_ray.stages.extract import ExtractDocuments
+from pdf_extractor_ray.stages.registry import (
+    ExtractorRegistry,
+    HtmlExtractor,
+    PdfExtractor,
+    default_registry,
+)
+
+
+def test_registry_first_match_wins_and_lists():
+    reg = default_registry()
+    assert reg.list_extractors() == ["pdf_xycut_v1", "html_density_v1"]
+    assert reg.detect(b"%PDF-1.4\n...").name == "pdf_xycut_v1"
+    assert reg.detect(b"  <html>").name == "html_density_v1"
+    assert reg.detect(b"\x00junk") is None
+
+
+def test_registry_custom_extractor_routes_rows():
+    class TsvExtractor:
+        name = "tsv_v1"
+        version = "0.0.1"
+
+        def can_extract(self, head: bytes) -> bool:
+            return head.startswith(b"#TSV")
+
+        def extract(self, payload: bytes) -> dict:
+            body = payload.decode("utf-8").split("\n", 1)[1]
+            return {
+                "status": "ok",
+                "extracted_text": body.replace("\t", " "),
+                "spans": [],
+                "n_blocks": 1,
+                "error": None,
+            }
+
+    reg = ExtractorRegistry()
+    reg.register(TsvExtractor())
+    reg.register(PdfExtractor())
+    reg.register(HtmlExtractor())
+
+    import pyarrow as pa
+
+    batch = pa.table(
+        {
+            "doc_id": [1],
+            "url": ["https://x.example/doc/1"],
+            "html": [b"#TSV\na\tb\tc"],
+            "lang": ["en"],
+        }
+    )
+    out = ExtractDocuments(registry=reg)(batch)
+    assert out.column("extractor")[0].as_py() == "tsv_v1"
+    assert out.column("extracted_text")[0].as_py() == "a b c"
+
+
+def test_positional_and_headered_csv_sources(tmp_path):
+    headered = tmp_path / "h.csv"
+    headered.write_text("date,amount\n2024-01-02,5.5\n2024-01-03,-1.0\n")
+    ds = read_headered_csv([str(headered)], columns=["amount"])
+    assert sorted(r["amount"] for r in ds.take_all()) == [-1.0, 5.5]
+
+    positional = tmp_path / "p.csv"
+    positional.write_text('01/02/24,"$1,234.00",*,1001,CHECK PAYMENT\n')
+    ds = read_wf_bank_positional([str(positional)])
+    row = ds.take_all()[0]
+    assert row["date"] == "01/02/24"
+    assert row["amount"] == "$1,234.00"
+    assert row["check_number"] == "1001"
+
+
+def test_sinks_partitioned_parquet_and_csv(sf_dir, tmp_path):
+    from pdf_extractor_ray import corpus
+    from pdf_extractor_ray.pipelines.extract import extract_pages
+
+    ext = extract_pages(corpus.read_pages(sf_dir, fanout_blocks=8))
+    out = str(tmp_path / "pq")
+    write_partitioned_parquet(ext, out)
+    parts = [d for d in os.listdir(out) if d.startswith("part_id=")]
+    assert len(parts) == 16
+    assert pq.read_table(out).num_rows == 500
+
+    csv_out = str(tmp_path / "csv")
+    ext2 = extract_pages(corpus.read_pages(sf_dir, fanout_blocks=8))
+    export_csv(ext2.limit(50), csv_out, drop_columns=["spans"])
+    files = os.listdir(csv_out)
+    assert files
