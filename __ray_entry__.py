@@ -37,7 +37,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2 plus the
     large-scale training-data ops. Each callable takes ``sf_dir``."""
-    from pdf_extractor_ray.pipelines import dedup, relational, similarity, textops
+    from pdf_extractor_ray.pipelines import dedup, enrich, relational, similarity, textops
 
     return {
         # --- flagship extraction (the north-rule pipeline) -----------------
@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "desc_clean": relational.desc_clean,
         "sign_normalize": relational.sign_normalize,
         "date_normalize_iso": relational.date_normalize_iso,
+        "date_parse_cascade": relational.date_parse_cascade,
+        "classification_standardize": relational.classification_standardize,
+        "amount_from_split_cols": relational.amount_from_split_cols,
         "row_hash": relational.row_hash,
         "json_field_extract": relational.json_field_extract,
         # --- set ops / sort / dedup (§2.6, §2.7) ---------------------------
@@ -69,6 +72,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join_enrich": relational.broadcast_join_enrich,
         "semi_join_keys": relational.semi_join_keys,
         "anti_join_keys": relational.anti_join_keys,
+        "fuzzy_topic_join": enrich.fuzzy_topic_join,
+        "asof_join_last_signup": enrich.asof_join_last_signup,
+        # --- stateful enrichment (§2.3 three-pass classifier pattern) ------
+        "classify_three_pass": enrich.classify_three_pass,
+        # --- skew handling (§7.2.7 salting) --------------------------------
+        "host_counts_salted": relational.host_counts_salted,
         # --- explode / token ops (§2.2, §2.8) ------------------------------
         "explode_tokens": relational.explode_tokens,
         "token_stats_by_lang": relational.token_stats_by_lang,
@@ -217,6 +226,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)"
             " AS k_val FROM events"
         ),
+        "date_parse_cascade": (
+            "SELECT event_id, strftime(ts, '%Y-%m-%d') AS iso_date FROM events"
+        ),
+        "classification_standardize": """
+            SELECT event_id,
+              CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                   WHEN event_type = 'purchase' THEN 'revenue'
+                   WHEN event_type = 'signup' THEN 'growth'
+                   ELSE 'ops' END AS category_std
+            FROM events
+        """,
+        "amount_from_split_cols": """
+            SELECT l_orderkey, l_linenumber,
+              l_extendedprice - l_extendedprice * l_discount AS amount
+            FROM lineitem
+        """,
+        "fuzzy_topic_join": """
+            WITH s AS (
+              SELECT doc_id,
+                len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['join', 'merge', 'hash'])) AS o0,
+                len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['stream', 'window', 'watermark'])) AS o1,
+                len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['sort', 'order', 'key'])) AS o2,
+                len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['filter', 'scan', 'row'])) AS o3
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN o0 = 0 AND o1 = 0 AND o2 = 0 AND o3 = 0 THEN NULL
+                   WHEN o0 >= o1 AND o0 >= o2 AND o0 >= o3 THEN 'join merge hash'
+                   WHEN o1 >= o2 AND o1 >= o3 THEN 'stream window watermark'
+                   WHEN o2 >= o3 THEN 'sort order key'
+                   ELSE 'filter scan row' END AS topic
+            FROM s
+        """,
+        "asof_join_last_signup": """
+            SELECT f.event_id,
+              strftime(d.ts, '%Y-%m-%d %H:%M:%S') AS last_signup
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') f
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') d
+              ON f.user_id = d.user_id AND f.ts >= d.ts
+        """,
+        "classify_three_pass": """
+            SELECT doc_id,
+              CASE WHEN substr(source, length(source), 1) IN ('0','1','2','3','4')
+                     THEN 'alpha'
+                   WHEN lang IN ('en', 'de') THEN 'beta'
+                   ELSE 'general' END AS category,
+              CASE WHEN substr(source, length(source), 1) IN ('0','1','2','3','4')
+                     THEN 'pass1'
+                   WHEN lang IN ('en', 'de') THEN 'pass2'
+                   ELSE 'pass3' END AS classified_by
+            FROM documents
+        """,
+        "host_counts_salted": f"""
+            SELECT {host} AS host, CAST(COUNT(*) AS BIGINT) AS n_pages
+            FROM documents GROUP BY 1
+        """,
         "union_all_sources": """
             SELECT o_orderkey, 'high_value' AS origin FROM orders WHERE o_totalprice >= 150000
             UNION ALL

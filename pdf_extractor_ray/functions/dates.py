@@ -17,7 +17,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 # Cascade order matters: first format that parses wins (reference semantics).
-DATE_FORMATS = ("%Y-%m-%d", "%m/%d/%Y", "%m/%d/%y", "%B %d, %Y")
+# Known hazard carried over from the reference: %m/%d/%Y will claim a 2-digit
+# year ("01/15/24" → year 0024) before %m/%d/%y sees it — callers feeding
+# 2-digit-year data should pass an explicit format list.
+DATE_FORMATS = ("%Y-%m-%d", "%m/%d/%Y", "%m/%d/%y", "%B %d, %Y", "%d.%m.%Y")
 
 
 def parse_date_cascade(col) -> pa.Array:

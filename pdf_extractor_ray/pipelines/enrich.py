@@ -1,0 +1,194 @@
+"""Enrichment pipelines: three-pass classifier, fuzzy join, as-of join.
+
+Re-expresses the reference's stateful enrichment stages (SURVEY.md §2.3/§2.4)
+with deterministic rule "models" standing in for the LLM calls — the Ray
+patterns (per-actor cache, distinct-key pre-aggregation, chained passes,
+broadcast small-side similarity join, sorted-group merge_asof) are the real
+subject; the rules are SQL-expressible so the driver can value-check them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# three-pass classifier (§2.3 TransactionClassifier, 646 LoC in the reference)
+# ---------------------------------------------------------------------------
+
+class RuleClassifier:
+    """Actor-poolable classifier with a per-actor result cache keyed by the
+    classification key — the reference's disk-backed LLM cache
+    (/root/reference/dataextractai/agents/transaction_classifier.py:62-118)
+    re-expressed as per-actor memory + relational distinct-key pre-pass.
+
+    Pass semantics (deterministic stand-ins for the three LLM passes,
+    transaction_classifier.py:153-370):
+      pass1 (cheap):   source ending in 0–4        → 'alpha'
+      pass2 (precise): else lang in (en, de)       → 'beta'
+      pass3 (force):   everything else             → 'general'
+    """
+
+    def __init__(self):
+        self.cache: dict[tuple[str, str], tuple[str, str]] = {}
+
+    def classify_key(self, source: str, lang: str) -> tuple[str, str]:
+        key = (source, lang)
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        if source and source[-1] in "01234":
+            result = ("alpha", "pass1")
+        elif lang in ("en", "de"):
+            result = ("beta", "pass2")
+        else:
+            result = ("general", "pass3")
+        self.cache[key] = result
+        return result
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pairs = zip(batch.column("source").to_pylist(), batch.column("lang").to_pylist())
+        cats, passes = zip(*(self.classify_key(s, l) for s, l in pairs)) if batch.num_rows else ((), ())
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "category": pa.array(list(cats), type=pa.string()),
+                "classified_by": pa.array(list(passes), type=pa.string()),
+            }
+        )
+
+
+def classify_three_pass(sf_dir: str):
+    """Distinct-key pre-aggregation before the expensive stage: the classifier
+    runs once per DISTINCT (source, lang) — the relational form of the
+    reference's description cache — and results broadcast-join back onto the
+    full table. At 10^12 rows this is the difference between |distinct keys|
+    and |rows| model calls."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+    distinct = (
+        docs.select_columns(["source", "lang"])
+        .groupby(["source", "lang"])
+        .count()
+        .drop_columns(["count()"])
+    )
+    classified = distinct.map_batches(
+        RuleClassifier, batch_format="pyarrow", concurrency=(1, 2), batch_size=None
+    ).to_pandas()  # |distinct (source, lang)| rows — tiny
+    lut = {
+        (r.source, r.lang): (r.category, r.classified_by)
+        for r in classified.itertuples()
+    }
+    lut_ref = ray.put(lut)
+
+    def join_back(t: pa.Table) -> pa.Table:
+        m = ray.get(lut_ref)
+        got = [
+            m[(s, l)]
+            for s, l in zip(t.column("source").to_pylist(), t.column("lang").to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "category": pa.array([g[0] for g in got], type=pa.string()),
+                "classified_by": pa.array([g[1] for g in got], type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(join_back, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy broadcast similarity join (§2.4 rapidfuzz topic↔TOC merge)
+# ---------------------------------------------------------------------------
+
+TOPICS = [
+    "join merge hash",
+    "stream window watermark",
+    "sort order key",
+    "filter scan row",
+]
+
+
+def fuzzy_topic_join(sf_dir: str):
+    """Broadcast-small-side similarity join (organizer_extractor.py:603-658:
+    best-match fuzzy merge, threshold semantics): each document matches the
+    topic with the largest distinct-token overlap; zero overlap → null.
+    Ties break toward the first topic (the reference keeps the first best)."""
+    import ray
+
+    topic_sets = [set(t.split()) for t in TOPICS]
+    topics_ref = ray.put(topic_sets)
+
+    def match(t: pa.Table) -> pa.Table:
+        tsets = ray.get(topics_ref)
+        out = []
+        for text in t.column("text").to_pylist():
+            toks = set(text.split(" "))
+            sims = [len(toks & ts) for ts in tsets]
+            best = int(np.argmax(sims))  # first index wins ties
+            out.append(TOPICS[best] if sims[best] > 0 else None)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "topic": pa.array(out, type=pa.string()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# as-of join (ray_guide joins section: sorted groups + merge_asof)
+# ---------------------------------------------------------------------------
+
+def asof_join_last_signup(sf_dir: str):
+    """For every purchase event, the most recent signup ts of the same user
+    (backward as-of join). Partitioning assumption: co-partition facts and
+    dimension by user_id (one groupby shuffle), then pd.merge_asof within the
+    sorted group — the documented pattern for as-of/range joins Ray Data
+    lacks natively."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    both = ev.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t.column("event_type"), value_set=pa.array(["purchase", "signup"]))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        facts = g[g.event_type == "purchase"].sort_values(["ts", "event_id"])
+        dims = g[g.event_type == "signup"].sort_values("ts")[["ts"]]
+        if len(facts) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64), "last_signup": pd.Series([], dtype=object)})
+        if len(dims) == 0:
+            joined = facts.assign(signup_ts=pd.NaT)
+        else:
+            joined = pd.merge_asof(
+                facts, dims.rename(columns={"ts": "signup_ts"}),
+                left_on="ts", right_on="signup_ts",
+                direction="backward", allow_exact_matches=True,
+            )
+        out = pd.DataFrame(
+            {
+                "event_id": joined["event_id"].to_numpy(),
+                "last_signup": joined["signup_ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            }
+        )
+        out["last_signup"] = out["last_signup"].where(out["last_signup"].notna(), None)
+        return out
+
+    return both.groupby("user_id").map_groups(per_user, batch_format="pandas")

@@ -560,6 +560,117 @@ def tumbling_window_agg(sf_dir: str):
     return agg.map_batches(lambda t: _round4(t, ["sum_value"]), batch_format="pyarrow")
 
 
+def date_parse_cascade(sf_dir: str):
+    """Multi-format date parse cascade (§2.2 date normalizer): the query
+    first RENDERS each event's date in one of four formats (chosen by
+    event_id % 4 — deterministic mixed-format input, like a pile of bank
+    statements), then recovers the ISO date via the cascade. The oracle only
+    has to know the expected answer (strftime of ts)."""
+    from ..functions.dates import parse_date_cascade, to_iso_date
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    fmts = ["%Y-%m-%d", "%m/%d/%Y", "%B %d, %Y", "%d.%m.%Y"]
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        rendered_all = [
+            pc.strftime(ts, format=f).to_numpy(zero_copy_only=False) for f in fmts
+        ]
+        idx = np.mod(t.column("event_id").to_numpy(zero_copy_only=False), 4)
+        rendered = pa.array(
+            np.select([idx == k for k in range(4)], rendered_all), type=pa.string()
+        )
+        parsed = parse_date_cascade(rendered)
+        return pa.table(
+            {"event_id": t.column("event_id"), "iso_date": to_iso_date(parsed)}
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def classification_standardize(sf_dir: str):
+    """Free-text class → canonical vocabulary via keyword rules
+    (utils/utils.py:99-120), vectorized as a dictionary CASE map."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def std(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        cat = pc.if_else(
+            pc.is_in(et, value_set=pa.array(["click", "view"])),
+            pa.scalar("engagement"),
+            pc.if_else(
+                pc.equal(et, "purchase"),
+                pa.scalar("revenue"),
+                pc.if_else(pc.equal(et, "signup"), pa.scalar("growth"), pa.scalar("ops")),
+            ),
+        )
+        return pa.table({"event_id": t.column("event_id"), "category_std": cat})
+
+    return ds.map_batches(std, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def amount_from_split_cols(sf_dir: str):
+    """credits/charges split columns → one signed amount
+    (wellsfargo_bank_parser.py:404-416; mastercard :581-600): here credits =
+    extended price, charges = the discount give-back — identical float ops on
+    both sides, so values hash-match without rounding."""
+    from ..functions.amounts import amount_from_split
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def amt(t: pa.Table) -> pa.Table:
+        charges = pc.multiply(t.column("l_extendedprice"), t.column("l_discount"))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "amount": amount_from_split(t.column("l_extendedprice"), charges),
+            }
+        )
+
+    return ds.map_batches(amt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def host_counts_salted(sf_dir: str, salt_buckets: int = 8):
+    """Skew-aware grouped count (SURVEY.md §7.2.7): the corpus' head host owns
+    ~40% of pages, so a naive groupby(host) sends 40% of rows to one reducer.
+    Salting splits hot keys into (host, hash(doc) % k) sub-groups — phase 1
+    reduces per salted key, phase 2 merges the k partials per host. With the
+    per-batch combiner this is belt-and-braces; it is the required shape when
+    the aggregate can't pre-combine (e.g. exact distinct sets)."""
+    from ray.data.aggregate import Sum
+
+    from .. import corpus as corpus_mod
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def salted_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hosts = [corpus_mod.host_for_doc(int(d)) for d in ids]
+        tt = pa.table(
+            {
+                "host": pa.array(hosts, type=pa.string()),
+                "salt": pa.array((ids % salt_buckets).astype(np.int32)),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+        return (
+            tt.group_by(["host", "salt"])
+            .aggregate([("one", "sum")])
+            .rename_columns(["host", "salt", "n"])
+        )
+
+    phase1 = (
+        docs.map_batches(salted_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["host", "salt"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return (
+        phase1.groupby("host")
+        .aggregate(Sum("n", alias_name="n_pages"))
+    )
+
+
 def session_windows(sf_dir: str, gap_minutes: int = 30):
     """Sessionization per user (30-min inactivity gap): sort-within-group +
     gap cumsum inside map_groups. Partitioning assumption: one user's events
