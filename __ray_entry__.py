@@ -84,7 +84,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": relational.quality_score,
         # --- windowed aggregates over the events log -----------------------
         "tumbling_window_agg": relational.tumbling_window_agg,
+        "sliding_window_agg": relational.sliding_window_agg,
         "session_windows": relational.session_windows,
+        # --- sorts / top-k / distinct / stats (§2.6, §2.7, §2.5) -----------
+        "topk_per_group": relational.topk_per_group,
+        "distinct_pairs": relational.distinct_pairs,
+        "distinct_count_by_group": relational.distinct_count_by_group,
+        "mean_std_agg": relational.mean_std_agg,
+        "year_splice": relational.year_splice,
+        "regex_tokenize_bpeish": relational.regex_tokenize_bpeish,
+        "skew_salt_plan": relational.skew_salt_plan,
         # --- similarity search ---------------------------------------------
         "ann_topk": similarity.ann_topk,
         "ann_topk_ivf": similarity.ann_topk_ivf,
@@ -333,6 +342,50 @@ def oracle_sql() -> dict[str, str]:
                      AS window_start,
               ROUND(SUM(value), 4) AS sum_value, CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "sliding_window_agg": """
+            WITH w AS (
+              SELECT user_id, value,
+                date_trunc('hour', ts) - to_hours(k) AS window_start
+              FROM events, (SELECT unnest([0, 1]) AS k))
+            SELECT user_id, strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+              ROUND(SUM(value), 4) AS sum_value, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM w GROUP BY user_id, window_start
+        """,
+        "topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        """,
+        "distinct_pairs": (
+            "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+        ),
+        "distinct_count_by_group": """
+            SELECT source, CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS n_distinct_chars
+            FROM documents GROUP BY source
+        """,
+        "mean_std_agg": """
+            SELECT l_returnflag, ROUND(AVG(l_quantity), 4) AS avg_qty,
+              ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+              CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "year_splice": """
+            SELECT event_id, CAST(EXTRACT(month FROM ts) AS BIGINT) AS month,
+              CAST(CASE WHEN EXTRACT(month FROM ts) = 12 THEN 2024 ELSE 2025 END
+                   AS BIGINT) AS spliced_year
+            FROM events
+        """,
+        "regex_tokenize_bpeish": """
+            SELECT event_id,
+              CAST(len(regexp_extract_all(props, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                   AS BIGINT) AS n_tokens_bpe
+            FROM events
+        """,
+        "skew_salt_plan": f"""
+            SELECT {host} AS host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+              CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS salt_k
+            FROM documents GROUP BY 1
         """,
         "session_windows": """
             WITH d AS (

@@ -41,5 +41,8 @@ def cast_float_default_zero(col) -> pa.Array:
     35-44): strip currency noise then cast; failures → 0.0."""
     s = pc.cast(col, pa.string())
     s = pc.replace_substring_regex(s, pattern=r"[$,]", replacement="")
-    f = pc.cast(s, pa.float64(), safe=False)
-    return pc.coalesce(f, pa.scalar(0.0))
+    # tolerant: rows that don't look numeric become "0" before the cast
+    # (pc.cast raises on unparseable strings even with safe=False)
+    numeric = pc.match_substring_regex(s, pattern=r"^-?(\d+\.?\d*|\.\d+)$")
+    s = pc.if_else(pc.fill_null(numeric, False), s, pa.scalar("0"))
+    return pc.cast(s, pa.float64())

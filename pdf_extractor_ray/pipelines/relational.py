@@ -671,6 +671,161 @@ def host_counts_salted(sf_dir: str, salt_buckets: int = 8):
     )
 
 
+def sliding_window_agg(sf_dir: str):
+    """Sliding 2-hour windows advancing by 1 hour: each event is expanded to
+    the two windows covering it inside map_batches (flat-map semantics), then
+    the usual partial-agg + groupby. No event-time machinery needed — the
+    expansion is a pure batch transform."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def expand_partial(t: pa.Table) -> pa.Table:
+        floored = pc.cast(pc.floor_temporal(t.column("ts"), unit="hour"), pa.timestamp("s"))
+        parts = []
+        for k in (0, 1):
+            ws = pc.strftime(
+                pc.subtract(floored, pa.scalar(k * 3600, pa.duration("s"))),
+                format="%Y-%m-%d %H:%M:%S",
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "user_id": t.column("user_id"),
+                        "window_start": ws,
+                        "value": t.column("value"),
+                        "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    }
+                )
+            )
+        tt = pa.concat_tables(parts)
+        return (
+            tt.group_by(["user_id", "window_start"])
+            .aggregate([("value", "sum"), ("one", "sum")])
+            .rename_columns(["user_id", "window_start", "sum_value", "n_events"])
+        )
+
+    agg = (
+        ds.map_batches(expand_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_start"])
+        .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n_events", alias_name="n_events"))
+    )
+    return agg.map_batches(lambda t: _round4(t, ["sum_value"]), batch_format="pyarrow")
+
+
+def topk_per_group(sf_dir: str, k: int = 2):
+    """Top-k rows per group (window-function analog): sort-within-group +
+    head(k) inside map_groups; deterministic tiebreak on the key."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k)[["o_orderpriority", "o_orderkey", "o_totalprice"]]
+
+    return ds.groupby("o_orderpriority").map_groups(top, batch_format="pandas")
+
+
+def distinct_pairs(sf_dir: str):
+    """ds.unique analog over a column pair (§2.7): distinct via groupby."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return (
+        ds.groupby(["l_returnflag", "l_linestatus"]).count().drop_columns(["count()"])
+    )
+
+
+def distinct_count_by_group(sf_dir: str):
+    """Exact COUNT(DISTINCT x) per group as a two-level groupby — the shape
+    that scales (level 1 dedups (group, x) pairs, level 2 counts them),
+    instead of collecting sets per group."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    pairs = ds.groupby(["source", "n_chars"]).count().drop_columns(["count()"])
+    return pairs.groupby("source").aggregate(Count(alias_name="n_distinct_chars"))
+
+
+def mean_std_agg(sf_dir: str):
+    """Mean/stddev rollup (§2.5/§2.8 'min of confidences' family)."""
+    from ray.data.aggregate import Count, Mean, Std
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    agg = ds.groupby("l_returnflag").aggregate(
+        Mean("l_quantity", alias_name="avg_qty"),
+        Std("l_quantity", alias_name="std_qty", ddof=1),
+        Count(alias_name="n_rows"),
+    )
+    return agg.map_batches(lambda t: _round4(t, ["avg_qty", "std_qty"]), batch_format="pyarrow")
+
+
+def year_splice(sf_dir: str):
+    """Year-boundary inference (§2.2, wellsfargo_visa_parser.py:196-234):
+    records carry only MM/DD; the 'statement' context here is January 2025,
+    so December records belong to 2024."""
+    from ..functions.dates import splice_year
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def splice(t: pa.Table) -> pa.Table:
+        month = pc.month(t.column("ts"))
+        day = pc.day(t.column("ts"))
+        n = t.num_rows
+        doc_year = pa.array(np.full(n, 2025, dtype=np.int32))
+        doc_month = pa.array(np.ones(n, dtype=np.int32))
+        year = splice_year(month, day, doc_year, doc_month)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "month": pc.cast(month, pa.int64()),
+                "spliced_year": pc.cast(year, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(splice, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def regex_tokenize_bpeish(sf_dir: str):
+    """BPE-ish regex token counting (§2.8 token counting over noisy text —
+    here the JSON props string: word runs / digit runs / punctuation)."""
+    from ..functions.tokens import BPEISH_PATTERN
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "n_tokens_bpe": pc.cast(
+                    pc.count_substring_regex(t.column("props"), pattern=BPEISH_PATTERN),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def skew_salt_plan(sf_dir: str, rows_per_reducer: int = 100):
+    """The skew pre-pass (§7.2.7): a cheap groupby(host).count chooses the
+    per-host salt factor k = ceil(n / rows_per_reducer) BEFORE the heavy
+    shuffle — oversized hosts get split across k reducers, the long tail
+    stays unsalted (k=1)."""
+    counts = host_counts_salted(sf_dir)  # host, n_pages (itself salted)
+
+    def plan(t: pa.Table) -> pa.Table:
+        n = t.column("n_pages").to_numpy(zero_copy_only=False)
+        k = np.ceil(n / rows_per_reducer).astype(np.int64)
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "n_pages": t.column("n_pages"),
+                "salt_k": pa.array(k),
+            }
+        )
+
+    return counts.map_batches(plan, batch_format="pyarrow")
+
+
 def session_windows(sf_dir: str, gap_minutes: int = 30):
     """Sessionization per user (30-min inactivity gap): sort-within-group +
     gap cumsum inside map_groups. Partitioning assumption: one user's events

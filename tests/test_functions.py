@@ -1,0 +1,127 @@
+"""Unit tests for the scalar kernel library (no Ray needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pdf_extractor_ray.functions.amounts import (
+    amount_from_split,
+    cast_float_default_zero,
+    normalize_sign,
+)
+from pdf_extractor_ray.functions.dates import parse_date_cascade, splice_year, to_iso_date
+from pdf_extractor_ray.functions.hashing import (
+    fnv1a64,
+    hash_bucket,
+    rolling_fingerprint,
+    row_sha256,
+)
+from pdf_extractor_ray.functions.langid import LangId
+from pdf_extractor_ray.functions.sketches import (
+    MinHasher,
+    hamming64,
+    jaccard,
+    shingles,
+    simhash64,
+)
+from pdf_extractor_ray.functions.text import clean_description, contains_any, standardize_name
+from pdf_extractor_ray.functions.tokens import count_in_set, explode_tokens, token_counts
+
+
+def test_sign_normalizer_conventions():
+    amounts = pa.array([10.0, 20.0, 30.0])
+    types = pa.array(["charge", "payment", "charge"])
+    out = normalize_sign(amounts, types, {"charge"}).to_pylist()
+    assert out == [-10.0, 20.0, -30.0]
+    # is_charge_positive inversion (apple_card semantics)
+    out = normalize_sign(amounts, types, {"charge"}, is_charge_positive=True).to_pylist()
+    assert out == [10.0, -20.0, 30.0]
+
+
+def test_amount_from_split_and_tolerant_cast():
+    credits = pa.array([5.0, None, 0.0])
+    charges = pa.array([None, 3.0, 1.5])
+    assert amount_from_split(credits, charges).to_pylist() == [5.0, -3.0, -1.5]
+    col = pa.array(["$1,234.50", "oops", "7"])
+    assert cast_float_default_zero(col).to_pylist() == [1234.5, 0.0, 7.0]
+
+
+def test_date_cascade_multi_format_and_failure():
+    col = pa.array(["2024-03-05", "03/05/2024", "March 5, 2024", "05.03.2024", "not a date"])
+    iso = to_iso_date(parse_date_cascade(col)).to_pylist()
+    assert iso == ["2024-03-05"] * 4 + [None]
+
+
+def test_year_splice_december_rollback():
+    out = splice_year(
+        pa.array([12, 11, 1]), pa.array([30, 2, 5]), pa.array([2025, 2025, 2025]),
+        pa.array([1, 1, 1]),
+    ).to_pylist()
+    assert out == [2024, 2025, 2025]
+
+
+def test_hashing_stability_and_bucket_range():
+    assert fnv1a64(b"abc") == fnv1a64(b"abc")
+    assert fnv1a64(b"abc") != fnv1a64(b"abd")
+    t = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    h = row_sha256(t, ["a", "b"]).to_pylist()
+    assert h[0] != h[1] and len(h[0]) == 64
+    import hashlib
+
+    assert h[0] == hashlib.sha256(b"1|x").hexdigest()
+    buckets = hash_bucket(pa.array(range(1000)), 64).to_pylist()
+    assert set(buckets) <= set(range(64))
+    fp = rolling_fingerprint("a b c")
+    assert fp == rolling_fingerprint("a b c")
+    assert fp != rolling_fingerprint("c b a")  # order-sensitive
+
+
+def test_text_kernels():
+    col = pa.array(["keep dup this", "dup", "x  y"])
+    assert clean_description(col).to_pylist() == ["keep this", "", "x y"]
+    assert contains_any(pa.array(["abc", "xyz"]), ["b", "q"]).to_pylist() == [True, False]
+    assert standardize_name("Total Amount ($)") == "total_amount_"
+
+
+def test_token_kernels():
+    col = pa.array(["a b c", "a", ""])
+    assert token_counts(col).to_pylist() == [3, 1, 1]  # "" splits to [""]
+    t = pa.table({"id": [1, 2], "text": ["x y", "z"]})
+    e = explode_tokens(t, "id", "text")
+    assert e.column("id").to_pylist() == [1, 1, 2]
+    assert e.column("token").to_pylist() == ["x", "y", "z"]
+    assert count_in_set(pa.array(["the cat the", "dog"]), ["the"]).to_pylist() == [2, 0]
+
+
+def test_minhash_similarity_tracks_jaccard():
+    mh = MinHasher(num_perm=128)
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "sleepy")
+    c = "completely different words entirely here now today friends"
+    sa, sb, sc = mh.signature(a), mh.signature(b), mh.signature(c)
+    sim_ab = float(np.mean(sa == sb))
+    sim_ac = float(np.mean(sa == sc))
+    true_ab = jaccard(set(shingles(a).tolist()), set(shingles(b).tolist()))
+    assert sim_ab > 0.5 and sim_ac < 0.2
+    assert abs(sim_ab - true_ab) < 0.2  # estimator tracks the true Jaccard
+    # determinism across instances (workers)
+    assert np.array_equal(MinHasher(num_perm=128).signature(a), sa)
+
+
+def test_simhash_near_texts_have_small_hamming():
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    b = a.replace("zeta", "zetaa")
+    c = "unrelated totally different content goes right here instead"
+    assert hamming64(simhash64(a), simhash64(b)) < 12
+    assert hamming64(simhash64(a), simhash64(c)) > 16
+    assert simhash64(a) == simhash64(a)
+
+
+def test_langid_on_natural_text():
+    lid = LangId()
+    assert lid.predict("the quick brown fox and the lazy dog went to the market of things") == "en"
+    assert lid.predict("der schnelle braune fuchs und die faulen hunde gingen in den wald") == "de"
+    assert lid.predict("le renard brun rapide et le chien paresseux vont au marché de la ville") == "fr"
+    assert lid.predict("今天天气很好我们一起去公园散步吧这是一个测试文本") == "zh"
+    assert lid.predict("") == "und"
