@@ -37,7 +37,14 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2 plus the
     large-scale training-data ops. Each callable takes ``sf_dir``."""
-    from pdf_extractor_ray.pipelines import dedup, enrich, relational, similarity, textops
+    from pdf_extractor_ray.pipelines import (
+        dedup,
+        enrich,
+        normalize,
+        relational,
+        similarity,
+        textops,
+    )
 
     return {
         # --- flagship extraction (the north-rule pipeline) -----------------
@@ -76,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_last_signup": enrich.asof_join_last_signup,
         # --- stateful enrichment (§2.3 three-pass classifier pattern) ------
         "classify_three_pass": enrich.classify_three_pass,
+        # --- multi-source declarative normalization (§3.2 flagship stage) --
+        "normalize_union": normalize.normalize_union,
+        "normalize_problems": normalize.normalize_problems,
         # --- skew handling (§7.2.7 salting) --------------------------------
         "host_counts_salted": relational.host_counts_salted,
         # --- explode / token ops (§2.2, §2.8) ------------------------------
@@ -98,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "embedding_near_dup": similarity.embedding_near_dup,
+        "embedding_dup_exact": similarity.embedding_dup_exact,
+        "running_total": relational.running_total,
         # --- dedup family (training-data ops) ------------------------------
         "minhash_near_dup": dedup.minhash_near_dup,
         "simhash_fingerprints": dedup.simhash_fingerprints,
@@ -407,6 +419,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
               CAST(ROW_NUMBER() OVER (ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank
             FROM s QUALIFY rank <= 10
+        """,
+        "normalize_union": """
+            WITH u AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS transaction_date,
+                'order ' || CAST(o_orderkey AS VARCHAR) || ' ' || o_orderpriority
+                  AS description,
+                -o_totalprice AS amount, 'orders' AS source
+              FROM orders
+              UNION ALL
+              SELECT strftime(ts, '%Y-%m-%d') AS transaction_date,
+                'event ' || event_type AS description,
+                CASE WHEN event_type IN ('click', 'view') THEN -value ELSE value END
+                  AS amount,
+                'events' AS source
+              FROM events)
+            SELECT transaction_date, description, amount, source FROM u
+            WHERE transaction_date IS NOT NULL
+              AND regexp_matches(transaction_date, '^\\d{4}-\\d{2}-\\d{2}$')
+              AND trim(coalesce(description, '')) <> ''
+              AND amount IS NOT NULL AND amount <> 0 AND abs(amount) >= 0.05
+        """,
+        "normalize_problems": """
+            WITH u AS (
+              SELECT -o_totalprice AS amount, 'orders' AS source FROM orders
+              UNION ALL
+              SELECT CASE WHEN event_type IN ('click', 'view') THEN -value
+                          ELSE value END AS amount, 'events' AS source
+              FROM events)
+            SELECT source,
+              CASE WHEN amount IS NULL OR amount = 0 THEN 'zero_amount'
+                   WHEN abs(amount) < 0.05 THEN 'below_minimum' END AS problem_reason,
+              CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM u
+            WHERE amount IS NULL OR amount = 0 OR abs(amount) < 0.05
+            GROUP BY 1, 2
+        """,
+        "embedding_dup_exact": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_r
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "running_total": """
+            SELECT event_id,
+              ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+                AS running_total
+            FROM events
         """,
         "media_features": """
             SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -826,6 +826,25 @@ def skew_salt_plan(sf_dir: str, rows_per_reducer: int = 100):
     return counts.map_batches(plan, batch_format="pyarrow")
 
 
+def running_total(sf_dir: str):
+    """Ordered per-key running aggregate (the streaming-state shape,
+    ray_guide 'Streaming-shaped workloads'): co-partition by user, sort the
+    group by (ts, event_id), cumulative-sum. The sequential accumulation
+    order matches SQL's window frame, so doubles are bit-identical."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "running_total": np.round(g["value"].cumsum().to_numpy(), 4),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(cumsum, batch_format="pandas")
+
+
 def session_windows(sf_dir: str, gap_minutes: int = 30):
     """Sessionization per user (30-min inactivity gap): sort-within-group +
     gap cumsum inside map_groups. Partitioning assumption: one user's events

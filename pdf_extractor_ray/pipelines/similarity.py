@@ -119,6 +119,44 @@ def ann_topk_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_cells: int =
     return top[["vec_id", "rank"]]
 
 
+def embedding_dup_exact(sf_dir: str, threshold: float = 0.4):
+    """Exact cosine near-dup pairs — the brute-force baseline: the (small)
+    normalized matrix is broadcast once; each batch computes its rows ×
+    ALL columns vectorized and keeps pairs (a < b) above threshold. O(n²/B)
+    per batch — correct at any recall, the yardstick the LSH path is
+    measured against. At 100 TB this runs per-bucket after coarse blocking,
+    not globally."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mat_ref = ray.put((all_ids, m / norms[:, None]))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, mn_all = ray.get(mat_ref)
+        rows = _batch_matrix(batch)
+        rn = np.linalg.norm(rows, axis=1)
+        rn[rn == 0] = 1.0
+        rows = rows / rn[:, None]
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        cos = np.round(rows @ mn_all.T, 6)
+        ia, ib = np.nonzero(cos >= threshold)
+        keep = ids[ia] < ids_all[ib]  # dedupe (a,b)/(b,a) and self
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ia[keep]]),
+                "vec_b": pa.array(ids_all[ib[keep]]),
+                "cos_r": pa.array(cos[ia[keep], ib[keep]]),
+            }
+        )
+
+    return _read_embeddings(sf_dir).map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _hyperplanes(n_planes: int, dim: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (splitmix64 bits → ±1)."""
     v = np.empty((n_planes, dim), dtype=np.float64)
