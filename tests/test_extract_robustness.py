@@ -1,0 +1,96 @@
+"""Extractor robustness: messy-but-valid structures a crawl actually contains."""
+
+from __future__ import annotations
+
+from pdf_extractor_ray.stages.html_extract import extract_html
+from pdf_extractor_ray.stages.pdf_extract import PdfLayoutExtractor
+
+LONG = "this sentence is long enough to be classified as main content by the density rule"
+
+
+def test_html_comments_and_script_content_are_ignored():
+    html = (
+        f"<html><body><!-- hidden comment text -->"
+        f"<script>var x = 'not content at all';</script>"
+        f"<style>.a {{ color: red }}</style>"
+        f"<p>{LONG}</p></body></html>"
+    ).encode()
+    r = extract_html(html)
+    assert r["status"] == "ok"
+    assert r["extracted_text"] == LONG
+
+
+def test_html_nested_blocks_and_inline_tags():
+    html = (
+        f"<div><div><section><p>first {LONG}</p></section>"
+        f"<p>second with <b>bold</b> and <i>italic</i> inline {LONG}</p></div></div>"
+    ).encode()
+    r = extract_html(html)
+    assert r["n_blocks"] == 2
+    assert r["extracted_text"] == (
+        f"first {LONG}\nsecond with bold and italic inline {LONG}"
+    )
+
+
+def test_html_attributes_with_entities_do_not_leak():
+    html = (
+        f'<p title="&amp; quoted &lt;attr&gt;">{LONG}</p>'.encode()
+    )
+    r = extract_html(html)
+    assert r["extracted_text"] == LONG
+
+
+def test_html_unclosed_tags_are_tolerated():
+    html = f"<div><p>{LONG}<p>again {LONG}".encode()
+    r = extract_html(html)
+    assert r["status"] == "ok"
+    assert r["extracted_text"] == f"{LONG}\nagain {LONG}"
+
+
+def test_html_table_cells_become_blocks():
+    cell = "a table cell with plenty of text to count as content here"
+    html = f"<table><tr><td>{cell}</td><td>{cell}</td></tr></table>".encode()
+    r = extract_html(html)
+    assert r["n_blocks"] == 2
+
+
+def test_html_br_separates_words():
+    html = f"<p>{LONG}<br>{LONG}</p>".encode()
+    r = extract_html(html)
+    assert r["extracted_text"] == f"{LONG} {LONG}"
+
+
+def test_pdf_three_columns_recursive_cut():
+    lines = [b"%PDF-1.4"]
+    # three columns at x = 72, 300, 528 — requires the recursive second cut
+    for i, (x, w) in enumerate([(72, b"one"), (72, b"two"), (300, b"three"),
+                                (300, b"four"), (528, b"five"), (528, b"six")]):
+        y = 720 - (i % 2) * 12
+        lines.append(b"T 0 %d %d %s" % (x, y, w))
+    lines.append(b"%%EOF")
+    r = PdfLayoutExtractor().extract(b"\n".join(lines))
+    assert r["status"] == "ok"
+    assert r["extracted_text"] == "one two three four five six"
+    assert r["n_blocks"] == 3
+
+
+def test_pdf_multi_page_order():
+    body = b"\n".join(
+        [
+            b"%PDF-1.4",
+            b"T 1 72 720 third",
+            b"T 0 72 708 second",
+            b"T 0 72 720 first",
+            b"T 1 72 708 fourth",
+            b"%%EOF",
+        ]
+    )
+    r = PdfLayoutExtractor().extract(body)
+    assert r["extracted_text"] == "first second third fourth"
+    assert [s["kind"] for s in r["spans"]] == ["page", "page"]
+
+
+def test_pdf_garbage_token_line_is_error_not_crash():
+    r = PdfLayoutExtractor().extract(b"%PDF-1.4\nT abc def\n%%EOF\n")
+    assert r["status"] == "error"
+    assert r["error"].startswith("bad_token_line")
