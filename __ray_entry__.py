@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_last_signup": enrich.asof_join_last_signup,
         # --- stateful enrichment (§2.3 three-pass classifier pattern) ------
         "classify_three_pass": enrich.classify_three_pass,
+        "classify_escalate": enrich.classify_escalate,
         # --- multi-source declarative normalization (§3.2 flagship stage) --
         "normalize_union": normalize.normalize_union,
         "normalize_problems": normalize.normalize_problems,
@@ -419,6 +420,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
               CAST(ROW_NUMBER() OVER (ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank
             FROM s QUALIFY rank <= 10
+        """,
+        "classify_escalate": """
+            SELECT doc_id,
+              CASE WHEN ((doc_id * 7919) % 100) / 100.0 >= 0.8
+                   THEN CASE WHEN n_chars % 2 = 0 THEN 'catA' ELSE 'catB' END
+                   ELSE 'precise-' || lang END AS category,
+              CASE WHEN ((doc_id * 7919) % 100) / 100.0 >= 0.8
+                   THEN 'fast' ELSE 'precise' END AS model_used
+            FROM documents
         """,
         "normalize_union": """
             WITH u AS (

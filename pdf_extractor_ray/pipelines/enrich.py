@@ -110,6 +110,70 @@ def classify_three_pass(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# fast/precise escalation pair (§2.3 transaction_agents.py:42-164:
+# cheap model for all rows, precise model only for low-confidence rows)
+# ---------------------------------------------------------------------------
+
+CONFIDENCE_AUTO = 0.8  # reference's auto-accept threshold (agents:38-39)
+
+
+class FastClassifier:
+    """Pass 1: cheap model over every row, emits (category, confidence)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        conf = ((ids * 7919) % 100) / 100.0  # deterministic model confidence
+        even = (batch.column("n_chars").to_numpy(zero_copy_only=False) % 2) == 0
+        cat = np.where(even, "catA", "catB")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "category": pa.array(cat.astype(object), type=pa.string()),
+                "confidence": pa.array(conf),
+                "model_used": pa.array(["fast"] * batch.num_rows, type=pa.string()),
+            }
+        )
+
+
+class PreciseClassifier:
+    """Pass 2: recomputes ONLY low-confidence rows in place; high-confidence
+    rows pass through untouched. Chaining pass-through stages avoids the
+    split-and-union re-execution problem (each Ray Dataset branch re-runs
+    its upstream) — pass N consumes pass N−1's columns (SURVEY.md §2.3)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+        low = conf < CONFIDENCE_AUTO
+        cat = np.asarray(batch.column("category").to_pylist(), dtype=object)
+        used = np.asarray(batch.column("model_used").to_pylist(), dtype=object)
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        cat[low] = np.char.add("precise-", langs[low].astype(str))
+        used[low] = "precise"
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "category": pa.array(cat, type=pa.string()),
+                "model_used": pa.array(used, type=pa.string()),
+            }
+        )
+
+
+def classify_escalate(sf_dir: str):
+    """Judge-pair escalation: fast pool over everything, precise pool only
+    where confidence < 0.8 — as two chained actor-pool map_batches stages."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    fast = docs.map_batches(
+        FastClassifier, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None, concurrency=(1, 4),
+    )
+    return fast.map_batches(
+        PreciseClassifier, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None, concurrency=(1, 2),
+    )
+
+
+# ---------------------------------------------------------------------------
 # fuzzy broadcast similarity join (§2.4 rapidfuzz topic↔TOC merge)
 # ---------------------------------------------------------------------------
 

@@ -31,6 +31,21 @@ def write_partitioned_parquet(
     return ds.write_parquet(out_dir, **kwargs)
 
 
+def export_xlsx(ds, out_path: str):
+    """XLSX export (reference: df.to_excel, amazon_parser.py:266-277).
+    Gated behind an import-try: no spreadsheet library ships in this
+    container, so this raises NotImplementedError here; the call shape and
+    the driver-side collection contract are what the engine defines."""
+    try:
+        import openpyxl  # noqa: F401 (not installed here)
+    except ImportError as e:
+        raise NotImplementedError(
+            "xlsx export requires openpyxl; not available in this environment "
+            "— use export_csv or write_partitioned_parquet"
+        ) from e
+    ds.to_pandas().to_excel(out_path, index=False)  # pragma: no cover
+
+
 def export_csv(ds, out_dir: str, drop_columns: list[str] | None = None):
     """CSV export tail (drops non-CSV-representable columns like the spans
     list first — mirrors the reference's flat CSV contract)."""

@@ -76,6 +76,48 @@ class MediaFeatures:
         )
 
 
+class OcrStage:
+    """PDF→image→OCR actor stage (§2.1: pdf2image + pytesseract,
+    /root/reference/dataextractai/parsers/organizer_extractor.py:295-306,
+    417-419). The OCR engine would load once per actor here; this container
+    has neither poppler nor tesseract, so the engine hook is STUBBED with a
+    deterministic fake while the Ray-side plumbing (actor signature, batch
+    sizing, per-page output layout) is real and tested."""
+
+    def __init__(self, dpi: int = 200, use_real_engine: bool = False):
+        self.dpi = dpi
+        self.engine = None
+        if use_real_engine:
+            try:
+                import pytesseract  # noqa: F401 (not installed here)
+
+                self.engine = "tesseract"
+            except ImportError as e:
+                raise NotImplementedError(
+                    "OCR requires poppler+pytesseract; not available in this "
+                    "environment — use the deterministic fake (default)"
+                ) from e
+
+    def _fake_ocr(self, payload: bytes) -> str:
+        # deterministic stand-in: page count + payload digest as "recognized text"
+        pages = {ln.split(b" ")[1] for ln in payload.split(b"\n") if ln.startswith(b"T ")}
+        n_pages = max(1, len(pages))
+        return f"ocr:{hashlib.sha256(payload).hexdigest()[:16]}:pages={n_pages}"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("html").to_pylist()
+        texts = [self._fake_ocr(p or b"") for p in payloads]
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "ocr_text": pa.array(texts, type=pa.string()),
+                "ocr_engine": pa.array(
+                    [self.engine or "fake_deterministic"] * batch.num_rows, type=pa.string()
+                ),
+            }
+        )
+
+
 def media_table_from_documents(batch: pa.Table) -> pa.Table:
     """Deterministic media stand-in: the document text bytes as an opaque
     payload (utf-8) — lets the byte-level feature path be oracle-checked
