@@ -61,3 +61,20 @@ def test_extract_pages_on_replicated_corpus_keeps_urls_unique(sf_dir):
     out = extract_pages(pages).to_pandas()
     assert len(out) == 1000
     assert out.url.is_unique  # replicas get distinct doc_ids → distinct urls
+
+
+def test_context_helpers_set_block_size():
+    from ray.data import DataContext
+
+    from pdf_extractor_ray.context import MiB, quiet, tune_for_wide_binary
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        tune_for_wide_binary(ctx, max_payload_bytes=2 * MiB, target_rows_per_block=32)
+        assert ctx.target_max_block_size == 64 * MiB
+        assert ctx.execution_options.preserve_order is False
+        quiet(ctx)
+        assert ctx.enable_progress_bars is False
+    finally:
+        ctx.target_max_block_size = old
