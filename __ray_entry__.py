@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_tokens": relational.explode_tokens,
         "token_stats_by_lang": relational.token_stats_by_lang,
         "quality_score": relational.quality_score,
+        "quality_filter_rules": relational.quality_filter_rules,
         # --- windowed aggregates over the events log -----------------------
         "tumbling_window_agg": relational.tumbling_window_agg,
         "sliding_window_agg": relational.sliding_window_agg,
@@ -349,6 +350,17 @@ def oracle_sql() -> dict[str, str]:
                    x -> list_contains(['the', 'a', 'and', 'row', 'data'], x))) AS BIGINT)
                 AS n_stop
             FROM documents
+        """,
+        "quality_filter_rules": """
+            WITH f AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(string_split(text, ' '),
+                     x -> list_contains(['the', 'a', 'and', 'row', 'data'], x)))
+                     AS BIGINT) AS n_stop
+              FROM documents)
+            SELECT doc_id, n_tokens, n_stop FROM f
+            WHERE n_tokens BETWEEN 10 AND 200 AND n_stop * 10 >= n_tokens
         """,
         "tumbling_window_agg": """
             SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -57,6 +57,16 @@ def standardize_column(col) -> pa.Array:
     return pc.replace_substring_regex(out, pattern=r"\W+", replacement="_")
 
 
+def normalize_nfkd_ascii(value: str) -> str:
+    """Unicode NFKD + ASCII fold (utils/utils.py:205's aggressive normalize
+    used by the statement-date extractor before regex matching)."""
+    import unicodedata
+
+    return (
+        unicodedata.normalize("NFKD", value).encode("ascii", "ignore").decode("ascii")
+    )
+
+
 def extract_regex_group(col, pattern: str, group_name: str = "g") -> pa.Array:
     """First-match named-group extraction (statement-date-extractor analog,
     utils/utils.py:142-262). Pattern must use ``(?P<g>...)``."""

@@ -826,6 +826,29 @@ def skew_salt_plan(sf_dir: str, rows_per_reducer: int = 100):
     return counts.map_batches(plan, batch_format="pyarrow")
 
 
+def quality_filter_rules(sf_dir: str):
+    """Gopher/C4-style rule filter over the quality features: keep documents
+    with 10–200 tokens AND stopword evidence (n_stop·10 ≥ n_tokens, i.e. a
+    ≥10% stopword ratio expressed in integer math so the oracle hashes
+    exactly). Returns the surviving (doc_id, n_tokens, n_stop)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rules(t: pa.Table) -> pa.Table:
+        feats = quality_features(t)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(feats.column("n_tokens"), 10),
+                pc.less_equal(feats.column("n_tokens"), 200),
+            ),
+            pc.greater_equal(
+                pc.multiply(feats.column("n_stop"), 10), feats.column("n_tokens")
+            ),
+        )
+        return feats.filter(keep).select(["doc_id", "n_tokens", "n_stop"])
+
+    return ds.map_batches(rules, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def running_total(sf_dir: str):
     """Ordered per-key running aggregate (the streaming-state shape,
     ray_guide 'Streaming-shaped workloads'): co-partition by user, sort the

@@ -43,11 +43,14 @@ class PdfLayoutExtractor:
         band_y_min: int = BAND_Y_MIN,
         band_y_max: int = BAND_Y_MAX,
         column_gap_min: int = COLUMN_GAP_MIN,
+        detect_tables: bool = True,
     ):
         self.band_y_min = band_y_min
         self.band_y_max = band_y_max
         self.column_gap_min = column_gap_min
+        self.detect_tables = detect_tables
         self._token_re = re.compile(r"^T (\d+) (\d+) (\d+) (\S+)$")
+        self._numeric_re = re.compile(r"^\d+([.,]\d+)?$")
 
     # -- geometry -----------------------------------------------------------
     def _split_columns(self, tokens: list[tuple[int, int, str]]) -> list[list[tuple[int, int, str]]]:
@@ -64,9 +67,25 @@ class PdfLayoutExtractor:
         # recurse right side in case of >2 columns
         return [left] + self._split_columns(right)
 
-    def _read_column(self, tokens: list[tuple[int, int, str]]) -> list[str]:
-        # lines top→bottom = y descending; within a line x ascending
-        return [t[2] for t in sorted(tokens, key=lambda t: (-t[1], t[0]))]
+    def _read_column_lines(self, tokens: list[tuple[int, int, str]]) -> list[list[str]]:
+        """Column → lines (top→bottom = y descending; within a line x asc)."""
+        lines: dict[int, list[tuple[int, str]]] = {}
+        for x, y, w in tokens:
+            lines.setdefault(y, []).append((x, w))
+        return [
+            [w for _, w in sorted(ws)]
+            for _, ws in sorted(lines.items(), key=lambda kv: -kv[0])
+        ]
+
+    def _is_table_row(self, line_words: list[str]) -> bool:
+        """Line/table detection (north star: 'table/line detection echoing the
+        repo's bank-statement field normalizer'): a line of ≥3 tokens where
+        ≥60% are numeric is a table row — the engine analog of the reference's
+        amount-column line parsing (wellsfargo_bank_parser.py:41-126)."""
+        if len(line_words) < 3:
+            return False
+        numeric = sum(1 for w in line_words if self._numeric_re.match(w))
+        return numeric * 10 >= len(line_words) * 6
 
     # -- parsing ------------------------------------------------------------
     def extract(self, payload: bytes) -> dict:
@@ -93,23 +112,29 @@ class PdfLayoutExtractor:
                 continue
             pages.setdefault(page, []).append((x, y, word))
         words: list[str] = []
-        spans = []
+        spans = []  # page spans in reading order, then table_row spans
+        table_spans = []
         n_blocks = 0
         offset = 0  # char offset into the final " "-joined text
         for page in sorted(pages):
-            page_words: list[str] = []
-            cols = self._split_columns(pages[page])
-            cols.sort(key=lambda c: min(t[0] for t in c))
+            page_span_start = None
+            cols = sorted(self._split_columns(pages[page]), key=lambda c: min(t[0] for t in c))
             for col in cols:
-                page_words.extend(self._read_column(col))
                 n_blocks += 1
-            if page_words:
-                if words:
-                    offset += 1  # the joining space before this page
-                page_len = sum(len(w) for w in page_words) + len(page_words) - 1
-                spans.append({"start": offset, "end": offset + page_len, "kind": "page"})
-                offset += page_len
-                words.extend(page_words)
+                for line_words in self._read_column_lines(col):
+                    line_start = offset + (1 if words else 0)
+                    line_len = sum(len(w) for w in line_words) + len(line_words) - 1
+                    if page_span_start is None:
+                        page_span_start = line_start
+                    if self.detect_tables and self._is_table_row(line_words):
+                        table_spans.append(
+                            {"start": line_start, "end": line_start + line_len, "kind": "table_row"}
+                        )
+                    offset = line_start + line_len
+                    words.extend(line_words)
+            if page_span_start is not None:
+                spans.append({"start": page_span_start, "end": offset, "kind": "page"})
+        spans.extend(table_spans)
         text = " ".join(words)
         if not text:
             return {

@@ -94,3 +94,30 @@ def test_pdf_garbage_token_line_is_error_not_crash():
     r = PdfLayoutExtractor().extract(b"%PDF-1.4\nT abc def\n%%EOF\n")
     assert r["status"] == "error"
     assert r["error"].startswith("bad_token_line")
+
+
+def test_pdf_table_row_detection_spans():
+    # a table row: date-ish + two amounts; a prose line below
+    body = b"\n".join(
+        [
+            b"%PDF-1.4",
+            b"T 0 72 720 1203",
+            b"T 0 112 720 45.00",
+            b"T 0 152 720 1250.75",
+            b"T 0 72 708 plain",
+            b"T 0 112 708 prose",
+            b"T 0 152 708 words",
+            b"%%EOF",
+        ]
+    )
+    r = PdfLayoutExtractor().extract(body)
+    assert r["status"] == "ok"
+    assert r["extracted_text"] == "1203 45.00 1250.75 plain prose words"
+    table = [s for s in r["spans"] if s["kind"] == "table_row"]
+    assert len(table) == 1
+    s = table[0]
+    assert r["extracted_text"][s["start"] : s["end"]] == "1203 45.00 1250.75"
+    # detection is additive: text identical with it disabled
+    r2 = PdfLayoutExtractor(detect_tables=False).extract(body)
+    assert r2["extracted_text"] == r["extracted_text"]
+    assert not [s for s in r2["spans"] if s["kind"] == "table_row"]

@@ -125,3 +125,10 @@ def test_langid_on_natural_text():
     assert lid.predict("le renard brun rapide et le chien paresseux vont au marché de la ville") == "fr"
     assert lid.predict("今天天气很好我们一起去公园散步吧这是一个测试文本") == "zh"
     assert lid.predict("") == "und"
+
+
+def test_nfkd_ascii_fold():
+    from pdf_extractor_ray.functions.text import normalize_nfkd_ascii
+
+    assert normalize_nfkd_ascii("Café – naïve ﬁn") == "Cafe  naive fin"
+    assert normalize_nfkd_ascii("plain ascii") == "plain ascii"
