@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_pairs": relational.distinct_pairs,
         "distinct_count_by_group": relational.distinct_count_by_group,
         "mean_std_agg": relational.mean_std_agg,
+        "median_by_group": relational.median_by_group,
         "year_splice": relational.year_splice,
         "regex_tokenize_bpeish": relational.regex_tokenize_bpeish,
         "skew_salt_plan": relational.skew_salt_plan,
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": relational.running_total,
         # --- dedup family (training-data ops) ------------------------------
         "minhash_near_dup": dedup.minhash_near_dup,
+        "dup_components": dedup.dup_components,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # --- text analysis / multimodal ------------------------------------
@@ -393,6 +395,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, ROUND(AVG(l_quantity), 4) AS avg_qty,
               ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
               CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "median_by_group": """
+            SELECT l_returnflag, CAST(median(l_quantity) AS DOUBLE) AS median_qty
             FROM lineitem GROUP BY l_returnflag
         """,
         "year_splice": """

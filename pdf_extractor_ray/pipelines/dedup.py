@@ -162,6 +162,115 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.6):
     return cand_ds.map_batches(verify, batch_format="pyarrow")
 
 
+def connected_components(
+    pairs_ds,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_rounds: int = 15,
+    driver_threshold: int = 100_000,
+):
+    """Distributed connected components over near-dup pairs by iterative
+    min-label propagation (ray_guide dedup section): each round every node
+    takes the minimum label among itself and its neighbours, via two groupby
+    shuffles — no driver-side graph, no broadcast; converges in O(component
+    diameter) rounds (near-dup components are shallow in practice).
+
+    Returns (node, component) where component = min node id in the component.
+    The round primitive: union(label rows, edge rows) → groupby(key) emits
+    (neighbour, my_label) messages → groupby(node).min picks new labels.
+
+    Below ``driver_threshold`` edges the candidate set is provably small
+    (near-dup pairs are a vanishing fraction of the corpus) and a driver-side
+    union-find is used instead — the ray_guide's stated crossover. The
+    distributed rounds are the scale path and are covered by tests with
+    ``driver_threshold=0``.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    pairs = pairs_ds.to_pandas() if not isinstance(pairs_ds, pd.DataFrame) else pairs_ds
+    if len(pairs) <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a_, b_ in zip(pairs[col_a], pairs[col_b]):
+            ra, rb = find(int(a_)), find(int(b_))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = sorted((n, find(n)) for n in parent)
+        return rd.from_pandas(
+            pd.DataFrame(rows, columns=["node", "component"]).astype(np.int64)
+        )
+    # build the symmetric edge list once (small: one row per near-dup pair)
+    a = pairs[col_a].to_numpy()
+    b = pairs[col_b].to_numpy()
+    edges_pd = pd.DataFrame(
+        {"key": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+    ).drop_duplicates()
+    nodes = np.unique(edges_pd["key"].to_numpy())
+    labels = rd.from_pandas(pd.DataFrame({"node": nodes, "label": nodes}))
+    if len(nodes) == 0:
+        return labels
+    edges = rd.from_pandas(edges_pd)
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        key = int(g["key"].iloc[0])
+        label = int(g.loc[g["dst"].isna(), "label"].min())  # the node's label row
+        dsts = g.loc[g["dst"].notna(), "dst"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([np.array([key], dtype=np.int64), dsts]),
+                "label": np.int64(label),
+            }
+        )
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        tagged_labels = labels.map_batches(
+            lambda t: t.rename_columns(["key", "label"]).append_column(
+                "dst", pa.nulls(t.num_rows, pa.float64())
+            ),
+            batch_format="pyarrow",
+        )
+        tagged_edges = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t.column("key"),
+                    "label": pa.nulls(t.num_rows, pa.int64()),
+                    "dst": pa.compute.cast(t.column("dst"), pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        msgs = tagged_labels.union(tagged_edges).groupby("key").map_groups(
+            propagate, batch_format="pandas"
+        )
+        labels = msgs.groupby("node").aggregate(Min("label", alias_name="label"))
+        s = int(labels.to_pandas()["label"].sum())  # tiny: one row per node
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "component"]), batch_format="pyarrow"
+    )
+
+
+def dup_components(sf_dir: str, threshold: float = 0.4):
+    """Near-dup clusters over the embedding pairs: exact pair generation →
+    distributed min-label components. Rows-only (recursive closure is not
+    single-query SQL)."""
+    from .similarity import embedding_dup_exact
+
+    pairs = embedding_dup_exact(sf_dir, threshold=threshold)
+    return connected_components(pairs.to_pandas(), col_a="vec_a", col_b="vec_b")
+
+
 def simhash_fingerprints(sf_dir: str):
     """64-bit SimHash per document (as hex string — int64-overflow-safe)."""
     ds = _read_docs(sf_dir)

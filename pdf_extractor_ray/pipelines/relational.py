@@ -849,6 +849,24 @@ def quality_filter_rules(sf_dir: str):
     return ds.map_batches(rules, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def median_by_group(sf_dir: str):
+    """Exact per-group median via sort-within-group (§2.5 family; Ray has no
+    built-in quantile aggregate — the group fits a reducer by definition of
+    the partitioning key). Median of doubles is an exact element (or the
+    mean of two), so it hash-matches SQL's median()."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "median_qty": [float(g["l_quantity"].median())],
+            }
+        )
+
+    return ds.groupby("l_returnflag").map_groups(med, batch_format="pandas")
+
+
 def running_total(sf_dir: str):
     """Ordered per-key running aggregate (the streaming-state shape,
     ray_guide 'Streaming-shaped workloads'): co-partition by user, sort the

@@ -1,0 +1,63 @@
+"""Distributed connected components vs a driver-side union-find reference."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pdf_extractor_ray.pipelines.dedup import connected_components, dup_components
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node per component
+    return {n: find(n) for n in list(parent)}
+
+
+def _check(pairs, **kw):
+    df = pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    got = connected_components(df, **kw).to_pandas()
+    want = _union_find(pairs)
+    got_map = dict(zip(got.node, got.component))
+    assert got_map == want
+
+
+def test_components_chain_and_clique_and_singletons():
+    # chain 1-2-3-4, clique {10,11,12}, separate pair {20,21}
+    _check([(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)])
+
+
+def test_components_distributed_rounds_match_union_find():
+    # driver_threshold=0 forces the distributed min-label propagation path;
+    # diameter-6 chain + clique exercises multi-round convergence
+    _check(
+        [(i, i + 1) for i in range(6)] + [(10, 11), (11, 12), (10, 12)],
+        driver_threshold=0,
+    )
+
+
+def test_components_star_and_cross_links():
+    _check([(5, 50), (5, 51), (5, 52), (52, 99), (99, 100), (7, 8)])
+
+
+def test_dup_components_over_embeddings(sf_dir):
+    out = dup_components(sf_dir).to_pandas()
+    # every node labelled, component is the min member
+    assert (out.component <= out.node).all()
+    assert len(out) > 0
+    # components are consistent: a node used as a component id labels itself
+    roots = set(out.component)
+    mapped = dict(zip(out.node, out.component))
+    for r in roots:
+        assert mapped.get(r, r) == r
