@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- joins as broadcast lookups (§2.4) -----------------------------
         "broadcast_join_enrich": relational.broadcast_join_enrich,
         "semi_join_keys": relational.semi_join_keys,
+        "semi_join_bloom": relational.semi_join_bloom,
         "anti_join_keys": relational.anti_join_keys,
         "fuzzy_topic_join": enrich.fuzzy_topic_join,
         "asof_join_last_signup": enrich.asof_join_last_signup,
@@ -102,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": relational.topk_per_group,
         "distinct_pairs": relational.distinct_pairs,
         "distinct_count_by_group": relational.distinct_count_by_group,
+        "approx_distinct_tokens": relational.approx_distinct_tokens,
         "mean_std_agg": relational.mean_std_agg,
         "median_by_group": relational.median_by_group,
         "year_splice": relational.year_splice,
@@ -330,6 +332,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
         """,
         "semi_join_keys": (
+            "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+        ),
+        "semi_join_bloom": (
             "SELECT o_orderkey FROM orders WHERE o_custkey IN "
             "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
         ),

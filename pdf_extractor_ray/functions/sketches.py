@@ -12,6 +12,8 @@ index), so sketches are identical across workers and runs.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from .hashing import fnv1a64
@@ -92,6 +94,55 @@ class MinHasher:
             h = fnv1a64(chunk.tobytes())
             out.append(h)
         return out
+
+
+class HyperLogLog:
+    """Mergeable approximate-distinct sketch (standard HLL, 2^p registers).
+
+    The Ray-Data shape (ray_guide "Aggregation at scale"): each batch emits
+    ONE serialized sketch; a tiny second stage merges them — registers
+    combine by elementwise max, so the estimate is order- and
+    partitioning-independent. Deterministic hashing via fnv1a64."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+        self.alpha = 0.7213 / (1 + 1.079 / self.m)
+
+    def add_hash(self, h: int) -> None:
+        idx = h >> (64 - self.p)
+        # rank = position of the leftmost 1-bit in the remaining 64-p bits
+        w = h & ((1 << (64 - self.p)) - 1)
+        rank = (64 - self.p) - w.bit_length() + 1 if w else (64 - self.p) + 1
+        if rank > self.registers[idx]:
+            self.registers[idx] = rank
+
+    def add(self, value: str) -> None:
+        # splitmix64 finalizer: fnv1a's high bits avalanche poorly on short
+        # keys, which starves the register index (top-p bits)
+        self.add_hash(_splitmix64(fnv1a64(value.encode("utf-8"))))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        est = self.alpha * self.m * self.m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        if est <= 2.5 * self.m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                est = self.m * math.log(self.m / zeros)
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(data, dtype=np.uint8).copy()
+        return h
 
 
 def simhash64(text: str) -> int:

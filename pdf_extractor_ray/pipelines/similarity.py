@@ -166,14 +166,19 @@ def _hyperplanes(n_planes: int, dim: int) -> np.ndarray:
     return v
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.95, n_planes: int = 12):
-    """Cosine near-dup pairs: sign-LSH bucket (groupby shuffle on the bucket
-    key) → exact verify within buckets. Returns (vec_a, vec_b, cos_r) with
-    vec_a < vec_b. Documented assumption: near-identical vectors share all
-    sign bits with high probability; n_planes trades recall vs bucket size."""
+def embedding_near_dup(
+    sf_dir: str, threshold: float = 0.95, n_bands: int = 4, planes_per_band: int = 6
+):
+    """Cosine near-dup pairs: BANDED sign-LSH (each vector lands in
+    ``n_bands`` buckets, one per band of hyperplanes; a pair is a candidate
+    if ANY band bucket collides) → exact verify within buckets. OR-ing bands
+    fixes single-bucket recall: at cos=0.95, one 6-plane band collides w.p.
+    ≈0.53, four bands ≈0.95. Returns (vec_a, vec_b, cos_r), vec_a < vec_b,
+    deduped across bands."""
     import ray
 
     dim = len(_query_vector(sf_dir, 0))
+    n_planes = n_bands * planes_per_band
     planes_ref = ray.put(_hyperplanes(n_planes, dim))
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -182,15 +187,23 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.95, n_planes: int = 12)
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         mn = m / norms[:, None]
-        signs = (mn @ planes.T) > 0
-        bucket = np.zeros(len(mn), dtype=np.int64)
-        for b in range(planes.shape[0]):
-            bucket |= signs[:, b].astype(np.int64) << b
+        signs = (mn @ planes.T) > 0  # (n, n_planes)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        out_bucket, out_id, out_vec = [], [], []
+        for band in range(n_bands):
+            sl = signs[:, band * planes_per_band : (band + 1) * planes_per_band]
+            code = np.zeros(len(mn), dtype=np.int64)
+            for b in range(planes_per_band):
+                code |= sl[:, b].astype(np.int64) << b
+            # band id in the high bits so buckets never collide across bands
+            out_bucket.append(code | (np.int64(band) << 32))
+            out_id.append(ids)
+            out_vec.extend(list(mn))
         return pa.table(
             {
-                "bucket": pa.array(bucket),
-                "vec_id": batch.column("vec_id"),
-                "vec": pa.array(list(mn), type=pa.list_(pa.float64())),
+                "bucket": pa.array(np.concatenate(out_bucket)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "vec": pa.array(out_vec, type=pa.list_(pa.float64())),
             }
         )
 
@@ -210,5 +223,9 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.95, n_planes: int = 12)
             }
         )
 
+    from ray.data.aggregate import Min
+
     ds = _read_embeddings(sf_dir).map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("bucket").map_groups(verify, batch_format="pandas")
+    pairs = ds.groupby("bucket").map_groups(verify, batch_format="pandas")
+    # a pair colliding in several bands is found several times — dedup on key
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cos_r", alias_name="cos_r"))

@@ -132,3 +132,34 @@ def test_nfkd_ascii_fold():
 
     assert normalize_nfkd_ascii("Café – naïve ﬁn") == "Cafe  naive fin"
     assert normalize_nfkd_ascii("plain ascii") == "plain ascii"
+
+
+def test_bloom_filter_no_false_negatives_low_fp():
+    from pdf_extractor_ray.functions.bloom import BloomFilter
+
+    keys = list(range(0, 2000, 2))
+    bf = BloomFilter(capacity=len(keys), fp_rate=0.01)
+    bf.add_many(keys)
+    assert all(k in bf for k in keys)  # no false negatives, ever
+    others = np.arange(1, 4001, 2)
+    fp = bf.contains_many(others).mean()
+    assert fp < 0.03  # ~1% target with slack
+
+
+def test_hll_accuracy_and_mergeability():
+    from pdf_extractor_ray.functions.sketches import HyperLogLog
+
+    h = HyperLogLog()
+    for i in range(50_000):
+        h.add(f"tok{i}")
+    assert abs(h.estimate() - 50_000) / 50_000 < 0.03
+    # merge of disjoint halves == union estimate, order-independent
+    a, b = HyperLogLog(), HyperLogLog()
+    for i in range(10_000):
+        a.add(f"x{i}")
+    for i in range(5_000, 15_000):
+        b.add(f"x{i}")
+    m1 = HyperLogLog.from_bytes(a.to_bytes()).merge(b).estimate()
+    m2 = HyperLogLog.from_bytes(b.to_bytes()).merge(a).estimate()
+    assert m1 == m2
+    assert abs(m1 - 15_000) / 15_000 < 0.05
