@@ -121,3 +121,48 @@ def test_pdf_table_row_detection_spans():
     r2 = PdfLayoutExtractor(detect_tables=False).extract(body)
     assert r2["extracted_text"] == r["extracted_text"]
     assert not [s for s in r2["spans"] if s["kind"] == "table_row"]
+
+
+def test_realistic_article_page():
+    """A realistic news-article shape: deep nesting, inline markup, figure
+    captions, comment widgets, share bars — main prose survives, chrome dies."""
+    para1 = (
+        "The city council voted on Tuesday to approve the new transit plan, "
+        "a decision that follows months of public hearings and debate."
+    )
+    para2 = (
+        "Supporters argue the plan will cut commute times by a third, while "
+        "critics point to the projected cost overruns in neighboring districts."
+    )
+    caption = "Commuters wait at the central station."
+    html = f"""<!DOCTYPE html>
+<html><head><title>Transit plan approved</title>
+<script type="application/ld+json">{{"@type":"NewsArticle"}}</script></head>
+<body>
+<header><a href="/">Daily Example</a><nav>
+<a href="/news">News</a><a href="/sport">Sport</a><a href="/weather">Weather</a>
+</nav></header>
+<main><article>
+  <h1>Transit plan approved after marathon session</h1>
+  <div class="byline">By A Reporter | 3 May 2024</div>
+  <p>{para1}</p>
+  <figure><img src="x.jpg"><figcaption>{caption}</figcaption></figure>
+  <p>{para2} It passed <em>seven to two</em>.</p>
+</article>
+<div class="share"><a href="#t">Tweet</a><a href="#f">Share</a></div>
+<section class="comments"><h3>Comments</h3>
+<div><a href="/u/1">user1</a> First!</div></section>
+</main>
+<footer>&copy; 2024 Daily Example. All rights reserved.
+<a href="/privacy">Privacy Policy</a></footer>
+</body></html>"""
+    r = extract_html(html.encode())
+    assert r["status"] == "ok"
+    text = r["extracted_text"]
+    assert para1 in text and para2 in text
+    assert "It passed seven to two." in text  # inline markup flattened
+    assert "Transit plan approved after marathon session" in text  # headline
+    assert caption in text  # figcaption is real content
+    assert "Tweet" not in text and "First!" not in text
+    assert "rights reserved" not in text
+    assert "Daily Example" not in text.replace("© 2024 Daily Example", "")
