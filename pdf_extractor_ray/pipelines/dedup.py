@@ -58,7 +58,7 @@ class MinHashBander:
         )
 
 
-def minhash_candidates(sf_dir: str, concurrency=(1, 4)):
+def minhash_candidates(sf_dir: str, concurrency=(2, 16)):
     """documents → (band_id, band_hash) buckets → unique candidate pairs.
 
     Two-phase bucket join: (1) a NATIVE count aggregate finds buckets with
@@ -70,11 +70,16 @@ def minhash_candidates(sf_dir: str, concurrency=(1, 4)):
     import ray
     from ray.data.aggregate import Count
 
-    bands = _read_docs(sf_dir).map_batches(
-        MinHashBander,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
+    bands = (
+        _read_docs(sf_dir)
+        .repartition(32)  # single-file read fan-out (see corpus.read_pages note)
+        .map_batches(
+            MinHashBander,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+            concurrency=concurrency,
+        )
     )
     # sketch once, reuse twice (count pass + pair pass): the band table is
     # 3 int columns — tiny next to the documents — so pinning it is safe
