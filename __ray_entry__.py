@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_counts_salted": relational.host_counts_salted,
         # --- explode / token ops (§2.2, §2.8) ------------------------------
         "explode_tokens": relational.explode_tokens,
+        "explode_struct_items": relational.explode_struct_items,
         "token_stats_by_lang": relational.token_stats_by_lang,
         "quality_score": relational.quality_score,
         "quality_filter_rules": relational.quality_filter_rules,
@@ -345,6 +346,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "explode_tokens": (
             "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+        ),
+        "explode_struct_items": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
         ),
         "token_stats_by_lang": """
             SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,

@@ -518,6 +518,49 @@ def explode_tokens(sf_dir: str):
     )
 
 
+def explode_struct_items(sf_dir: str):
+    """The amazon items shape end-to-end (amazon_parser.py:305-338): collect
+    line items into a ``list<struct>`` column per order (the nested payload a
+    parser emits for one document), then explode back to flat records — all
+    in Arrow (nested columns never round-trip through pandas, ray_guide
+    pitfalls). The round-trip must reproduce the flat table exactly."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def nest(t: pa.Table) -> pa.Table:
+        struct = pa.StructArray.from_arrays(
+            [
+                t.column("l_linenumber").combine_chunks(),
+                t.column("l_quantity").combine_chunks(),
+            ],
+            names=["l_linenumber", "l_quantity"],
+        )
+        items = pa.ListArray.from_arrays(pa.array([0, t.num_rows], pa.int32()), struct)
+        return pa.table(
+            {"l_orderkey": pa.array([t.column("l_orderkey")[0].as_py()]), "items": items}
+        )
+
+    nested = ds.groupby("l_orderkey").map_groups(nest, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        items = t.column("items")
+        if isinstance(items, pa.ChunkedArray):
+            items = items.combine_chunks()
+        lengths = pc.list_value_length(items).to_numpy(zero_copy_only=False)
+        keys = np.repeat(
+            t.column("l_orderkey").to_numpy(zero_copy_only=False), lengths
+        )
+        flat = items.flatten()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys),
+                "l_linenumber": flat.field("l_linenumber"),
+                "l_quantity": flat.field("l_quantity"),
+            }
+        )
+
+    return nested.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def token_stats_by_lang(sf_dir: str):
     from ray.data.aggregate import Sum
 

@@ -114,6 +114,17 @@ def extract_with_resume(
         if fail_after_units is not None and units_run >= fail_after_units:
             raise RuntimeError("injected_failure")
 
+        # crash hygiene: an uncommitted partition dir can hold partial files
+        # from a run that died MID-WRITE (the manifest is written after the
+        # data, so no manifest ⇒ the data is garbage). Clear it before the
+        # append-mode rewrite or the partition would double-count.
+        import shutil
+
+        for p in todo:
+            pdir = os.path.join(out_dir, "data", f"part_id={p}")
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir)
+
         pages = corpus.read_pages(sf_dir, fanout_blocks=16)
         pages = pages.map_batches(
             lambda t: _add_part_id_to_pages(t, num_partitions),

@@ -74,3 +74,29 @@ def test_resume_on_complete_run_is_noop(sf_dir, tmp_path):
     r = extract_with_resume(sf_dir, out, units=2)
     assert r["units_run"] == 0
     assert r["skipped_parts"] == list(range(16))
+
+
+def test_mid_write_crash_partial_files_are_cleared_on_resume(sf_dir, tmp_path):
+    """A crash MID-WRITE leaves parquet files in a partition dir with no
+    manifest row; resume must treat them as garbage (manifest-after-data
+    ordering), not append next to them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    out = str(tmp_path / "run")
+    with pytest.raises(RuntimeError):
+        extract_with_resume(sf_dir, out, units=4, fail_after_units=2)
+    done = LineageLedger(out).committed_parts()
+    victim = next(p for p in range(16) if p not in done)
+    pdir = os.path.join(out, "data", f"part_id={victim}")
+    os.makedirs(pdir, exist_ok=True)
+    # fake partial output from the dead run
+    pq2.write_table(
+        pa.table({"doc_id": [999999], "url": ["https://junk/x"], "status": ["ok"]}),
+        os.path.join(pdir, "partial-000.parquet"),
+    )
+    extract_with_resume(sf_dir, out, units=4)
+    df = _read_all(out)
+    assert len(df) == 500
+    assert df.doc_id.is_unique
+    assert 999999 not in set(df.doc_id)
