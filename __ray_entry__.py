@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages_text": textops.extract_pages_text,
         "quality_by_host_stats": textops.quality_by_host_stats,
         "problem_rows": textops.problem_rows,
+        "extraction_diagnostics": textops.extraction_diagnostics,
         # --- aggregates (§2.5) ---------------------------------------------
         "pricing_summary": relational.pricing_summary,
         "counts_by_source": relational.counts_by_source,
@@ -177,6 +178,24 @@ def oracle_sql() -> dict[str, str]:
                    WHEN doc_id % 8 = 5 THEN 'no_content_tokens'
                    ELSE 'no_content_blocks' END AS error
             FROM documents WHERE doc_id % 50 = 17 OR length(text) = 0
+        """,
+        "extraction_diagnostics": """
+            WITH s AS (
+              SELECT CASE WHEN doc_id % 50 = 17 OR length(text) = 0 THEN 0 ELSE 1 END AS ok,
+                CASE WHEN doc_id % 50 = 17 AND doc_id % 8 = 5 THEN 1
+                     WHEN doc_id % 50 = 17 THEN 0
+                     WHEN length(text) = 0 THEN 0 ELSE 0 END AS err,
+                doc_id % 8 = 5 AS is_pdf,
+                len(string_split(text, ' ')) AS nw, length(text) AS len
+              FROM documents)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
+              CAST(SUM(ok) AS BIGINT) AS n_ok,
+              CAST(SUM(err) AS BIGINT) AS n_error,
+              CAST(SUM(CASE WHEN ok = 0 AND err = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+              CAST(SUM(CASE WHEN ok = 1 AND is_pdf THEN CEIL(nw / 100.0)
+                            WHEN ok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_content_blocks,
+              CAST(SUM(CASE WHEN ok = 1 THEN len ELSE 0 END) AS BIGINT) AS sum_extracted_chars
+            FROM s
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

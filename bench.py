@@ -79,7 +79,21 @@ def headline(num_cpus: int) -> dict:
     stats = quality_by_host(ext).to_pandas()
     sec = time.time() - t0
     assert int(stats["n_pages"].sum()) == n_docs
-    return {"sec": sec, "docs": n_docs, "docs_per_sec": n_docs / sec}
+
+    # extraction-only throughput: pages pre-materialized so the synthetic
+    # corpus rendering is excluded (the number comparable to a real crawl
+    # where pages come straight off parquet)
+    mat = corpus.read_pages(SF_DIR, replicate=REPLICATE, fanout_blocks=NUM_BLOCKS).materialize()
+    t1 = time.time()
+    quality_by_host(extract_pages(mat)).to_pandas()
+    extract_sec = time.time() - t1
+    return {
+        "sec": sec,
+        "docs": n_docs,
+        "docs_per_sec": n_docs / sec,
+        "extract_only_sec": extract_sec,
+        "extract_only_docs_per_sec": n_docs / extract_sec,
+    }
 
 
 QUERY_PANEL = [
@@ -132,6 +146,7 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "docs": h["docs"],
         "docs_per_sec": round(h["docs_per_sec"], 1),
+        "extract_only_docs_per_sec": round(h["extract_only_docs_per_sec"], 1),
     }
     ray.shutdown()
     print(json.dumps(result))
@@ -202,6 +217,7 @@ def main_headline_only() -> None:
                 "num_cpus": NUM_CPUS,
                 "docs": h["docs"],
                 "docs_per_sec": round(h["docs_per_sec"], 1),
+                "extract_only_docs_per_sec": round(h["extract_only_docs_per_sec"], 1),
             }
         )
     )

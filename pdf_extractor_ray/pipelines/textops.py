@@ -63,6 +63,39 @@ def problem_rows(sf_dir: str):
     )
 
 
+def extraction_diagnostics(sf_dir: str):
+    """Row-count audit across the pipeline (the reference's --diagnostics
+    mode, cli.py:115-172): one row of stage counters the operator reads to
+    see where rows went. All integers — hash-exact oracle."""
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Sum
+
+    pages = corpus.read_pages(sf_dir, fanout_blocks=32)
+    ext = extract_pages(pages)
+
+    def partial(t):
+        import numpy as np
+        import pyarrow as pa2
+
+        return pa2.table(
+            {
+                "n_pages": pa2.array([t.num_rows], pa2.int64()),
+                "n_ok": pa2.array([pc2.sum(pc2.cast(pc2.equal(t.column("status"), "ok"), pa2.int64())).as_py() or 0], pa2.int64()),
+                "n_error": pa2.array([pc2.sum(pc2.cast(pc2.equal(t.column("status"), "error"), pa2.int64())).as_py() or 0], pa2.int64()),
+                "n_empty": pa2.array([pc2.sum(pc2.cast(pc2.equal(t.column("status"), "empty"), pa2.int64())).as_py() or 0], pa2.int64()),
+                "n_content_blocks": pa2.array([pc2.sum(pc2.cast(t.column("n_blocks"), pa2.int64())).as_py() or 0], pa2.int64()),
+                "sum_extracted_chars": pa2.array([pc2.sum(pc2.utf8_length(pc2.cast(t.column("extracted_text"), pa2.string()))).as_py() or 0], pa2.int64()),
+            }
+        )
+
+    agg = ext.map_batches(partial, batch_format="pyarrow").sum(
+        ["n_pages", "n_ok", "n_error", "n_empty", "n_content_blocks", "sum_extracted_chars"]
+    )
+    import pandas as pd
+
+    return pd.DataFrame([{k.replace("sum(", "").replace(")", ""): v for k, v in agg.items()}])
+
+
 def langid_predict(sf_dir: str):
     """n-gram-profile language ID as an actor-pool stage (model state built
     once per actor). No SQL oracle (heuristic model) — rows-only check."""
