@@ -68,13 +68,11 @@ def extraction_diagnostics(sf_dir: str):
     mode, cli.py:115-172): one row of stage counters the operator reads to
     see where rows went. All integers — hash-exact oracle."""
     import pyarrow.compute as pc2
-    from ray.data.aggregate import Sum
 
     pages = corpus.read_pages(sf_dir, fanout_blocks=32)
     ext = extract_pages(pages)
 
     def partial(t):
-        import numpy as np
         import pyarrow as pa2
 
         return pa2.table(

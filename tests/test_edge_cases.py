@@ -78,3 +78,44 @@ def test_context_helpers_set_block_size():
         assert ctx.enable_progress_bars is False
     finally:
         ctx.target_max_block_size = old
+
+
+def test_extracted_contract_validation(sf_dir):
+    import pytest as _pytest
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_extractor_ray.stages.validate import invariant_violations, validate_extracted
+
+    ext = extract_pages(corpus.read_pages(sf_dir, fanout_blocks=8))
+    # the real pipeline satisfies the contract in strict mode
+    assert validate_extracted(ext, strict=True).count() == 500
+
+    # a corrupted row is caught — corrupt in ARROW (nested spans don't
+    # round-trip through pandas, ray_guide pitfall)
+    batches = list(
+        extract_pages(corpus.read_pages(sf_dir, fanout_blocks=8))
+        .limit(4)
+        .iter_batches(batch_format="pyarrow", batch_size=4)
+    )
+    tbl = pa.concat_tables(batches)  # iter_batches(pyarrow) yields Tables
+    n = tbl.num_rows
+    tbl = tbl.set_column(
+        tbl.column_names.index("status"), "status",
+        pa.array(["ok"] * n, pa.string()),
+    )
+    tbl = tbl.set_column(
+        tbl.column_names.index("extracted_text"), "extracted_text",
+        pa.array([""] + tbl.column("extracted_text").to_pylist()[1:], pa.large_string()),
+    )
+    tbl = tbl.set_column(
+        tbl.column_names.index("error"), "error",
+        pa.array([None] * n, pa.string()),
+    )
+    reasons = invariant_violations(tbl)
+    assert "ok_without_text" in set(reasons.to_pylist())
+    bad_ds = rd.from_arrow(tbl)
+    with _pytest.raises(Exception, match="contract violation"):
+        validate_extracted(bad_ds, strict=True).count()
+    diverted = validate_extracted(bad_ds, strict=False).to_pandas()
+    assert diverted.contract_violation.notna().sum() == 1
