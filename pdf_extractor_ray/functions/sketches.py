@@ -76,14 +76,18 @@ class MinHasher:
         self.shingle_k = shingle_k
         self.a, self.b = minhash_params(num_perm)
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = shingles(text, self.shingle_k)
+    def signature_from_hashes(self, sh: np.ndarray) -> np.ndarray:
+        """Signature over an arbitrary uint64 element-hash set (word shingles,
+        char n-grams, …)."""
         if sh.size == 0:
             return np.full(self.num_perm, np.uint64(MERSENNE31), dtype=np.uint64)
-        x = (sh % np.uint64(MERSENNE31))[None, :]  # (1, n_shingles), < 2^31
-        # (num_perm, n_shingles): a·x+b < 2^62 — exact in uint64
+        x = (sh % np.uint64(MERSENNE31))[None, :]  # (1, n_elems), < 2^31
+        # (num_perm, n_elems): a·x+b < 2^62 — exact in uint64
         vals = (self.a[:, None] * x + self.b[:, None]) % np.uint64(MERSENNE31)
         return vals.min(axis=1)
+
+    def signature(self, text: str) -> np.ndarray:
+        return self.signature_from_hashes(shingles(text, self.shingle_k))
 
     def band_hashes(self, sig: np.ndarray, num_bands: int) -> list[int]:
         """LSH banding: hash each band of rows to one bucket key."""

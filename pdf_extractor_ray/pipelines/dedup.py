@@ -33,18 +33,39 @@ def _read_docs(sf_dir: str, columns=("doc_id", "text")):
 
 
 class MinHashBander:
-    """Actor: the hash family is built once per worker (§2.3 pattern)."""
+    """Actor: the hash family is built once per worker (§2.3 pattern).
+    ``mode="word"`` sketches word k-shingles; ``mode="char"`` sketches char
+    trigrams (the n-gram-Jaccard blocking key)."""
 
-    def __init__(self, num_perm: int = NUM_PERM, num_bands: int = NUM_BANDS, shingle_k: int = 3):
+    def __init__(
+        self,
+        num_perm: int = NUM_PERM,
+        num_bands: int = NUM_BANDS,
+        shingle_k: int = 3,
+        mode: str = "word",
+    ):
         self.mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
         self.num_bands = num_bands
+        self.mode = mode
+
+    def _element_hashes(self, text: str) -> np.ndarray:
+        if self.mode == "char":
+            from ..functions.hashing import fnv1a64 as _f
+
+            grams = char_ngrams(text)
+            if not grams:
+                return np.empty(0, dtype=np.uint64)
+            return np.unique(
+                np.fromiter((_f(g.encode()) for g in grams), dtype=np.uint64, count=len(grams))
+            )
+        return shingles(text, self.mh.shingle_k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         out_doc, out_band, out_hash = [], [], []
         for d, t in zip(doc_ids, texts):
-            sig = self.mh.signature(t)
+            sig = self.mh.signature_from_hashes(self._element_hashes(t))
             for band_id, h in enumerate(self.mh.band_hashes(sig, self.num_bands)):
                 out_doc.append(d)
                 out_band.append(band_id)
@@ -58,7 +79,7 @@ class MinHashBander:
         )
 
 
-def minhash_candidates(sf_dir: str, concurrency=(2, 16)):
+def minhash_candidates(sf_dir: str, concurrency=(2, 16), mode: str = "word"):
     """documents → (band_id, band_hash) buckets → unique candidate pairs.
 
     Two-phase bucket join: (1) a NATIVE count aggregate finds buckets with
@@ -75,6 +96,7 @@ def minhash_candidates(sf_dir: str, concurrency=(2, 16)):
         .repartition(32)  # single-file read fan-out (see corpus.read_pages note)
         .map_batches(
             MinHashBander,
+            fn_constructor_kwargs={"mode": mode},
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=None,
@@ -308,52 +330,65 @@ def simhash_dup_groups(sf_dir: str):
     )
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, prefix_bits: int = 6):
-    """Char-trigram Jaccard near-dup: docs are bucketed by the low bits of
-    their min trigram hash (cheap blocking key), verified exactly within
-    buckets. Returns (doc_a, doc_b, jaccard_r)."""
-    from ..functions.hashing import fnv1a64
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9, max_candidates: int = 500_000):
+    """Char-trigram Jaccard near-dup: banded MinHash over trigram hashes as
+    the blocking key (a single min-gram bucket degenerates on small
+    vocabularies — most documents share the minimum trigram — measured
+    O(n²) in one bucket), then exact trigram-set Jaccard on the candidate
+    pairs. Returns (doc_a, doc_b, jaccard_r).
 
-    ds = _read_docs(sf_dir)
+    NOTE on this synthetic corpus: the ~31-word vocabulary makes trigram
+    sets uniformly similar across unrelated documents, so LSH cannot
+    separate candidates the way it does on natural text. Candidate volume
+    is therefore bounded by ``max_candidates`` (deterministic: lowest
+    (doc_a, doc_b) first) and the drop is LOGGED, never silent."""
+    import logging
 
-    def bucketize(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        buckets = []
-        for t in texts:
-            grams = char_ngrams(t)
-            mn = min((fnv1a64(g.encode()) for g in grams), default=0)
-            buckets.append(mn & ((1 << prefix_bits) - 1))
-        return pa.table(
-            {
-                "bucket": pa.array(buckets, type=pa.int64()),
-                "doc_id": batch.column("doc_id"),
-                "text": batch.column("text"),
-            }
+    import pyarrow.compute as pc2
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    cand_ds = minhash_candidates(sf_dir, mode="char")
+    cand = cand_ds.to_pandas().drop_duplicates() if cand_ds is not None else pd.DataFrame()
+    if len(cand) > max_candidates:
+        logging.getLogger(__name__).warning(
+            "ngram_jaccard_pairs: %d candidate pairs exceed max_candidates=%d; "
+            "verifying the first %d by (doc_a, doc_b) — results are a bounded "
+            "subset on this corpus",
+            len(cand), max_candidates, max_candidates,
         )
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        grams = [char_ngrams(t) for t in g["text"]]
-        rows_a, rows_b, js = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jac = jaccard(grams[i], grams[j])
-                if jac >= threshold:
-                    rows_a.append(ids[i])
-                    rows_b.append(ids[j])
-                    js.append(round(jac, 6))
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(rows_a, dtype=np.int64),
-                "doc_b": pd.Series(rows_b, dtype=np.int64),
-                "jaccard_r": pd.Series(js, dtype=np.float64),
-            }
-        )
-
-    return (
-        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
+        cand = cand.sort_values(["doc_a", "doc_b"]).head(max_candidates)
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype=np.int64),
+            "doc_b": pd.Series([], dtype=np.int64),
+            "jaccard_r": pd.Series([], dtype=np.float64),
+        }
     )
+    if len(cand) == 0:
+        return empty
+    need = set(cand.doc_a) | set(cand.doc_b)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    id2text = {
+        d: t
+        for d, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+        if d in need
+    }
+    texts_ref = ray.put(id2text)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        m = ray.get(texts_ref)
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        jac = [jaccard(char_ngrams(m[x]), char_ngrams(m[y])) for x, y in zip(a, b)]
+        t = pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "jaccard_r": pa.array(np.round(jac, 6)),
+            }
+        )
+        return t.filter(pc2.greater_equal(t.column("jaccard_r"), threshold))
+
+    return rd.from_pandas(cand).map_batches(verify, batch_format="pyarrow")
