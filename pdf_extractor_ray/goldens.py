@@ -11,6 +11,9 @@ reference's contract tests anchor parser outputs
 
 from __future__ import annotations
 
+import hashlib
+import json
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -18,6 +21,14 @@ from . import corpus
 from .stages.extract import detect_kind, url_host
 from .stages.html_extract import extract_html
 from .stages.pdf_extract import PdfLayoutExtractor
+
+
+def spans_sha(spans: list[dict]) -> str:
+    """Canonical digest of the span structure (order + offsets + kinds)."""
+    payload = json.dumps(
+        [[s["start"], s["end"], s["kind"]] for s in spans], separators=(",", ":")
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()
 
 
 def generate_goldens(sf_dir: str) -> pa.Table:
@@ -39,6 +50,7 @@ def generate_goldens(sf_dir: str) -> pa.Table:
                 "extracted_text": r["extracted_text"],
                 "n_blocks": r["n_blocks"],
                 "error": r["error"],
+                "spans_sha": spans_sha(r["spans"]),
             }
         )
     return pa.Table.from_pylist(rows)

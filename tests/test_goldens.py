@@ -25,6 +25,24 @@ def test_ray_pipeline_matches_frozen_goldens(sf_dir):
     assert (out["n_blocks"] == g["n_blocks"]).all()
     assert (out["host"] == g["host"]).all()
     assert (out["doc_id"] == g["doc_id"]).all()
+    # span structure (order + offsets + kinds) is pinned too
+    from pdf_extractor_ray.goldens import spans_sha
+
+    got_sha = out["spans"].map(lambda s: spans_sha(list(s)))
+    assert (got_sha == g["spans_sha"]).all(), "spans not structurally identical"
+
+
+def test_extraction_is_independent_of_block_layout(sf_dir):
+    """Batch/block boundaries must not leak into results: different fanout
+    yields identical rows keyed by url."""
+    from pdf_extractor_ray import corpus
+    from pdf_extractor_ray.pipelines.extract import extract_pages
+
+    a = extract_pages(corpus.read_pages(sf_dir, fanout_blocks=4)).to_pandas().set_index("url")
+    b = extract_pages(corpus.read_pages(sf_dir, fanout_blocks=32)).to_pandas().set_index("url")
+    b = b.loc[a.index]
+    for col in ("extracted_text", "status", "n_blocks", "part_id"):
+        assert (a[col] == b[col]).all(), col
 
 
 def test_goldens_regeneration_is_stable(sf_dir):
