@@ -94,11 +94,14 @@ def warc_ts_us_for_doc(doc_id: int) -> int:
 # HTML payload
 # ---------------------------------------------------------------------------
 
-def render_html(doc_id: int, text: str, host: str) -> bytes:
-    """Boilerplate-wrapped page. The <article> is the only content block;
-    everything else is link-dense or blacklist-phrase boilerplate (the
-    First-Republic footer-blacklist analog, /root/reference/dataextractai/
-    parsers/first_republic_bank_parser.py:393-424)."""
+def render_html(doc_id: int, text: str, host: str, paragraphs: int = 1) -> bytes:
+    """Boilerplate-wrapped page. The <article> holds the content (one <p> by
+    default; ``paragraphs=N`` splits the text into N word-balanced <p> blocks
+    — the multi-block corpus variant, whose extracted text is the paragraphs
+    joined with "\\n"); everything else is link-dense or blacklist-phrase
+    boilerplate (the First-Republic footer-blacklist analog,
+    /root/reference/dataextractai/parsers/first_republic_bank_parser.py:
+    393-424)."""
     nav_n = 3 + doc_id % 4
     nav_links = " ".join(
         f'<a href="/sec{i}">section {i} navigation link</a>' for i in range(nav_n)
@@ -112,7 +115,13 @@ def render_html(doc_id: int, text: str, host: str) -> bytes:
             '<li><a href="/rel/3">sponsored content click here</a></li>'
             "</ul></aside>"
         )
-    body_text = _html.escape(text)
+    if paragraphs <= 1:
+        body = f"<p>{_html.escape(text)}</p>"
+    else:
+        words = text.split(" ")
+        per = max(1, (len(words) + paragraphs - 1) // paragraphs)
+        chunks = [" ".join(words[i : i + per]) for i in range(0, len(words), per)]
+        body = "".join(f"<p>{_html.escape(c)}</p>" for c in chunks)
     page = (
         "<!DOCTYPE html><html><head>"
         f"<title>doc {doc_id}</title>"
@@ -122,7 +131,7 @@ def render_html(doc_id: int, text: str, host: str) -> bytes:
         f"<nav>{nav_links}</nav>"
         '<div class="masthead"><a href="/subscribe">Subscribe</a> '
         '<a href="/signin">Sign in</a></div>'
-        f"<article><p>{body_text}</p></article>"
+        f"<article>{body}</article>"
         f"{aside}"
         f"<footer>&copy; 2024 {host}. All rights reserved. "
         '<a href="/privacy">Privacy Policy</a> '
@@ -167,9 +176,13 @@ def render_pdf(doc_id: int, text: str) -> bytes:
     return b"%PDF-1.4\n" + "\n".join(lines).encode("utf-8") + b"\n%%EOF\n"
 
 
-def render_payload(doc_id: int, text: str) -> bytes:
+def render_payload(doc_id: int, text: str, paragraphs: int = 1) -> bytes:
     host = host_for_doc(doc_id)
-    payload = render_pdf(doc_id, text) if is_pdf_doc(doc_id) else render_html(doc_id, text, host)
+    payload = (
+        render_pdf(doc_id, text)
+        if is_pdf_doc(doc_id)
+        else render_html(doc_id, text, host, paragraphs=paragraphs)
+    )
     if is_malformed_doc(doc_id):
         payload = payload[:25]
     return payload
@@ -179,7 +192,7 @@ def render_payload(doc_id: int, text: str) -> bytes:
 # Batch transform: documents batch -> pages batch (pure, vectorizable shell)
 # ---------------------------------------------------------------------------
 
-def pages_batch_from_documents(batch: pa.Table) -> pa.Table:
+def pages_batch_from_documents(batch: pa.Table, paragraphs: int = 1) -> pa.Table:
     """``map_batches`` body: one documents row → one pages row. The per-row
     template rendering is inherently per-document string work (same shape as
     the reference's per-file parse fns); everything around it is Arrow."""
@@ -187,7 +200,7 @@ def pages_batch_from_documents(batch: pa.Table) -> pa.Table:
     texts = batch.column("text").to_pylist()
     langs = batch.column("lang")
     urls = [url_for_doc(int(d)) for d in doc_ids]
-    payloads = [render_payload(int(d), t) for d, t in zip(doc_ids, texts)]
+    payloads = [render_payload(int(d), t, paragraphs) for d, t in zip(doc_ids, texts)]
     ts = pa.array(
         (WARC_TS_BASE_US + doc_ids * 137_000_000).astype(np.int64),
         type=pa.timestamp("us"),
@@ -204,11 +217,11 @@ def pages_batch_from_documents(batch: pa.Table) -> pa.Table:
     )
 
 
-def pages_from_documents(docs_ds):
+def pages_from_documents(docs_ds, paragraphs: int = 1):
     """documents Dataset → pages Dataset (stateless map_batches, zero-copy in;
     batch_size=None keeps block-driven batching — no cross-block bundling)."""
     return docs_ds.map_batches(
-        pages_batch_from_documents,
+        lambda t: pages_batch_from_documents(t, paragraphs),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,
@@ -235,7 +248,7 @@ def replicate_documents(batch: pa.Table, replicate: int) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def read_pages(sf_dir: str, replicate: int = 1, fanout_blocks: int | None = None):
+def read_pages(sf_dir: str, replicate: int = 1, fanout_blocks: int | None = None, paragraphs: int = 1):
     """Read the documents table (only needed columns) and synthesize pages.
 
     ``fanout_blocks``: the testdata table is ONE small parquet file, so the
@@ -258,4 +271,4 @@ def read_pages(sf_dir: str, replicate: int = 1, fanout_blocks: int | None = None
             zero_copy_batch=True,
             batch_size=None,
         )
-    return pages_from_documents(docs)
+    return pages_from_documents(docs, paragraphs=paragraphs)

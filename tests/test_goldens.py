@@ -55,3 +55,35 @@ def test_goldens_regeneration_is_stable(sf_dir):
         pq.read_table(GOLDEN_PATH).to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert fresh.equals(frozen)
+
+
+def test_multiblock_corpus_distributed_matches_sequential(sf_dir):
+    """Multi-paragraph corpus variant: the distributed pipeline matches a
+    sequential per-doc pass exactly (text AND block structure), exercising
+    multi-block assembly at corpus scale rather than single fixtures."""
+    from pdf_extractor_ray import corpus
+    from pdf_extractor_ray.pipelines.extract import extract_pages
+    from pdf_extractor_ray.stages.extract import detect_kind
+    from pdf_extractor_ray.stages.html_extract import extract_html
+    from pdf_extractor_ray.stages.pdf_extract import PdfLayoutExtractor
+
+    P = 4
+    out = (
+        extract_pages(corpus.read_pages(sf_dir, fanout_blocks=16, paragraphs=P))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pdf = PdfLayoutExtractor()
+    n_multi = 0
+    for d, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+        payload = corpus.render_payload(d, t, paragraphs=P)
+        r = pdf.extract(payload) if detect_kind(payload) == "pdf" else extract_html(payload)
+        row = out.loc[d]
+        assert row.extracted_text == r["extracted_text"], d
+        assert row.status == r["status"], d
+        assert row.n_blocks == r["n_blocks"], d
+        if r["status"] == "ok" and not corpus.is_pdf_doc(d) and r["n_blocks"] > 1:
+            n_multi += 1
+            assert "\n" in r["extracted_text"]
+    assert n_multi > 300  # most html docs split into multiple content blocks
