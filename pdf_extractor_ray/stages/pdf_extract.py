@@ -64,8 +64,9 @@ class PdfLayoutExtractor:
             return [tokens]
         left = [t for t in tokens if t[0] < cut]
         right = [t for t in tokens if t[0] >= cut]
-        # recurse right side in case of >2 columns
-        return [left] + self._split_columns(right)
+        # recurse BOTH sides: the largest gap may not be the leftmost one,
+        # so either side can still contain multiple columns
+        return self._split_columns(left) + self._split_columns(right)
 
     def _read_column_lines(self, tokens: list[tuple[int, int, str]]) -> list[list[str]]:
         """Column → lines (top→bottom = y descending; within a line x asc)."""

@@ -166,3 +166,25 @@ def test_realistic_article_page():
     assert "Tweet" not in text and "First!" not in text
     assert "rights reserved" not in text
     assert "Daily Example" not in text.replace("© 2024 Daily Example", "")
+
+
+def test_pdf_three_columns_largest_gap_not_first():
+    # columns at x=72, 150, 520: the LARGEST gap (150→520) is the second
+    # one, so the first cut isolates the right column and the left side
+    # must be recursed to separate 72 from 150 (gap 78 ≥ 60)
+    body = b"\n".join(
+        [
+            b"%PDF-1.4",
+            b"T 0 72 720 one",
+            b"T 0 72 708 two",
+            b"T 0 150 720 three",
+            b"T 0 150 708 four",
+            b"T 0 520 720 five",
+            b"T 0 520 708 six",
+            b"%%EOF",
+        ]
+    )
+    r = PdfLayoutExtractor().extract(body)
+    assert r["status"] == "ok"
+    assert r["n_blocks"] == 3
+    assert r["extracted_text"] == "one two three four five six"
