@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_host_stats": textops.quality_by_host_stats,
         "problem_rows": textops.problem_rows,
         "extraction_diagnostics": textops.extraction_diagnostics,
+        "dedup_replicated_corpus": textops.dedup_replicated_corpus,
         # --- aggregates (§2.5) ---------------------------------------------
         "pricing_summary": relational.pricing_summary,
         "counts_by_source": relational.counts_by_source,
@@ -178,6 +179,14 @@ def oracle_sql() -> dict[str, str]:
                    WHEN doc_id % 8 = 5 THEN 'no_content_tokens'
                    ELSE 'no_content_blocks' END AS error
             FROM documents WHERE doc_id % 50 = 17 OR length(text) = 0
+        """,
+        "dedup_replicated_corpus": """
+            WITH w AS (SELECT text FROM documents
+                       WHERE doc_id % 50 <> 17 AND length(text) > 0),
+                 g AS (SELECT COUNT(*) AS c FROM w GROUP BY text)
+            SELECT CAST((SELECT 2 * COUNT(*) FROM w) AS BIGINT) AS n_rows,
+              CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_groups,
+              CAST((SELECT 2 * MAX(c) FROM g) AS BIGINT) AS max_group
         """,
         "extraction_diagnostics": """
             WITH s AS (

@@ -94,6 +94,46 @@ def extraction_diagnostics(sf_dir: str):
     return pd.DataFrame([{k.replace("sum(", "").replace(")", ""): v for k, v in agg.items()}])
 
 
+def dedup_replicated_corpus(sf_dir: str):
+    """Extraction → exact dedup composed end-to-end: a ×2-replicated crawl
+    (every document fetched under two urls — the re-crawl scenario) is
+    extracted, then deduplicated by content hash. Returns one audit row
+    (n_rows, n_groups, max_group); the oracle knows every well-formed text
+    must appear exactly twice and collapse to one group."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Max
+
+    from ..functions.hashing import sha256_hex
+
+    pages = corpus.read_pages(sf_dir, replicate=2, fanout_blocks=32)
+    ext = extract_pages(pages)
+
+    def hash_ok(t: pa.Table) -> pa.Table:
+        ok = t.filter(pc.equal(t.column("status"), "ok"))
+        return pa.table(
+            {
+                "text_sha": pa.array(
+                    [sha256_hex(v) for v in ok.column("extracted_text").to_pylist()],
+                    type=pa.string(),
+                )
+            }
+        )
+
+    groups = (
+        ext.map_batches(hash_ok, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_sha")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": [int(groups.n.sum())],
+            "n_groups": [len(groups)],
+            "max_group": [int(groups.n.max())],
+        }
+    )
+
+
 def langid_predict(sf_dir: str):
     """n-gram-profile language ID as an actor-pool stage (model state built
     once per actor). No SQL oracle (heuristic model) — rows-only check."""
