@@ -106,13 +106,17 @@ QUERY_PANEL = [
     "pricing_summary",
     "dedup_exact",
     "tumbling_window_agg",
+    "sliding_window_agg",
     "session_windows",
     "token_stats_by_lang",
     "sort_topk",
     "ann_topk",
     "minhash_near_dup",
+    "embedding_dup_exact",
+    "asof_join_last_signup",
     "semi_join_keys",
     "extract_pages_text",
+    "dedup_replicated_corpus",
 ]
 
 
