@@ -288,6 +288,90 @@ def connected_components(
     )
 
 
+def connected_components_star(pairs_ds, col_a: str = "doc_a", col_b: str = "doc_b", max_rounds: int = 30):
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds regardless of component diameter, the
+    scale path for large-diameter graphs that min-label propagation
+    (O(diameter) rounds) handles poorly.
+
+    large-star(u): for every neighbour v > u, re-attach v to
+    m = min(Γ(u) ∪ {u}).  small-star(u): over edges oriented to the larger
+    endpoint, re-attach all smaller neighbours (and u) to the minimum.
+    Fixpoint = a star forest: every edge (child, root). Implemented as one
+    groupby shuffle per phase over the symmetric edge list.
+    """
+    import ray.data as rd
+
+    pairs = pairs_ds.to_pandas() if not isinstance(pairs_ds, pd.DataFrame) else pairs_ds
+    a = pairs[col_a].to_numpy(dtype=np.int64)
+    b = pairs[col_b].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    edges = rd.from_pandas(
+        pd.DataFrame({"u": np.concatenate([a, b]), "v": np.concatenate([b, a])}).drop_duplicates()
+    )
+
+    def large_star(g: pd.DataFrame) -> pd.DataFrame:
+        u = int(g["u"].iloc[0])
+        nbrs = g["v"].to_numpy(dtype=np.int64)
+        m = min(int(nbrs.min()), u)
+        bigger = nbrs[nbrs > u]
+        return pd.DataFrame({"u": bigger, "v": np.int64(m)})
+
+    def small_star(g: pd.DataFrame) -> pd.DataFrame:
+        u = int(g["u"].iloc[0])
+        nbrs = g["v"].to_numpy(dtype=np.int64)  # all ≤ u by orientation
+        m = int(nbrs.min())
+        members = np.unique(np.concatenate([nbrs, [u]]))
+        out = members[members != m]
+        return pd.DataFrame({"u": out, "v": np.int64(m)})
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star over the symmetric view
+        sym = edges.map_batches(
+            lambda t: pa.concat_tables(
+                [t, pa.table({"u": t.column("v"), "v": t.column("u")})]
+            ),
+            batch_format="pyarrow",
+        )
+        edges = (
+            sym.groupby("u").map_groups(large_star, batch_format="pandas")
+            .groupby(["u", "v"]).count().drop_columns(["count()"])
+        )
+        # small-star over edges oriented toward the larger endpoint
+        oriented = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "u": pa.compute.max_element_wise(t.column("u"), t.column("v")),
+                    "v": pa.compute.min_element_wise(t.column("u"), t.column("v")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edges = (
+            oriented.groupby("u").map_groups(small_star, batch_format="pandas")
+            .groupby(["u", "v"]).count().drop_columns(["count()"])
+        )
+        df = edges.to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+        sig = hash(tuple(map(tuple, df.to_numpy())))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        import ray.data as rd2
+
+        edges = rd2.from_pandas(df)
+
+    final = edges.to_pandas()
+    label = {int(u): int(v) for u, v in zip(final.u, final.v)}
+    comp = [label.get(int(n), int(n)) for n in nodes]
+    import ray.data as rd3
+
+    return rd3.from_pandas(
+        pd.DataFrame({"node": nodes, "component": np.asarray(comp, dtype=np.int64)})
+    )
+
+
 def dup_components(sf_dir: str, threshold: float = 0.4):
     """Near-dup clusters over the embedding pairs: exact pair generation →
     distributed min-label components. Rows-only (recursive closure is not

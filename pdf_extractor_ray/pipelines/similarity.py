@@ -78,20 +78,38 @@ def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFrame:
     return top[["vec_id", "rank"]]
 
 
+def deterministic_kmeans(sample: np.ndarray, k: int, n_iters: int = 10) -> np.ndarray:
+    """Spherical k-means with fixed initialization (the first k points) and a
+    fixed iteration count — bit-deterministic across runs/workers, no RNG.
+    Empty clusters keep their previous centroid."""
+    cent = sample[:k].copy()
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
 def ann_topk_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_cells: int = 8, n_probe: int = 3) -> pd.DataFrame:
-    """IVF variant: coarse-quantize to deterministic centroids (the first
-    ``n_cells`` vectors of the table — a fixed, data-derived codebook), then
-    score only rows whose cell is among the ``n_probe`` cells closest to the
-    query. At scale the assign pass is a cheap matmul per batch and the
-    probe pass touches n_probe/n_cells of the data."""
+    """IVF variant: coarse-quantize to a TRAINED codebook (deterministic
+    spherical k-means over a driver-side sample — at 100 TB the sample is a
+    capped read of the first shards), then score only rows whose cell is
+    among the ``n_probe`` cells closest to the query. The assign pass is a
+    cheap matmul per batch; the probe pass touches ~n_probe/n_cells of the
+    data."""
     import pyarrow.parquet as pq
     import ray
 
     head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    cent = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()[:n_cells]]
+    sample = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()[:512]]
     )
-    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    cent = deterministic_kmeans(sample, n_cells)
     q = _query_vector(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
     probe_cells = np.argsort(-(cent @ qn))[:n_probe]

@@ -80,7 +80,7 @@ def _scan_blocks(doc: str) -> list[dict]:
     skip_tag: str | None = None  # raw-content mode for script/style/title…
 
     def flush():
-        nonlocal pieces, link_chars, b_start, b_end
+        nonlocal pieces, link_chars, b_start, b_end, link_depth
         if pieces:
             blocks.append(
                 {
@@ -94,6 +94,11 @@ def _scan_blocks(doc: str) -> list[dict]:
         link_chars = 0
         b_start = -1
         b_end = -1
+        # anchor scope ends at block boundaries: an unclosed <a> must not
+        # poison link-density for the rest of the document (common in real
+        # crawls). Cost: fully link-wrapped block elements (card links) count
+        # their inner text as plain — the lesser error.
+        link_depth = 0
 
     def add(piece: str, start: int, end: int):
         nonlocal link_chars, b_start, b_end

@@ -61,3 +61,40 @@ def test_dup_components_over_embeddings(sf_dir):
     mapped = dict(zip(out.node, out.component))
     for r in roots:
         assert mapped.get(r, r) == r
+
+
+def test_ivf_recall_against_exact_topk(sf_dir):
+    """Trained IVF codebook: probe results overlap the exact top-k well and
+    the codebook is deterministic across calls."""
+    import numpy as np
+
+    from pdf_extractor_ray.pipelines.similarity import (
+        ann_topk,
+        ann_topk_ivf,
+        deterministic_kmeans,
+    )
+
+    exact = set(ann_topk(sf_dir).vec_id)
+    probed = set(ann_topk_ivf(sf_dir).vec_id)
+    assert len(exact & probed) >= 5  # ≥50% recall at n_probe=3/8
+
+    rng_free = np.arange(400, dtype=np.float64).reshape(20, 20)
+    assert np.array_equal(
+        deterministic_kmeans(rng_free, 4), deterministic_kmeans(rng_free.copy(), 4)
+    )
+
+
+def test_star_components_match_union_find():
+    from pdf_extractor_ray.pipelines.dedup import connected_components_star
+
+    cases = [
+        # chain, clique, pair, star
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(i, i + 1) for i in range(15)],  # long chain: O(log n) rounds
+        [(5, 50), (5, 51), (5, 52), (52, 99), (99, 100), (7, 8)],
+    ]
+    for pairs in cases:
+        df = pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+        got = connected_components_star(df).to_pandas()
+        want = _union_find(pairs)
+        assert dict(zip(got.node, got.component)) == want, pairs

@@ -188,3 +188,14 @@ def test_pdf_three_columns_largest_gap_not_first():
     assert r["status"] == "ok"
     assert r["n_blocks"] == 3
     assert r["extracted_text"] == "one two three four five six"
+
+
+def test_unclosed_anchor_does_not_poison_following_blocks():
+    html = (
+        f"<div><a href='/x'>broken link never closed"
+        f"<p>{LONG}</p><p>{LONG} again here</p></div>"
+    ).encode()
+    r = extract_html(html)
+    assert r["status"] == "ok"
+    assert LONG in r["extracted_text"]
+    assert r["n_blocks"] == 2
