@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": relational.approx_distinct_tokens,
         "mean_std_agg": relational.mean_std_agg,
         "median_by_group": relational.median_by_group,
+        "string_agg_by_source": relational.string_agg_by_source,
+        "rank_in_group": relational.rank_in_group,
+        "corr_by_group": relational.corr_by_group,
         "year_splice": relational.year_splice,
         "regex_tokenize_bpeish": relational.regex_tokenize_bpeish,
         "skew_salt_plan": relational.skew_salt_plan,
@@ -438,6 +441,30 @@ def oracle_sql() -> dict[str, str]:
         "median_by_group": """
             SELECT l_returnflag, CAST(median(l_quantity) AS DOUBLE) AS median_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "string_agg_by_source": """
+            SELECT source,
+              string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS doc_ids
+            FROM documents GROUP BY source
+        """,
+        "rank_in_group": """
+            SELECT o_orderkey, o_orderpriority,
+              CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank_in_prio
+            FROM orders
+        """,
+        "corr_by_group": """
+            WITH m AS (
+              SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+                SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+                SUM(l_quantity * l_extendedprice) AS sxy,
+                SUM(l_quantity * l_quantity) AS sxx,
+                SUM(l_extendedprice * l_extendedprice) AS syy
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag,
+              ROUND((n * sxy - sx * sy) /
+                    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr_r
+            FROM m
         """,
         "year_splice": """
             SELECT event_id, CAST(EXTRACT(month FROM ts) AS BIGINT) AS month,

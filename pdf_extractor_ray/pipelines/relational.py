@@ -920,6 +920,89 @@ def quality_filter_rules(sf_dir: str):
     return ds.map_batches(rules, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def string_agg_by_source(sf_dir: str):
+    """Ordered string aggregation per group (consolidated-output analog):
+    '|'-joined doc ids in doc_id order — deterministic, so hash-exact."""
+    ds = _read(sf_dir, "documents", ["source", "doc_id"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        ids = "|".join(str(i) for i in sorted(g["doc_id"]))
+        return pd.DataFrame({"source": [g["source"].iloc[0]], "doc_ids": [ids]})
+
+    return ds.groupby("source").map_groups(agg, batch_format="pandas")
+
+
+def rank_in_group(sf_dir: str):
+    """ROW_NUMBER per group (window-function family): rank orders within
+    their priority by (totalprice desc, orderkey) — deterministic tiebreak."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_orderpriority": g["o_orderpriority"].to_numpy(),
+                "rank_in_prio": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(rank, batch_format="pandas")
+
+
+def corr_by_group(sf_dir: str):
+    """Pearson correlation per group via MERGEABLE MOMENTS: each batch emits
+    partial (n, Σx, Σy, Σxy, Σx², Σy²) per key; one small groupby merges and
+    the closed form finishes — the pattern for any algebraic statistic at
+    scale (no per-group row collection)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("l_quantity")
+        y = t.column("l_extendedprice")
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sx": x,
+                "sy": y,
+                "sxy": pc.multiply(x, y),
+                "sxx": pc.multiply(x, x),
+                "syy": pc.multiply(y, y),
+            }
+        )
+        return (
+            tt.group_by("l_returnflag")
+            .aggregate([(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+            .rename_columns(["l_returnflag", "n", "sx", "sy", "sxy", "sxx", "syy"])
+        )
+
+    agg = (
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        syy = t.column("syy").to_numpy(zero_copy_only=False)
+        corr = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "corr_r": pa.array(np.round(corr, 4)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def approx_distinct_tokens(sf_dir: str, p: int = 12):
     """Approximate distinct-token count via mergeable HLL sketches: one
     sketch ROW per batch crosses the exchange (constant bytes per block,
