@@ -8,6 +8,20 @@ import subprocess
 import sys
 
 
+def test_bench_panel_names_exist_in_queries():
+    import importlib.util
+
+    for mod_name, path in (("bench", "/root/repo/bench.py"), ("__ray_entry__", "/root/repo/__ray_entry__.py")):
+        spec = importlib.util.spec_from_file_location(mod_name, path)
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        if mod_name == "bench":
+            panel = set(m.QUERY_PANEL)
+        else:
+            qnames = set(m.queries())
+    assert panel <= qnames, panel - qnames
+
+
 def test_bench_headline_only_prints_one_json_line():
     env = dict(
         os.environ,
