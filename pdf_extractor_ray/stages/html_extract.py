@@ -112,32 +112,37 @@ def _scan_blocks(doc: str) -> list[dict]:
         b_end = end
 
     for m in _TOKEN_RE.finditer(doc):
-        tok = m.group()
+        start = m.start()
+        # allocation discipline: slice only what each branch needs — full
+        # text runs, but at most a short prefix of tag tokens (long href
+        # attributes never materialize as Python strings)
+        if doc[start] != "<":
+            if skip_tag is not None:
+                continue
+            tok = m.group()
+            add(unescape(tok) if "&" in tok else tok, start, m.end())
+            continue
+        head = doc[start : start + 24]
         if skip_tag is not None:
             # raw-content mode: ignore everything until the matching close tag
-            if tok.startswith("<"):
-                tm = _TAG_NAME_RE.match(tok)
-                if tm and tm.group(1) == "/" and tm.group(2).lower() == skip_tag:
-                    skip_tag = None
+            tm = _TAG_NAME_RE.match(head)
+            if tm and tm.group(1) == "/" and tm.group(2).lower() == skip_tag:
+                skip_tag = None
             continue
-        c0 = tok[0]
-        if c0 != "<":
-            add(unescape(tok) if "&" in tok else tok, m.start(), m.end())
+        if head.startswith("<!"):  # comment / doctype / CDATA-ish declaration
             continue
-        if tok.startswith("<!"):  # comment / doctype / CDATA-ish declaration
-            continue
-        tm = _TAG_NAME_RE.match(tok)
+        tm = _TAG_NAME_RE.match(head)
         if tm is None:  # '<' garbage or truncated fragment
             continue
         closing, name = tm.group(1) == "/", tm.group(2).lower()
-        if not closing and name in _SKIP_TAGS and not tok.endswith("/>"):
+        if not closing and name in _SKIP_TAGS and not doc.startswith("/>", m.end() - 2):
             skip_tag = name
         elif name in _BLOCK_TAGS:
             flush()
         elif name == "a":
             link_depth = max(0, link_depth - 1) if closing else link_depth + 1
         elif name == "br":
-            add(" ", m.start(), m.start())
+            add(" ", start, start)
     flush()
     return blocks
 
@@ -188,7 +193,12 @@ def extract_html(payload: bytes) -> dict:
     spans = []
     content = []
     for b in raw_blocks:
-        norm = _WS_RE.sub(" ", b["text"]).strip()
+        t = b["text"]
+        # fast path: most blocks have no whitespace runs to collapse
+        if "  " in t or "\n" in t or "\t" in t or "\r" in t:
+            norm = _WS_RE.sub(" ", t).strip()
+        else:
+            norm = t.strip()
         if not norm:
             continue
         is_content = classify_block(norm, b["link_chars"])
