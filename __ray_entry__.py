@@ -56,6 +56,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- aggregates (§2.5) ---------------------------------------------
         "pricing_summary": relational.pricing_summary,
         "counts_by_source": relational.counts_by_source,
+        "part_brand_stats": relational.part_brand_stats,
+        "supplier_enrich": relational.supplier_enrich,
+        "json_parse_tolerant": relational.json_parse_tolerant,
         "hash_bucket_counts": relational.hash_bucket_counts,
         # --- filters (§2.2) ------------------------------------------------
         "amount_threshold_filter": relational.amount_threshold_filter,
@@ -224,6 +227,21 @@ def oracle_sql() -> dict[str, str]:
               CAST(MAX(n_chars) AS BIGINT) AS max_chars
             FROM documents GROUP BY source
         """,
+        "part_brand_stats": """
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+              ROUND(SUM(p_retailprice), 4) AS sum_price,
+              CAST(SUM(p_size) AS BIGINT) AS sum_size
+            FROM part GROUP BY p_brand
+        """,
+        "supplier_enrich": """
+            SELECT s_suppkey, n_name AS nation,
+              CASE WHEN s_acctbal < 0 THEN 'negative' ELSE 'ok' END AS balance_flag
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "json_parse_tolerant": (
+            "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)"
+            " AS k_val FROM events"
+        ),
         "hash_bucket_counts": """
             SELECT CAST((o_orderkey * 2654435761) % 64 AS INTEGER) AS bucket,
               CAST(COUNT(*) AS BIGINT) AS n_rows

@@ -920,6 +920,94 @@ def quality_filter_rules(sf_dir: str):
     return ds.map_batches(rules, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def part_brand_stats(sf_dir: str):
+    """Catalog rollup over the part table (per-source stats family)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "price": t.column("p_retailprice"),
+                "size": pc.cast(t.column("p_size"), pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            tt.group_by("p_brand")
+            .aggregate([("one", "sum"), ("price", "sum"), ("size", "sum")])
+            .rename_columns(["p_brand", "n_parts", "sum_price", "sum_size"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n_parts", alias_name="n_parts"),
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("sum_size", alias_name="sum_size"),
+        )
+    )
+    return agg.map_batches(lambda t: _round4(t, ["sum_price"]), batch_format="pyarrow")
+
+
+def supplier_enrich(sf_dir: str):
+    """Supplier dimension enrichment: balance flag + broadcast nation name
+    (the customer-enrichment pattern over the remaining dimension table)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    n2name = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    ref = ray.put(n2name)
+
+    def enrich(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey"),
+                "nation": pa.array([m[k] for k in keys], type=pa.string()),
+                "balance_flag": pc.if_else(
+                    pc.less(t.column("s_acctbal"), 0.0),
+                    pa.scalar("negative"),
+                    pa.scalar("ok"),
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    return ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def json_parse_tolerant(sf_dir: str):
+    """Tolerant JSON parse (amazon_parser.py:293-302 json.loads/literal_eval
+    fallback semantics): real json.loads per row — the per-row cost is
+    inherent to tolerant parsing; the regex fast path (json_field_extract)
+    is the vectorized alternative. Malformed props → null, never a failure."""
+    import json
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t.column("props").to_pylist():
+            try:
+                v = json.loads(s)
+                out.append(int(v["k"]) if isinstance(v, dict) and "k" in v else None)
+            except (json.JSONDecodeError, TypeError, ValueError):
+                out.append(None)
+        return pa.table(
+            {"event_id": t.column("event_id"), "k_val": pa.array(out, type=pa.int64())}
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def string_agg_by_source(sf_dir: str):
     """Ordered string aggregation per group (consolidated-output analog):
     '|'-joined doc ids in doc_id order — deterministic, so hash-exact."""
