@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "problem_rows": textops.problem_rows,
         "extraction_diagnostics": textops.extraction_diagnostics,
         "dedup_replicated_corpus": textops.dedup_replicated_corpus,
+        "cc_pipeline_audit": textops.cc_pipeline_audit,
         # --- aggregates (§2.5) ---------------------------------------------
         "pricing_summary": relational.pricing_summary,
         "counts_by_source": relational.counts_by_source,
@@ -185,6 +186,23 @@ def oracle_sql() -> dict[str, str]:
                    WHEN doc_id % 8 = 5 THEN 'no_content_tokens'
                    ELSE 'no_content_blocks' END AS error
             FROM documents WHERE doc_id % 50 = 17 OR length(text) = 0
+        """,
+        "cc_pipeline_audit": """
+            WITH f AS (
+              SELECT text,
+                len(string_split(text, ' ')) AS n_tokens,
+                len(list_filter(string_split(text, ' '),
+                    x -> list_contains(['the', 'a', 'and', 'row', 'data'], x)))
+                  AS n_stop,
+                CASE WHEN doc_id % 50 <> 17 AND length(text) > 0 THEN 1 ELSE 0 END
+                  AS ok
+              FROM documents),
+            k AS (SELECT text FROM f WHERE ok = 1
+                  AND n_tokens BETWEEN 10 AND 200 AND n_stop * 10 >= n_tokens)
+            SELECT CAST((SELECT 2 * COUNT(*) FROM f) AS BIGINT) AS n_pages,
+              CAST((SELECT 2 * SUM(ok) FROM f) AS BIGINT) AS n_ok,
+              CAST((SELECT 2 * COUNT(*) FROM k) AS BIGINT) AS n_quality_kept,
+              CAST((SELECT COUNT(DISTINCT text) FROM k) AS BIGINT) AS n_unique
         """,
         "dedup_replicated_corpus": """
             WITH w AS (SELECT text FROM documents

@@ -134,6 +134,65 @@ def dedup_replicated_corpus(sf_dir: str):
     )
 
 
+def cc_pipeline_audit(sf_dir: str):
+    """The canonical training-data pipeline composed end-to-end over a
+    ×2-replicated crawl: extract → Gopher-style quality filter (on the
+    EXTRACTED text) → exact dedup — returning the stage-by-stage audit
+    (rows in, ok, kept-by-quality, unique after dedup). This is the shape a
+    100 TB run takes; every count is oracle-derivable because extraction is
+    byte-exact and the rules are integer arithmetic."""
+    import pandas as pd
+
+    from ..functions.hashing import sha256_hex
+    from ..functions.quality import quality_features
+
+    pages = corpus.read_pages(sf_dir, replicate=2, fanout_blocks=32)
+    ext = extract_pages(pages)
+
+    def quality_keep(t: pa.Table) -> pa.Table:
+        ok = t.filter(pc.equal(t.column("status"), "ok"))
+        feats = quality_features(
+            pa.table({"text": pc.cast(ok.column("extracted_text"), pa.string())})
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(feats.column("n_tokens"), 10),
+                pc.less_equal(feats.column("n_tokens"), 200),
+            ),
+            pc.greater_equal(
+                pc.multiply(feats.column("n_stop"), 10), feats.column("n_tokens")
+            ),
+        )
+        kept = ok.filter(keep)
+        return pa.table(
+            {
+                "n_in": pa.array([t.num_rows], pa.int64()),
+                "n_ok": pa.array([ok.num_rows], pa.int64()),
+                "n_kept": pa.array([kept.num_rows], pa.int64()),
+                "text_sha": pa.array(
+                    [
+                        "|".join(
+                            sha256_hex(v)
+                            for v in kept.column("extracted_text").to_pylist()
+                        )
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    parts = ext.map_batches(quality_keep, batch_format="pyarrow").to_pandas()
+    shas = [s for joined in parts.text_sha if joined for s in joined.split("|")]
+    return pd.DataFrame(
+        {
+            "n_pages": [int(parts.n_in.sum())],
+            "n_ok": [int(parts.n_ok.sum())],
+            "n_quality_kept": [int(parts.n_kept.sum())],
+            "n_unique": [len(set(shas))],
+        }
+    )
+
+
 def langid_predict(sf_dir: str):
     """n-gram-profile language ID as an actor-pool stage (model state built
     once per actor). No SQL oracle (heuristic model) — rows-only check."""
