@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": relational.part_brand_stats,
         "supplier_enrich": relational.supplier_enrich,
         "json_parse_tolerant": relational.json_parse_tolerant,
+        "pii_scrub": relational.pii_scrub,
         "hash_bucket_counts": relational.hash_bucket_counts,
         # --- filters (§2.2) ------------------------------------------------
         "amount_threshold_filter": relational.amount_threshold_filter,
@@ -260,6 +261,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)"
             " AS k_val FROM events"
         ),
+        "pii_scrub": """
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+                '\\d{3}[-.]\\d{3}[-.]\\d{4}', '[REDACTED]', 'g'),
+                '\\d{13,16}', '[REDACTED]', 'g') AS cleaned,
+              CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(text, '\\d{3}[-.]\\d{3}[-.]\\d{4}'))
+                + len(regexp_extract_all(text, '\\d{13,16}')) AS BIGINT) AS n_pii
+            FROM documents
+        """,
         "hash_bucket_counts": """
             SELECT CAST((o_orderkey * 2654435761) % 64 AS INTEGER) AS bucket,
               CAST(COUNT(*) AS BIGINT) AS n_rows

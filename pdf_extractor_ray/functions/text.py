@@ -57,6 +57,33 @@ def standardize_column(col) -> pa.Array:
     return pc.replace_substring_regex(out, pattern=r"\W+", replacement="_")
 
 
+# PII patterns (RE2-compatible — no lookarounds — so the DuckDB oracle can
+# mirror them exactly); order matters: email before phone before card-run
+PII_PATTERNS = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",  # email
+    r"\d{3}[-.]\d{3}[-.]\d{4}",  # phone-like
+    r"\d{13,16}",  # card-number-like digit run
+)
+PII_REPLACEMENT = "[REDACTED]"
+
+
+def count_pii(col) -> pa.Array:
+    """Per-row count of PII-looking matches (emails + phones + digit runs)."""
+    total = pc.count_substring_regex(col, pattern=PII_PATTERNS[0])
+    for p in PII_PATTERNS[1:]:
+        total = pc.add(total, pc.count_substring_regex(col, pattern=p))
+    return pc.cast(total, pa.int64())
+
+
+def scrub_pii(col) -> pa.Array:
+    """Redact PII-looking substrings (standard training-data hygiene op):
+    vectorized regex replacement chain, deterministic placeholder token."""
+    out = col
+    for p in PII_PATTERNS:
+        out = pc.replace_substring_regex(out, pattern=p, replacement=PII_REPLACEMENT)
+    return out
+
+
 def normalize_nfkd_ascii(value: str) -> str:
     """Unicode NFKD + ASCII fold (utils/utils.py:205's aggressive normalize
     used by the statement-date extractor before regex matching)."""

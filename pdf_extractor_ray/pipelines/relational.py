@@ -984,6 +984,27 @@ def supplier_enrich(sf_dir: str):
     return ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def pii_scrub(sf_dir: str):
+    """PII hygiene pass (training-data standard): redact email/phone/card
+    patterns and count hits per document — a no-op on this clean corpus by
+    construction (n_pii = 0), which the oracle verifies; the kernel's
+    behavior on dirty text is pinned in unit tests."""
+    from ..functions.text import count_pii, scrub_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cleaned": scrub_pii(t.column("text")),
+                "n_pii": count_pii(t.column("text")),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def json_parse_tolerant(sf_dir: str):
     """Tolerant JSON parse (amazon_parser.py:293-302 json.loads/literal_eval
     fallback semantics): real json.loads per row — the per-row cost is

@@ -163,3 +163,20 @@ def test_hll_accuracy_and_mergeability():
     m2 = HyperLogLog.from_bytes(b.to_bytes()).merge(a).estimate()
     assert m1 == m2
     assert abs(m1 - 15_000) / 15_000 < 0.05
+
+
+def test_pii_scrub_and_count():
+    from pdf_extractor_ray.functions.text import count_pii, scrub_pii
+
+    col = pa.array(
+        [
+            "contact me at jane.doe@example.com or 555-123-4567 ok",
+            "card 4111111111111111 was used",
+            "no pii here at all",
+        ]
+    )
+    assert count_pii(col).to_pylist() == [2, 1, 0]
+    cleaned = scrub_pii(col).to_pylist()
+    assert cleaned[0] == "contact me at [REDACTED] or [REDACTED] ok"
+    assert cleaned[1] == "card [REDACTED] was used"
+    assert cleaned[2] == "no pii here at all"
