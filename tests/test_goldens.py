@@ -87,3 +87,20 @@ def test_multiblock_corpus_distributed_matches_sequential(sf_dir):
             n_multi += 1
             assert "\n" in r["extracted_text"]
     assert n_multi > 300  # most html docs split into multiple content blocks
+
+
+def test_sf01_goldens_byte_identity():
+    """10× corpus byte-identity: 5000 docs against the frozen sf0.1 goldens."""
+    from pdf_extractor_ray import corpus
+    from pdf_extractor_ray.pipelines.extract import extract_pages
+
+    golden = pq.read_table("tests/goldens/goldens_sf0.1.parquet").to_pandas().set_index("url")
+    out = (
+        extract_pages(corpus.read_pages("/root/testdata/sf0.1", fanout_blocks=32))
+        .to_pandas()
+        .set_index("url")
+    )
+    assert set(out.index) == set(golden.index)
+    g = golden.loc[out.index]
+    assert (out["extracted_text"] == g["extracted_text"]).all()
+    assert (out["status"] == g["status"]).all()

@@ -65,3 +65,40 @@ def test_warc_malformed_records_are_flagged_not_fatal():
     cols = parse_warc_bytes(good + short)
     assert cols["warc_error"][1] == "warc_short_payload"
     assert cols["html"][0] == b"abc"
+
+
+def test_warc_roundtrip_property_adversarial_payloads():
+    """Well-formed records always round-trip — even when payloads contain
+    CRLFs, header-like lines, or the WARC magic itself (Content-Length
+    framing must win over content sniffing)."""
+    from hypothesis import given, settings, strategies as st
+
+    payloads = st.lists(
+        st.binary(min_size=0, max_size=200) | st.just(b"WARC/1.0\r\nWARC-Date: x\r\n\r\n"),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=40, deadline=None, derandomize=True)
+    @given(ps=payloads)
+    def run(ps):
+        import io
+
+        recs = [
+            {"url": f"https://x/{i}", "warc_ts_us": 1_700_000_000_000_000 + i, "payload": p}
+            for i, p in enumerate(ps)
+        ]
+        import tempfile, os
+
+        with tempfile.NamedTemporaryFile(delete=False) as f:
+            path = f.name
+        try:
+            write_warc_like(recs, path)
+            cols = parse_warc_bytes(open(path, "rb").read())
+            assert cols["url"] == [r["url"] for r in recs]
+            assert cols["html"] == [r["payload"] for r in recs]
+            assert cols["warc_error"] == [None] * len(recs)
+        finally:
+            os.unlink(path)
+
+    run()
