@@ -71,3 +71,22 @@ def test_part_id_is_stable_partitioning_key(sf_dir):
     m1 = dict(zip(out.url, out.part_id))
     m2 = dict(zip(again.url, again.part_id))
     assert m1 == m2
+
+
+def test_actor_mode_equals_task_mode(sf_dir):
+    """Execution mode (actor pool vs stateless tasks) must not affect
+    results — same rows keyed by url."""
+    a = (
+        extract_pages(corpus.read_pages(sf_dir, fanout_blocks=8))
+        .to_pandas()
+        .set_index("url")
+        .sort_index()
+    )
+    b = (
+        extract_pages(corpus.read_pages(sf_dir, fanout_blocks=8), concurrency=2)
+        .to_pandas()
+        .set_index("url")
+        .sort_index()
+    )
+    for col in ("extracted_text", "status", "n_blocks", "extractor", "part_id"):
+        assert (a[col] == b[col]).all(), col
