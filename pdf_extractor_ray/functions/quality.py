@@ -30,6 +30,7 @@ def quality_features(batch: pa.Table, text_col: str = "text", stopwords: list[st
         zero_copy_only=False
     )
     offsets = lists.offsets.to_numpy(zero_copy_only=False)
+    offsets = offsets - offsets[0]  # flatten() re-bases sliced arrays at 0
     cum = np.concatenate([[0], np.cumsum(hits)])
     n_stop = (cum[offsets[1:]] - cum[offsets[:-1]]).astype(np.int64)
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())

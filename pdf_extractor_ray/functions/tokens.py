@@ -50,5 +50,8 @@ def count_in_set(col, vocab: list[str]) -> pa.Array:
     hits = pc.cast(pc.is_in(lists.flatten(), value_set=pa.array(vocab)), pa.int64())
     hits_np = hits.to_numpy(zero_copy_only=False)
     offsets = lists.offsets.to_numpy(zero_copy_only=False)
+    # flatten() re-bases a sliced ListArray at 0 while .offsets keeps the
+    # original base — normalize so segment sums stay aligned
+    offsets = offsets - offsets[0]
     cum = np.concatenate([[0], np.cumsum(hits_np)])
     return pa.array((cum[offsets[1:]] - cum[offsets[:-1]]).astype(np.int64))

@@ -232,12 +232,15 @@ def embedding_near_dup(
         m = np.stack(g["vec"].to_numpy())
         cos = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
-        mask = cos[ia, ib] >= threshold
+        # round BEFORE thresholding so borderline pairs agree with
+        # embedding_dup_exact (which thresholds the rounded value)
+        cos_r = np.round(cos[ia, ib], 6)
+        mask = cos_r >= threshold
         return pd.DataFrame(
             {
                 "vec_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
                 "vec_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
-                "cos_r": np.round(cos[ia, ib][mask], 6),
+                "cos_r": cos_r[mask],
             }
         )
 

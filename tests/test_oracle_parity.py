@@ -40,11 +40,22 @@ def _canon(obj) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+# The driver grades hash-exact at sf0.01; local CI must cover BOTH the fast
+# iteration scale and the graded scale so data-dependent divergences
+# (rounding ties, regex edge cases) cannot pass locally and fail grading.
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.fixture(scope="module", params=SF_DIRS, ids=["sf0.001", "sf0.01"])
+def parity_sf(request):
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def con(sf_dir):
+def con(parity_sf):
     c = duckdb.connect()
     for t in TABLES:
-        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{parity_sf}/{t}.parquet')")
     return c
 
 
@@ -53,8 +64,8 @@ def test_oracle_keys_subset_of_queries():
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_query_matches_oracle(name, sf_dir, con):
-    got = _canon(QUERIES[name](sf_dir))
+def test_query_matches_oracle(name, parity_sf, con):
+    got = _canon(QUERIES[name](parity_sf))
     want = _canon(con.sql(ORACLES[name]).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
