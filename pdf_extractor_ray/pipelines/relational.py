@@ -527,6 +527,17 @@ def explode_struct_items(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
 
     def nest(t: pa.Table) -> pa.Table:
+        # batch-level nesting over sorted RUN BOUNDARIES (VERDICT r1 #4):
+        # one vectorized pass builds every order's list in this batch —
+        # no per-order-key map_groups (~1 ms/group, fatal at billions of
+        # orders). The upstream key sort co-locates orders; a key straddling
+        # a block boundary yields two partial lists, which the explode half
+        # reabsorbs exactly (strict one-row-per-key would take key-hash
+        # partitioned blocks).
+        t = t.sort_by([("l_orderkey", "ascending"), ("l_linenumber", "ascending")])
+        keys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(keys)) + 1
+        offsets = np.concatenate([[0], bounds, [len(keys)]]).astype(np.int32)
         struct = pa.StructArray.from_arrays(
             [
                 t.column("l_linenumber").combine_chunks(),
@@ -534,12 +545,14 @@ def explode_struct_items(sf_dir: str):
             ],
             names=["l_linenumber", "l_quantity"],
         )
-        items = pa.ListArray.from_arrays(pa.array([0, t.num_rows], pa.int32()), struct)
+        items = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
         return pa.table(
-            {"l_orderkey": pa.array([t.column("l_orderkey")[0].as_py()]), "items": items}
+            {"l_orderkey": pa.array(keys[offsets[:-1]]), "items": items}
         )
 
-    nested = ds.groupby("l_orderkey").map_groups(nest, batch_format="pyarrow")
+    nested = ds.sort("l_orderkey").map_batches(
+        nest, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
 
     def explode(t: pa.Table) -> pa.Table:
         items = t.column("items")

@@ -101,7 +101,7 @@ def dedup_replicated_corpus(sf_dir: str):
     (n_rows, n_groups, max_group); the oracle knows every well-formed text
     must appear exactly twice and collapse to one group."""
     import pandas as pd
-    from ray.data.aggregate import Count, Max
+    from ray.data.aggregate import Count, Max, Sum
 
     from ..functions.hashing import sha256_hex
 
@@ -119,17 +119,24 @@ def dedup_replicated_corpus(sf_dir: str):
             }
         )
 
-    groups = (
+    # round 2 (VERDICT r1 #3): the group table never reaches the driver —
+    # a second (global) aggregate chained on the groupby reduces it to three
+    # scalars; one streaming execution end-to-end
+    agg = (
         ext.map_batches(hash_ok, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("text_sha")
         .aggregate(Count(alias_name="n"))
-        .to_pandas()
+        .aggregate(
+            Sum(on="n", alias_name="n_rows"),
+            Count(alias_name="n_groups"),
+            Max(on="n", alias_name="max_group"),
+        )
     )
     return pd.DataFrame(
         {
-            "n_rows": [int(groups.n.sum())],
-            "n_groups": [len(groups)],
-            "max_group": [int(groups.n.max())],
+            "n_rows": [int(agg["n_rows"])],
+            "n_groups": [int(agg["n_groups"])],
+            "max_group": [int(agg["max_group"])],
         }
     )
 
@@ -164,32 +171,59 @@ def cc_pipeline_audit(sf_dir: str):
             ),
         )
         kept = ok.filter(keep)
+        # mixed-granularity output, one schema: one sha row per KEPT doc
+        # (counters zero) + one counter row per batch (sentinel sha "" —
+        # impossible as a real sha). Lets the unique-count groupby and the
+        # stage counters ride ONE streaming execution (VERDICT r1 #3).
+        n_kept = kept.num_rows
+        shas = [sha256_hex(v) for v in kept.column("extracted_text").to_pylist()]
         return pa.table(
             {
-                "n_in": pa.array([t.num_rows], pa.int64()),
-                "n_ok": pa.array([ok.num_rows], pa.int64()),
-                "n_kept": pa.array([kept.num_rows], pa.int64()),
-                "text_sha": pa.array(
-                    [
-                        "|".join(
-                            sha256_hex(v)
-                            for v in kept.column("extracted_text").to_pylist()
-                        )
-                    ],
-                    pa.string(),
-                ),
+                "text_sha": pa.array(shas + [""], pa.string()),
+                "n_in": pa.array([0] * n_kept + [t.num_rows], pa.int64()),
+                "n_ok": pa.array([0] * n_kept + [ok.num_rows], pa.int64()),
+                "n_kept": pa.array([0] * n_kept + [n_kept], pa.int64()),
             }
         )
 
-    parts = ext.map_batches(quality_keep, batch_format="pyarrow").to_pandas()
-    shas = [s for joined in parts.text_sha if joined for s in joined.split("|")]
+    from ray.data.aggregate import Sum
+
+    groups = (
+        ext.map_batches(quality_keep, batch_format="pyarrow")
+        .groupby("text_sha")
+        .aggregate(
+            Sum(on="n_in", alias_name="n_in"),
+            Sum(on="n_ok", alias_name="n_ok"),
+            Sum(on="n_kept", alias_name="n_kept"),
+        )
+    )
+
+    def finish_partial(t: pa.Table) -> pa.Table:
+        # counter group ("") carries the stage totals; every other group is
+        # one distinct kept text
+        is_counter = pc.equal(t.column("text_sha"), "")
+        n_counter = pc.sum(pc.cast(is_counter, pa.int64())).as_py() or 0
+        return pa.table(
+            {
+                "n_pages": pa.array([pc.sum(t.column("n_in")).as_py() or 0], pa.int64()),
+                "n_ok": pa.array([pc.sum(t.column("n_ok")).as_py() or 0], pa.int64()),
+                "n_quality_kept": pa.array([pc.sum(t.column("n_kept")).as_py() or 0], pa.int64()),
+                "n_unique": pa.array([t.num_rows - n_counter], pa.int64()),
+            }
+        )
+
+    agg = groups.map_batches(finish_partial, batch_format="pyarrow").sum(
+        ["n_pages", "n_ok", "n_quality_kept", "n_unique"]
+    )
     return pd.DataFrame(
-        {
-            "n_pages": [int(parts.n_in.sum())],
-            "n_ok": [int(parts.n_ok.sum())],
-            "n_quality_kept": [int(parts.n_kept.sum())],
-            "n_unique": [len(set(shas))],
-        }
+        [
+            {
+                "n_pages": int(agg["sum(n_pages)"]),
+                "n_ok": int(agg["sum(n_ok)"]),
+                "n_quality_kept": int(agg["sum(n_quality_kept)"]),
+                "n_unique": int(agg["sum(n_unique)"]),
+            }
+        ]
     )
 
 

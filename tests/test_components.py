@@ -63,6 +63,23 @@ def test_dup_components_over_embeddings(sf_dir):
         assert mapped.get(r, r) == r
 
 
+def test_embedding_lsh_recall_against_exact(sf_dir):
+    """embedding_dup_exact is the O(n²) recall yardstick (tests only);
+    dup_components' LSH generator must find ≥90% of its pairs with perfect
+    precision (verify stage is exact)."""
+    from pdf_extractor_ray.pipelines.similarity import (
+        embedding_dup_exact,
+        embedding_near_dup,
+    )
+
+    ex = embedding_dup_exact(sf_dir, threshold=0.4).to_pandas()
+    ls = embedding_near_dup(sf_dir, threshold=0.4, n_bands=16, planes_per_band=4).to_pandas()
+    ex_set = set(zip(ex.vec_a, ex.vec_b))
+    ls_set = set(zip(ls.vec_a.astype(int), ls.vec_b.astype(int)))
+    assert ls_set <= ex_set  # exact verify ⇒ precision 1.0
+    assert len(ex_set & ls_set) / len(ex_set) >= 0.9
+
+
 def test_ivf_recall_against_exact_topk(sf_dir):
     """Trained IVF codebook: probe results overlap the exact top-k well and
     the codebook is deterministic across calls."""
