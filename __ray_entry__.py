@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_bloom": relational.semi_join_bloom,
         "anti_join_keys": relational.anti_join_keys,
         "fuzzy_topic_join": enrich.fuzzy_topic_join,
+        "fuzzy_edit_join": enrich.fuzzy_edit_join,
         "asof_join_last_signup": enrich.asof_join_last_signup,
         # --- stateful enrichment (§2.3 three-pass classifier pattern) ------
         "classify_three_pass": enrich.classify_three_pass,
@@ -369,6 +370,33 @@ def oracle_sql() -> dict[str, str]:
                    WHEN o2 >= o3 THEN 'sort order key'
                    ELSE 'filter scan row' END AS topic
             FROM s
+        """,
+        "fuzzy_edit_join": """
+            WITH lookup AS (
+              SELECT p_partkey AS topic_id,
+                     array_to_string(list_sort(string_split(
+                       array_to_string(list_reverse(string_split(p_name, ' ')), ' '),
+                       ' ')), ' ') AS topic_sorted
+              FROM part WHERE p_partkey < 50
+            ), probes AS (
+              SELECT p_partkey,
+                     array_to_string(list_sort(string_split(p_name, ' ')), ' ') AS name_sorted
+              FROM part WHERE p_partkey < 200
+            ), scored AS (
+              SELECT pr.p_partkey, lk.topic_id,
+                     ROUND(1.0 - levenshtein(pr.name_sorted, lk.topic_sorted)::DOUBLE
+                           / GREATEST(length(pr.name_sorted), length(lk.topic_sorted), 1),
+                           6) AS sim
+              FROM probes pr CROSS JOIN lookup lk
+            ), best AS (
+              SELECT p_partkey, topic_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                        ORDER BY sim DESC, topic_id ASC) AS rn
+              FROM scored WHERE sim >= 0.8
+            )
+            SELECT pr.p_partkey, b.topic_id, b.sim
+            FROM probes pr
+            LEFT JOIN best b ON b.p_partkey = pr.p_partkey AND b.rn = 1
         """,
         "asof_join_last_signup": """
             SELECT f.event_id,

@@ -173,6 +173,58 @@ def classify_escalate(sf_dir: str):
     )
 
 
+def classify_escalate_resumable(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    fail_after_passes: int | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """The escalation pair with a checkpoint BETWEEN passes — the
+    reference's ``resume_from_pass`` (transaction_classifier.py:193-208:
+    per-pass snapshots, resume skips completed passes). Each pass snapshots
+    its full output to parquet and commits a marker (tmp+rename, marker
+    after data); a re-run after a crash recomputes ONLY uncommitted passes,
+    reading the prior pass's snapshot instead of its lineage.
+
+    ``fail_after_passes`` injects a crash between passes (resume test).
+    Returns {"passes_run": n, "result": Dataset over the final snapshot}.
+    """
+    import uuid
+
+    import ray.data as rd
+
+    from ..state.lineage import PassCheckpointer
+
+    ck = PassCheckpointer(out_dir)
+    run_id = run_id or uuid.uuid4().hex[:12]
+    passes_run = 0
+
+    if not ck.done("fast"):
+        if fail_after_passes is not None and passes_run >= fail_after_passes:
+            raise RuntimeError("injected_failure")
+        docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        fast = docs.map_batches(
+            FastClassifier, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None, concurrency=(1, 4),
+        )
+        ck.write_pass("fast", fast, run_id)
+        passes_run += 1
+
+    if not ck.done("precise"):
+        if fail_after_passes is not None and passes_run >= fail_after_passes:
+            raise RuntimeError("injected_failure")
+        p1 = rd.read_parquet(ck.data_dir("fast"))
+        precise = p1.map_batches(
+            PreciseClassifier, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None, concurrency=(1, 2),
+        )
+        ck.write_pass("precise", precise, run_id)
+        passes_run += 1
+
+    return {"passes_run": passes_run, "result": rd.read_parquet(ck.data_dir("precise"))}
+
+
 # ---------------------------------------------------------------------------
 # fuzzy broadcast similarity join (§2.4 rapidfuzz topic↔TOC merge)
 # ---------------------------------------------------------------------------
@@ -212,6 +264,66 @@ def fuzzy_topic_join(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fuzzy_edit_join(sf_dir: str, threshold: float = 0.8, n_lookup: int = 50, n_probe: int = 200):
+    """Reference-fidelity fuzzy best-match merge
+    (organizer_extractor.py:603-658: token_sort_ratio ≥ 80, keep the best,
+    else unmatched): probes = part names (p_partkey < n_probe), lookup = the
+    first n_lookup part names with WORD ORDER REVERSED — token-sorting must
+    see through the reversal. Similarity is token-sort Levenshtein
+    (functions/fuzzy.py), oracle-exact vs DuckDB ``levenshtein()``.
+
+    Shape: broadcast the (small) lookup once via ``ray.put``; each batch
+    scores its rows against all lookup entries with the per-worker-cached
+    edit-distance kernel — a broadcast nested-loop similarity join, the
+    100 TB pattern for a bounded lookup side. Ties keep the smallest
+    topic_id; below threshold → null (the reference's unmatched branch)."""
+    import ray
+
+    from ..functions.fuzzy import token_sort_key, token_sort_similarity
+
+    lk = (
+        _read(sf_dir, "part", ["p_partkey", "p_name"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t.column("p_partkey"), n_lookup)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    lookup = [
+        (int(k), " ".join(reversed(name.split(" "))))
+        for k, name in zip(lk.p_partkey, lk.p_name)
+    ]
+    lookup_ref = ray.put(lookup)
+
+    def match(t: pa.Table) -> pa.Table:
+        pairs = ray.get(lookup_ref)
+        ids, sims = [], []
+        for name in t.column("p_name").to_pylist():
+            best_id, best_sim = None, None
+            for tid, lname in pairs:
+                s = token_sort_similarity(name, lname)
+                if s >= threshold and (best_sim is None or s > best_sim):
+                    best_id, best_sim = tid, s  # ties keep first (smallest id)
+            ids.append(best_id)
+            sims.append(best_sim)
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "topic_id": pa.array(ids, type=pa.int64()),
+                "sim": pa.array(sims, type=pa.float64()),
+            }
+        )
+
+    probes = _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda t: t.filter(pc.less(t.column("p_partkey"), n_probe)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return probes.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

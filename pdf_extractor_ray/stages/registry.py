@@ -84,7 +84,17 @@ class ExtractorRegistry:
 
 
 def default_registry() -> ExtractorRegistry:
+    """Default chain. When a real PDF library is importable (pdfplumber /
+    pypdf / PyPDF2 / fitz — the reference's cascade, utils.py:142-262) the
+    real-PDF adapter is registered FIRST: its sniff claims real ``%PDF``
+    object-stream payloads while the synthetic positioned-token format still
+    routes to the XY-cut reader. In this container no backend imports, so
+    the chain is unchanged and real PDFs surface as honest error rows."""
+    from .pdf_real import RealPdfExtractor, available_backends
+
     reg = ExtractorRegistry()
+    if available_backends():  # pragma: no cover — no PDF lib in container
+        reg.register(RealPdfExtractor())
     reg.register(PdfExtractor())
     reg.register(HtmlExtractor())
     return reg

@@ -73,6 +73,61 @@ class LineageLedger:
         os.replace(tmp, final)
 
 
+class PassCheckpointer:
+    """Per-PASS checkpoints for multi-pass enrichment — the engine's form of
+    the reference's ``resume_from_pass`` + per-pass CSV snapshots
+    (/root/reference/dataextractai/agents/transaction_classifier.py:193-208,
+    245-248). Pass-keyed where ``LineageLedger`` is partition-keyed: a pass
+    is committed iff its marker file exists; markers are written tmp+rename
+    AFTER the pass's parquet snapshot, so a crash leaves either nothing or a
+    fully-committed pass, and resume skips committed passes entirely.
+
+    Layout under ``out_dir``::
+
+        pass-<name>/data/*.parquet    the pass's full output snapshot
+        pass-<name>/_done-<run_id>    commit marker (empty file)
+    """
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _pass_dir(self, name: str) -> str:
+        return os.path.join(self.out_dir, f"pass-{name}")
+
+    def data_dir(self, name: str) -> str:
+        return os.path.join(self._pass_dir(name), "data")
+
+    def done(self, name: str) -> bool:
+        d = self._pass_dir(name)
+        return os.path.isdir(d) and any(f.startswith("_done-") for f in os.listdir(d))
+
+    def committed_run_id(self, name: str) -> str | None:
+        d = self._pass_dir(name)
+        if not os.path.isdir(d):
+            return None
+        for f in sorted(os.listdir(d)):
+            if f.startswith("_done-"):
+                return f[len("_done-"):]
+        return None
+
+    def write_pass(self, name: str, ds, run_id: str) -> None:
+        """Snapshot ``ds`` (a Dataset) then commit. An uncommitted data dir
+        is garbage from a mid-write crash — cleared before the rewrite."""
+        import shutil
+
+        data = self.data_dir(name)
+        if os.path.isdir(data) and not self.done(name):
+            shutil.rmtree(data)
+        os.makedirs(data, exist_ok=True)
+        ds.write_parquet(data)
+        marker = os.path.join(self._pass_dir(name), f"_done-{run_id}")
+        tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w"):
+            pass
+        os.replace(tmp, marker)
+
+
 def _add_part_id_to_pages(batch: pa.Table, num_partitions: int) -> pa.Table:
     """Cheap url-hash partition id on the PAGES side, so resume filtering
     happens before extraction (the expensive stage)."""
