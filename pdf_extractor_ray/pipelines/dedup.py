@@ -79,7 +79,23 @@ class MinHashBander:
         )
 
 
-def minhash_candidates(sf_dir: str, concurrency=(2, 16), mode: str = "word"):
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _cached_bander(num_perm: int, num_bands: int, shingle_k: int, mode: str) -> MinHashBander:
+    return MinHashBander(num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k, mode=mode)
+
+
+def _band_batch(t: pa.Table, *, mode: str) -> pa.Table:
+    """Stateless-task form of the bander: hash family cached once per worker
+    PROCESS (NOTES: cheap-state stages run ~3× faster as tasks + lru_cache
+    than as an autoscaling actor pool — no ramp-up, full task parallelism).
+    The actor-pool class stays available for heavy-state configurations."""
+    return _cached_bander(NUM_PERM, NUM_BANDS, 3, mode)(t)
+
+
+def minhash_candidates(sf_dir: str, concurrency=None, mode: str = "word"):
     """documents → (band_id, band_hash) buckets → unique candidate pairs.
 
     Two-phase bucket join: (1) a NATIVE count aggregate finds buckets with
@@ -91,16 +107,23 @@ def minhash_candidates(sf_dir: str, concurrency=(2, 16), mode: str = "word"):
     import ray
     from ray.data.aggregate import Count
 
+    from functools import partial
+
     bands = (
         _read_docs(sf_dir)
         .repartition(32)  # single-file read fan-out (see corpus.read_pages note)
         .map_batches(
-            MinHashBander,
-            fn_constructor_kwargs={"mode": mode},
+            partial(_band_batch, mode=mode)
+            if concurrency is None
+            else MinHashBander,
+            **(
+                {}
+                if concurrency is None
+                else {"fn_constructor_kwargs": {"mode": mode}, "concurrency": concurrency}
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=None,
-            concurrency=concurrency,
         )
     )
     # sketch once, reuse twice (count pass + pair pass): the band table is
@@ -296,20 +319,63 @@ _EMPTY_PAIRS = {
     "jaccard_r": pd.Series([], dtype=np.float64),
 }
 
+#: below this many candidate pairs the two bucket shuffles of the co-grouped
+#: verify cost more than shipping the (semi-joined) candidate texts once —
+#: same smallness-crossover reasoning as connected_components' driver_threshold
+BROADCAST_PAIRS_THRESHOLD = 100_000
+
+
+def _verify_pairs_broadcast(pairs_ds, texts_ds, sim_fn, threshold: float):
+    """Small-candidate crossover verify: the candidate texts — already
+    semi-join-filtered on the WORKERS, never a corpus read — are collected
+    once and broadcast; verify is a single map_batches over the pairs.
+    Identical output to ``_verify_pairs_cogrouped`` (golden-pinned)."""
+    import ray
+
+    tdf = texts_ds.to_pandas()
+    texts_ref = ray.put(dict(zip(tdf.doc_id, tdf.text)))
+
+    def verify(t: pa.Table) -> pa.Table:
+        m = ray.get(texts_ref)
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        jac = np.round([sim_fn(m[x], m[y]) for x, y in zip(a, b)], 6)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], type=pa.int64()),
+                "doc_b": pa.array(b[keep], type=pa.int64()),
+                "jaccard_r": pa.array(jac[keep], type=pa.float64()),
+            }
+        )
+
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def _verify_candidates(sf_dir: str, pairs, n_cand: int, sim_fn, threshold: float):
+    """Shared verify tail: broadcast-texts below the crossover, bucketed
+    co-group above it. Both paths read texts via the distributed semi-join."""
+    ids_ref = _broadcast_candidate_ids(pairs)
+    texts = _candidate_texts(sf_dir, ids_ref)
+    if n_cand <= BROADCAST_PAIRS_THRESHOLD:
+        return _verify_pairs_broadcast(pairs, texts, sim_fn, threshold)
+    return _verify_pairs_cogrouped(pairs, texts, sim_fn, threshold)
+
 
 def minhash_near_dup(sf_dir: str, threshold: float = 0.6):
     """Candidate pairs (deduped across bands, distributed) verified by exact
-    shingle Jaccard with the co-grouped verify — only the candidate ID SET
-    touches the driver; texts flow worker-to-worker via the bucket shuffle."""
+    shingle Jaccard. Only the candidate ID SET (and, below the smallness
+    crossover, the semi-joined candidate texts) touches the driver — the
+    full corpus never does; above the crossover texts flow worker-to-worker
+    via the bucket shuffle (``_verify_pairs_cogrouped``)."""
     cand_ds = minhash_candidates(sf_dir)
     if cand_ds is None:
         return pd.DataFrame(_EMPTY_PAIRS)
     pairs = _dedup_pairs(cand_ds).materialize()  # tiny: 2 int cols, consumed twice
-    if pairs.count() == 0:
+    n_cand = pairs.count()
+    if n_cand == 0:
         return pd.DataFrame(_EMPTY_PAIRS)
-    ids_ref = _broadcast_candidate_ids(pairs)
-    texts = _candidate_texts(sf_dir, ids_ref)
-    return _verify_pairs_cogrouped(pairs, texts, _jaccard_word_shingles, threshold)
+    return _verify_candidates(sf_dir, pairs, n_cand, _jaccard_word_shingles, threshold)
 
 
 def connected_components(
@@ -603,6 +669,5 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9, max_candidates: int
         )
         # distributed sort + limit: the deterministic lowest-(a,b) prefix
         pairs = pairs.sort(["doc_a", "doc_b"]).limit(max_candidates).materialize()
-    ids_ref = _broadcast_candidate_ids(pairs)
-    texts = _candidate_texts(sf_dir, ids_ref)
-    return _verify_pairs_cogrouped(pairs, texts, _jaccard_char_ngrams, threshold)
+        n_cand = max_candidates
+    return _verify_candidates(sf_dir, pairs, n_cand, _jaccard_char_ngrams, threshold)

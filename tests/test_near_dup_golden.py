@@ -23,10 +23,17 @@ def _canon(obj) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+@pytest.mark.parametrize("path", ["broadcast", "cogrouped"])
 @pytest.mark.parametrize(
     "name,fn", [("minhash_near_dup", minhash_near_dup), ("ngram_jaccard_pairs", ngram_jaccard_pairs)]
 )
-def test_near_dup_matches_round1_golden(name, fn, sf_dir):
+def test_near_dup_matches_round1_golden(name, fn, path, sf_dir, monkeypatch):
+    # both verify paths — the small-candidate broadcast crossover and the
+    # scale-path bucketed co-group — must produce identical, golden-pinned rows
+    from pdf_extractor_ray.pipelines import dedup as dedup_mod
+
+    if path == "cogrouped":
+        monkeypatch.setattr(dedup_mod, "BROADCAST_PAIRS_THRESHOLD", 0)
     got = _canon(fn(sf_dir))
     want = _canon(pd.read_parquet(f"{GOLDEN_DIR}/{name}_sf0.001.parquet"))
     pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
