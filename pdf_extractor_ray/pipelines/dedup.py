@@ -404,8 +404,15 @@ def connected_components(
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    pairs = pairs_ds.to_pandas() if not isinstance(pairs_ds, pd.DataFrame) else pairs_ds
-    if len(pairs) <= driver_threshold:
+    # smallness decision WITHOUT pulling a Dataset to the driver: count first
+    # (pairs are 2 int columns — materialize is cheap and reused below)
+    if isinstance(pairs_ds, pd.DataFrame):
+        n_pairs = len(pairs_ds)
+    else:
+        pairs_ds = pairs_ds.materialize()
+        n_pairs = pairs_ds.count()
+    if n_pairs <= driver_threshold:
+        pairs = pairs_ds.to_pandas() if not isinstance(pairs_ds, pd.DataFrame) else pairs_ds
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -423,17 +430,38 @@ def connected_components(
         return rd.from_pandas(
             pd.DataFrame(rows, columns=["node", "component"]).astype(np.int64)
         )
-    # build the symmetric edge list once (small: one row per near-dup pair)
-    a = pairs[col_a].to_numpy()
-    b = pairs[col_b].to_numpy()
-    edges_pd = pd.DataFrame(
-        {"key": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
-    ).drop_duplicates()
-    nodes = np.unique(edges_pd["key"].to_numpy())
-    labels = rd.from_pandas(pd.DataFrame({"node": nodes, "label": nodes}))
-    if len(nodes) == 0:
-        return labels
-    edges = rd.from_pandas(edges_pd)
+    # distributed path: edges never touch the driver. Build the deduped
+    # symmetric edge list with one map + one groupby shuffle.
+    if isinstance(pairs_ds, pd.DataFrame):
+        pairs_ds = rd.from_pandas(pairs_ds)
+
+    def sym_edges(t: pa.Table) -> pa.Table:
+        a = t.column(col_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(col_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = (
+        pairs_ds.map_batches(sym_edges, batch_format="pyarrow")
+        .groupby(["key", "dst"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    labels = (
+        edges.groupby("key")
+        .count()
+        .drop_columns(["count()"])
+        .map_batches(
+            lambda t: pa.table({"node": t.column("key"), "label": t.column("key")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
         key = int(g["key"].iloc[0])
@@ -495,12 +523,34 @@ def connected_components_star(pairs_ds, col_a: str = "doc_a", col_b: str = "doc_
     """
     import ray.data as rd
 
-    pairs = pairs_ds.to_pandas() if not isinstance(pairs_ds, pd.DataFrame) else pairs_ds
-    a = pairs[col_a].to_numpy(dtype=np.int64)
-    b = pairs[col_b].to_numpy(dtype=np.int64)
-    nodes = np.unique(np.concatenate([a, b]))
-    edges = rd.from_pandas(
-        pd.DataFrame({"u": np.concatenate([a, b]), "v": np.concatenate([b, a])}).drop_duplicates()
+    if isinstance(pairs_ds, pd.DataFrame):
+        pairs_ds = rd.from_pandas(pairs_ds)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(col_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(col_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"u": pa.array(np.concatenate([a, b])), "v": pa.array(np.concatenate([b, a]))}
+        )
+
+    # deduped symmetric edges — one shuffle, never on the driver; also the
+    # node universe for the final labelling (one row per node on the u side)
+    edges = (
+        pairs_ds.map_batches(sym, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    nodes_ds = (
+        edges.groupby("u")
+        .count()
+        .drop_columns(["count()"])
+        .map_batches(
+            lambda t: pa.table({"node": t.column("u"), "component": t.column("u")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
 
     def large_star(g: pd.DataFrame) -> pd.DataFrame:
@@ -579,13 +629,19 @@ def connected_components_star(pairs_ds, col_a: str = "doc_a", col_b: str = "doc_
             break
         prev_sig = sig
 
-    final = edges.to_pandas()
-    label = {int(u): int(v) for u, v in zip(final.u, final.v)}
-    comp = [label.get(int(n), int(n)) for n in nodes]
-    import ray.data as rd3
+    # final assembly, distributed: at the fixpoint edges form a star forest
+    # (child u → root v). union(self-labels, child→root rows) + groupby-min
+    # labels every node: children take v (< u always), roots keep themselves.
+    from ray.data.aggregate import Min
 
-    return rd3.from_pandas(
-        pd.DataFrame({"node": nodes, "component": np.asarray(comp, dtype=np.int64)})
+    child_labels = edges.map_batches(
+        lambda t: pa.table({"node": t.column("u"), "component": t.column("v")}),
+        batch_format="pyarrow",
+    )
+    return (
+        nodes_ds.union(child_labels)
+        .groupby("node")
+        .aggregate(Min("component", alias_name="component"))
     )
 
 
@@ -604,7 +660,9 @@ def dup_components(sf_dir: str, threshold: float = 0.4, n_bands: int = 16, plane
     pairs = embedding_near_dup(
         sf_dir, threshold=threshold, n_bands=n_bands, planes_per_band=planes_per_band
     )
-    return connected_components(pairs.to_pandas(), col_a="vec_a", col_b="vec_b")
+    # Dataset passed straight through: connected_components decides the
+    # driver/distributed crossover from a count, not a to_pandas
+    return connected_components(pairs, col_a="vec_a", col_b="vec_b")
 
 
 def simhash_fingerprints(sf_dir: str):

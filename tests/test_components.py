@@ -51,6 +51,24 @@ def test_components_star_and_cross_links():
     _check([(5, 50), (5, 51), (5, 52), (52, 99), (99, 100), (7, 8)])
 
 
+def test_components_dataset_input_distributed_path():
+    # a Dataset input must flow through WITHOUT a driver to_pandas on the
+    # distributed path (r2: crossover decided from a count)
+    import ray.data as rd
+
+    pairs = [(i, i + 1) for i in range(6)] + [(10, 11), (11, 12), (10, 12)]
+    ds = rd.from_pandas(pd.DataFrame(pairs, columns=["doc_a", "doc_b"]))
+    got = connected_components(ds, driver_threshold=0).to_pandas()
+    assert dict(zip(got.node, got.component)) == _union_find(pairs)
+
+    from pdf_extractor_ray.pipelines.dedup import connected_components_star
+
+    got2 = connected_components_star(
+        rd.from_pandas(pd.DataFrame(pairs, columns=["doc_a", "doc_b"]))
+    ).to_pandas()
+    assert dict(zip(got2.node, got2.component)) == _union_find(pairs)
+
+
 def test_dup_components_over_embeddings(sf_dir):
     out = dup_components(sf_dir).to_pandas()
     # every node labelled, component is the min member
