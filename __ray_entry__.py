@@ -108,6 +108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_agg": relational.tumbling_window_agg,
         "sliding_window_agg": relational.sliding_window_agg,
         "session_windows": relational.session_windows,
+        # --- window fns / range join / pivot (r2 additions) ----------------
+        "lag_event_delta": relational.lag_event_delta,
+        "range_join_campaigns": relational.range_join_campaigns,
+        "pivot_event_counts": relational.pivot_event_counts,
         # --- sorts / top-k / distinct / stats (§2.6, §2.7, §2.5) -----------
         "topk_per_group": relational.topk_per_group,
         "distinct_pairs": relational.distinct_pairs,
@@ -370,6 +374,31 @@ def oracle_sql() -> dict[str, str]:
                    WHEN o2 >= o3 THEN 'sort order key'
                    ELSE 'filter scan row' END AS topic
             FROM s
+        """,
+        "lag_event_delta": """
+            SELECT event_id,
+              CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS delta_us
+            FROM events
+        """,
+        "range_join_campaigns": """
+            WITH campaigns AS (
+              SELECT r_regionkey AS campaign_id,
+                     TIMESTAMP '2024-01-01' + r_regionkey * INTERVAL 5 DAY AS c_start,
+                     TIMESTAMP '2024-01-01' + (r_regionkey * 5 + 8) * INTERVAL 1 DAY AS c_end
+              FROM region)
+            SELECT e.event_id, c.campaign_id
+            FROM events e
+            JOIN campaigns c ON e.ts >= c.c_start AND e.ts < c.c_end
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+              CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
         """,
         "fuzzy_edit_join": """
             WITH lookup AS (

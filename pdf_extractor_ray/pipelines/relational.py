@@ -1188,6 +1188,107 @@ def running_total(sf_dir: str):
     return ds.groupby("user_id").map_groups(cumsum, batch_format="pandas")
 
 
+def lag_event_delta(sf_dir: str):
+    """LAG window function (previous-row delta per key): co-partition by
+    user, sort the group by (ts, event_id), microsecond delta to the
+    previous event; the key's first row → null. Same partitioning assumption
+    as running_total (one user's events fit one group)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        # force microseconds explicitly — pandas may carry ns or us units
+        us = pd.Series(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        delta = us.diff()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "delta_us": delta.to_numpy(),  # NaN on the first row → null
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "delta_us": pc.cast(t.column("delta_us"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def range_join_campaigns(sf_dir: str):
+    """Interval-containment RANGE JOIN (the custom-operator family Ray Data
+    lacks natively; task-brief example): events join a tiny campaigns table
+    on ``c_start <= ts < c_end`` with OVERLAPPING ranges (one event can land
+    in several campaigns → flat-map output).
+
+    Shape: the range side is broadcast once (``ray.put``); each batch tests
+    every range with a vectorized int64 comparison — no shuffle at all.
+    Partitioning assumption: the range side is small (true for
+    campaign/calendar dims); a large range side needs interval binning
+    (assign each range and each row to coarse time buckets, co-group)."""
+    import ray
+
+    # campaigns derived deterministically from region: 5 overlapping 8-day
+    # windows starting every 5 days from 2024-01-01
+    base_us = pd.Timestamp("2024-01-01").value // 1000
+    day_us = 86_400_000_000
+    ranges = [
+        (k, base_us + k * 5 * day_us, base_us + (k * 5 + 8) * day_us) for k in range(5)
+    ]
+    ranges_ref = ray.put(ranges)
+
+    def join(t: pa.Table) -> pa.Table:
+        rs = ray.get(ranges_ref)
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        ev = t.column("event_id").to_numpy(zero_copy_only=False)
+        out_ev, out_c = [], []
+        for cid, s, e in rs:  # 5 vectorized passes, not a row loop
+            m = (ts >= s) & (ts < e)
+            out_ev.append(ev[m])
+            out_c.append(np.full(int(m.sum()), cid, dtype=np.int64))
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(out_ev)),
+                "campaign_id": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    return ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pivot_event_counts(sf_dir: str):
+    """PIVOT (long → wide counts): per user, one column per event type.
+    Per-batch partial pivot (pa.Table.group_by + conditional casts) then a
+    groupby-sum merge — the combiner-before-shuffle rule, so a hot user
+    contributes one partial row per block."""
+    from ray.data.aggregate import Sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t.column("user_id")}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t.column("event_type"), ty), pa.int64())
+        return (
+            pa.table(cols)
+            .group_by("user_id")
+            .aggregate([(f"n_{ty}", "sum") for ty in types])
+            .rename_columns(["user_id"] + [f"n_{ty}" for ty in types])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in types])
+    )
+
+
 def session_windows(sf_dir: str, gap_minutes: int = 30):
     """Sessionization per user (30-min inactivity gap): sort-within-group +
     gap cumsum inside map_groups. Partitioning assumption: one user's events
