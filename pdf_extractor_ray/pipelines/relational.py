@@ -26,7 +26,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.dates import to_iso_hour
 from ..functions.hashing import hash_bucket, row_sha256, sha256_hex
 from ..functions.quality import quality_features
 from ..functions.text import clean_description, keyword_filter_batch, standardize_column
@@ -622,26 +621,46 @@ def tumbling_window_agg(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # int64 epoch key through the shuffle; ISO string rendered after
+        # (same measured win as sliding_window_agg)
+        ws = pc.cast(
+            pc.cast(pc.floor_temporal(t.column("ts"), unit="hour"), pa.timestamp("s")),
+            pa.int64(),
+        )
         tt = pa.table(
             {
                 "user_id": t.column("user_id"),
-                "window_start": to_iso_hour(t.column("ts")),
+                "ws_epoch": ws,
                 "value": t.column("value"),
                 "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
         return (
-            tt.group_by(["user_id", "window_start"])
+            tt.group_by(["user_id", "ws_epoch"])
             .aggregate([("value", "sum"), ("one", "sum")])
-            .rename_columns(["user_id", "window_start", "sum_value", "n_events"])
+            .rename_columns(["user_id", "ws_epoch", "sum_value", "n_events"])
         )
+
+    def render(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "window_start": pc.strftime(
+                    pc.cast(t.column("ws_epoch"), pa.timestamp("s")),
+                    format="%Y-%m-%d %H:%M:%S",
+                ),
+                "sum_value": t.column("sum_value"),
+                "n_events": t.column("n_events"),
+            }
+        )
+        return _round4(out, ["sum_value"])
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "window_start"])
+        .groupby(["user_id", "ws_epoch"])
         .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n_events", alias_name="n_events"))
     )
-    return agg.map_batches(lambda t: _round4(t, ["sum_value"]), batch_format="pyarrow")
+    return agg.map_batches(render, batch_format="pyarrow")
 
 
 def date_parse_cascade(sf_dir: str):
@@ -765,18 +784,20 @@ def sliding_window_agg(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def expand_partial(t: pa.Table) -> pa.Table:
-        floored = pc.cast(pc.floor_temporal(t.column("ts"), unit="hour"), pa.timestamp("s"))
+        # shuffle on the INT key (epoch seconds), not the ISO string —
+        # sort-based aggregation over int64 keys measured ~1.5× faster than
+        # string keys at sf0.1; the string renders once post-aggregate
+        floored = pc.cast(
+            pc.cast(pc.floor_temporal(t.column("ts"), unit="hour"), pa.timestamp("s")),
+            pa.int64(),
+        )
         parts = []
         for k in (0, 1):
-            ws = pc.strftime(
-                pc.subtract(floored, pa.scalar(k * 3600, pa.duration("s"))),
-                format="%Y-%m-%d %H:%M:%S",
-            )
             parts.append(
                 pa.table(
                     {
                         "user_id": t.column("user_id"),
-                        "window_start": ws,
+                        "ws_epoch": pc.subtract(floored, pa.scalar(k * 3600, pa.int64())),
                         "value": t.column("value"),
                         "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
                     }
@@ -784,17 +805,31 @@ def sliding_window_agg(sf_dir: str):
             )
         tt = pa.concat_tables(parts)
         return (
-            tt.group_by(["user_id", "window_start"])
+            tt.group_by(["user_id", "ws_epoch"])
             .aggregate([("value", "sum"), ("one", "sum")])
-            .rename_columns(["user_id", "window_start", "sum_value", "n_events"])
+            .rename_columns(["user_id", "ws_epoch", "sum_value", "n_events"])
         )
+
+    def render(t: pa.Table) -> pa.Table:
+        ws = pc.strftime(
+            pc.cast(t.column("ws_epoch"), pa.timestamp("s")), format="%Y-%m-%d %H:%M:%S"
+        )
+        out = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "window_start": ws,
+                "sum_value": t.column("sum_value"),
+                "n_events": t.column("n_events"),
+            }
+        )
+        return _round4(out, ["sum_value"])
 
     agg = (
         ds.map_batches(expand_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "window_start"])
+        .groupby(["user_id", "ws_epoch"])
         .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n_events", alias_name="n_events"))
     )
-    return agg.map_batches(lambda t: _round4(t, ["sum_value"]), batch_format="pyarrow")
+    return agg.map_batches(render, batch_format="pyarrow")
 
 
 def topk_per_group(sf_dir: str, k: int = 2):
