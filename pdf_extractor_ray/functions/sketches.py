@@ -67,6 +67,101 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / u if u else 0.0
 
 
+def fnv1a64_batch(data: list[bytes]) -> np.ndarray:
+    """Vectorized fnv1a64 over a ragged list of byte strings — bit-identical
+    to ``hashing.fnv1a64`` per element. FNV is sequential per BYTE but
+    independent per STRING, so the loop runs over byte POSITIONS (≤ max
+    length) with all strings advanced at once; strings are processed in
+    descending-length order so the active set is a prefix slice."""
+    from .hashing import FNV_OFFSET, FNV_PRIME
+
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(d) for d in data), dtype=np.int64, count=n)
+    order = np.argsort(-lens, kind="stable")
+    lens_s = lens[order]
+    flat = np.frombuffer(b"".join(data[i] for i in order), dtype=np.uint8)
+    off = np.concatenate([[0], np.cumsum(lens_s[:-1])]) if n > 1 else np.array([0])
+    h = np.full(n, np.uint64(FNV_OFFSET), dtype=np.uint64)
+    prime = np.uint64(FNV_PRIME)
+    maxlen = int(lens_s[0])
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            # active strings are exactly those with len > j — a prefix
+            cnt = int(np.searchsorted(-lens_s, -(j + 1), side="right"))
+            idx = off[:cnt] + j
+            h[:cnt] = (h[:cnt] ^ flat[idx].astype(np.uint64)) * prime
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    return out
+
+
+def _unique_per_segment(hashes: np.ndarray, seg_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deduplicate values WITHIN each segment, fully vectorized: lexsort by
+    (segment, value), drop adjacent repeats, return (concat sorted-unique
+    values, counts per segment). Matches np.unique per segment."""
+    n_segs = int(seg_ids.max()) + 1 if len(seg_ids) else 0
+    order = np.lexsort((hashes, seg_ids))
+    hs, ss = hashes[order], seg_ids[order]
+    keep = np.ones(len(hs), dtype=bool)
+    keep[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+    hs, ss = hs[keep], ss[keep]
+    counts = np.bincount(ss, minlength=n_segs).astype(np.int64)
+    return hs, counts
+
+
+def doc_shingle_hashes_batch(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch word-shingle hashing: per-doc UNIQUE shingle hashes
+    (sorted, same as ``shingles``) concatenated, plus offsets (n_docs+1).
+    The gram-string build stays Python (string work); the byte hashing and
+    per-doc dedup are vectorized."""
+    grams: list[bytes] = []
+    seg: list[int] = []
+    for d, text in enumerate(texts):
+        toks = text.split()
+        if len(toks) < k:
+            g = [" ".join(toks)] if toks else []
+        else:
+            g = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        grams.extend(s.encode() for s in g)
+        seg.extend([d] * len(g))
+    if not grams:
+        return np.empty(0, dtype=np.uint64), np.zeros(len(texts) + 1, dtype=np.int64)
+    hashes = fnv1a64_batch(grams)
+    seg_ids = np.asarray(seg, dtype=np.int64)
+    uniq, counts = _unique_per_segment(hashes, seg_ids)
+    if len(counts) < len(texts):  # trailing empty docs
+        counts = np.concatenate([counts, np.zeros(len(texts) - len(counts), dtype=np.int64)])
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return uniq, offsets
+
+
+def char_ngram_hashes_batch(texts: list[str], n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch char-trigram hashing (the n-gram-Jaccard blocking key):
+    same contract as ``doc_shingle_hashes_batch``."""
+    grams: list[bytes] = []
+    seg: list[int] = []
+    for d, text in enumerate(texts):
+        if not text:
+            continue
+        gs = [text] if len(text) < n else [text[i : i + n] for i in range(len(text) - n + 1)]
+        # set() first: duplicates collapse before hashing (identical result,
+        # less hash work on repetitive text)
+        uniq_gs = set(gs)
+        grams.extend(s.encode() for s in uniq_gs)
+        seg.extend([d] * len(uniq_gs))
+    if not grams:
+        return np.empty(0, dtype=np.uint64), np.zeros(len(texts) + 1, dtype=np.int64)
+    hashes = fnv1a64_batch(grams)
+    seg_ids = np.asarray(seg, dtype=np.int64)
+    uniq, counts = _unique_per_segment(hashes, seg_ids)
+    if len(counts) < len(texts):
+        counts = np.concatenate([counts, np.zeros(len(texts) - len(counts), dtype=np.int64)])
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return uniq, offsets
+
+
 class MinHasher:
     """num_perm minhash values per document; state (the hash family) is built
     once — use as actor state or module-level singleton."""
@@ -97,6 +192,43 @@ class MinHasher:
             chunk = sig[band * rows : (band + 1) * rows]
             h = fnv1a64(chunk.tobytes())
             out.append(h)
+        return out
+
+    def signatures_from_concat(self, concat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """(n_docs, num_perm) signatures in ONE vectorized pass over the
+        concatenated per-doc element hashes: the (N, num_perm) universal-hash
+        matrix reduced by ``np.minimum.reduceat`` at doc offsets. Bit-equal
+        to ``signature_from_hashes`` per doc (empty docs → sentinel row)."""
+        n_docs = len(offsets) - 1
+        if concat.size == 0:
+            return np.full((n_docs, self.num_perm), np.uint64(MERSENNE31), dtype=np.uint64)
+        x = (concat % np.uint64(MERSENNE31))[:, None]  # (N, 1)
+        vals = (x * self.a[None, :] + self.b[None, :]) % np.uint64(MERSENNE31)
+        starts = np.minimum(offsets[:-1], len(concat) - 1)  # clip empty-tail starts
+        sigs = np.minimum.reduceat(vals, starts, axis=0)
+        lengths = np.diff(offsets)
+        sigs[lengths == 0] = np.uint64(MERSENNE31)
+        return sigs
+
+    def band_hashes_batch(self, sigs: np.ndarray, num_bands: int) -> np.ndarray:
+        """(n_docs, num_bands) LSH bucket keys, vectorized: each band's
+        fixed-width byte chunk is FNV-hashed with the byte loop running over
+        the (rows·8) positions, all docs at once. Bit-equal to
+        ``band_hashes`` per doc (chunk.tobytes() is little-endian uint64)."""
+        from .hashing import FNV_OFFSET, FNV_PRIME
+
+        n_docs = sigs.shape[0]
+        rows = self.num_perm // num_bands
+        out = np.empty((n_docs, num_bands), dtype=np.uint64)
+        prime = np.uint64(FNV_PRIME)
+        with np.errstate(over="ignore"):
+            for band in range(num_bands):
+                chunk = np.ascontiguousarray(sigs[:, band * rows : (band + 1) * rows])
+                bts = chunk.astype("<u8").view(np.uint8).reshape(n_docs, rows * 8)
+                h = np.full(n_docs, np.uint64(FNV_OFFSET), dtype=np.uint64)
+                for j in range(rows * 8):
+                    h = (h ^ bts[:, j].astype(np.uint64)) * prime
+                out[:, band] = h
         return out
 
 

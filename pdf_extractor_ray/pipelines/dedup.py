@@ -61,20 +61,32 @@ class MinHashBander:
         return shingles(text, self.mh.shingle_k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+        """Whole-batch vectorized sketch (r2): ragged batch FNV over all
+        grams → reduceat signatures → vectorized band hashes. Bit-identical
+        to the per-doc path (pinned by test_batch_kernels_match_scalar)."""
+        from ..functions.sketches import char_ngram_hashes_batch, doc_shingle_hashes_batch
+
         texts = batch.column("text").to_pylist()
-        out_doc, out_band, out_hash = [], [], []
-        for d, t in zip(doc_ids, texts):
-            sig = self.mh.signature_from_hashes(self._element_hashes(t))
-            for band_id, h in enumerate(self.mh.band_hashes(sig, self.num_bands)):
-                out_doc.append(d)
-                out_band.append(band_id)
-                out_hash.append(h - (1 << 63))  # to signed int64
+        if self.mode == "char":
+            concat, offsets = char_ngram_hashes_batch(texts)
+        else:
+            concat, offsets = doc_shingle_hashes_batch(texts, self.mh.shingle_k)
+        sigs = self.mh.signatures_from_concat(concat, offsets)
+        bands = self.mh.band_hashes_batch(sigs, self.num_bands)  # (n, num_bands)
+        n = len(texts)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "band_id": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, self.num_bands), type=pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.num_bands, dtype=np.int32), n), type=pa.int32()
+                ),
+                # h - 2^63 (mod 2^64) == flip the top bit — the uint64→signed
+                # shift the scalar path does with python ints
+                "band_hash": pa.array(
+                    (bands.reshape(-1) ^ np.uint64(1 << 63)).view(np.int64),
+                    type=pa.int64(),
+                ),
             }
         )
 

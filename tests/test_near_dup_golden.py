@@ -23,6 +23,42 @@ def _canon(obj) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def test_batch_kernels_match_scalar():
+    """The r2 vectorized sketch kernels (ragged batch FNV, reduceat
+    signatures, vectorized band hashes) must be BIT-identical to the scalar
+    path — the LSH bucket ids, and therefore the candidate sets, depend on
+    every bit."""
+    import numpy as np
+
+    from pdf_extractor_ray.functions.hashing import fnv1a64
+    from pdf_extractor_ray.functions.sketches import (
+        MinHasher,
+        char_ngram_hashes_batch,
+        char_ngrams,
+        doc_shingle_hashes_batch,
+        fnv1a64_batch,
+        shingles,
+    )
+
+    data = [b"", b"a", b"hello world", b"x" * 100, "héllo".encode(), b"abc"]
+    assert list(fnv1a64_batch(data)) == [fnv1a64(d) for d in data]
+
+    texts = ["the quick brown fox jumps over it", "", "a b", "a b c d a b c d", "one"]
+    mh = MinHasher()
+    concat, off = doc_shingle_hashes_batch(texts, 3)
+    sigs = mh.signatures_from_concat(concat, off)
+    bands = mh.band_hashes_batch(sigs, 16)
+    for i, t in enumerate(texts):
+        assert np.array_equal(np.sort(concat[off[i] : off[i + 1]]), np.sort(shingles(t, 3)))
+        assert np.array_equal(sigs[i], mh.signature_from_hashes(shingles(t, 3)))
+        assert list(bands[i]) == mh.band_hashes(sigs[i], 16)
+    c_concat, c_off = char_ngram_hashes_batch(texts)
+    for i, t in enumerate(texts):
+        assert set(c_concat[c_off[i] : c_off[i + 1]].tolist()) == {
+            fnv1a64(g.encode()) for g in char_ngrams(t)
+        }
+
+
 @pytest.mark.parametrize("path", ["broadcast", "cogrouped"])
 @pytest.mark.parametrize(
     "name,fn", [("minhash_near_dup", minhash_near_dup), ("ngram_jaccard_pairs", ngram_jaccard_pairs)]
