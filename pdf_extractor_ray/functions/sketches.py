@@ -300,3 +300,28 @@ def simhash64(text: str) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Whole-batch SimHash (bit-identical to ``simhash64`` per doc): all
+    tokens hashed with the ragged batch FNV, expanded to a ±1 bit matrix,
+    summed per doc with ``np.add.reduceat``, sign → 64-bit fingerprint."""
+    toks: list[bytes] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for d, t in enumerate(texts):
+        tt = t.split()
+        toks.extend(s.encode() for s in tt)
+        counts[d] = len(tt)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not toks:
+        return out
+    h = fnv1a64_batch(toks)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    pm = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2) - 1  # (N, 64) ±1
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    starts = np.minimum(offsets[:-1], len(toks) - 1)
+    sums = np.add.reduceat(pm, starts, axis=0)
+    sums[counts == 0] = 0  # empty docs → fingerprint 0
+    bits = (sums > 0).astype(np.uint64)
+    out = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    return out

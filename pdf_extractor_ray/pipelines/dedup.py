@@ -682,13 +682,13 @@ def simhash_fingerprints(sf_dir: str):
     ds = _read_docs(sf_dir)
 
     def fp(batch: pa.Table) -> pa.Table:
+        from ..functions.sketches import simhash64_batch
+
+        hs = simhash64_batch(batch.column("text").to_pylist())  # vectorized (r2)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "simhash": pa.array(
-                    [f"{simhash64(t):016x}" for t in batch.column("text").to_pylist()],
-                    type=pa.string(),
-                ),
+                "simhash": pa.array([f"{h:016x}" for h in hs], type=pa.string()),
             }
         )
 

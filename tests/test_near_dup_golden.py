@@ -58,6 +58,11 @@ def test_batch_kernels_match_scalar():
             fnv1a64(g.encode()) for g in char_ngrams(t)
         }
 
+    from pdf_extractor_ray.functions.sketches import simhash64, simhash64_batch
+
+    sh_texts = texts + ["x y z w v u", "hello world hello"]
+    assert [int(h) for h in simhash64_batch(sh_texts)] == [simhash64(t) for t in sh_texts]
+
 
 @pytest.mark.parametrize("path", ["broadcast", "cogrouped"])
 @pytest.mark.parametrize(
