@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_components": dedup.dup_components,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # --- composed 100TB pipeline (extract→quality→exact→near-dup→CC) ---
+        "corpus_near_dup_pipeline": textops.corpus_near_dup_pipeline,
         # --- text analysis / multimodal ------------------------------------
         "langid_predict": textops.langid_predict,
         "fingerprint_rolling": textops.fingerprint_rolling,

@@ -117,6 +117,12 @@ QUERY_PANEL = [
     "semi_join_keys",
     "extract_pages_text",
     "dedup_replicated_corpus",
+    # round-2 additions
+    "fuzzy_edit_join",
+    "range_join_campaigns",
+    "pivot_event_counts",
+    "lag_event_delta",
+    "corpus_near_dup_pipeline",
 ]
 
 

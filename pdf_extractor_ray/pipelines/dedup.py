@@ -108,7 +108,18 @@ def _band_batch(t: pa.Table, *, mode: str) -> pa.Table:
 
 
 def minhash_candidates(sf_dir: str, concurrency=None, mode: str = "word"):
-    """documents → (band_id, band_hash) buckets → unique candidate pairs.
+    """documents table → candidate pairs (see minhash_candidates_ds)."""
+    return minhash_candidates_ds(
+        _read_docs(sf_dir).repartition(32),  # single-file read fan-out shim
+        concurrency=concurrency,
+        mode=mode,
+    )
+
+
+def minhash_candidates_ds(docs_ds, concurrency=None, mode: str = "word"):
+    """(doc_id, text) Dataset → (band_id, band_hash) buckets → unique
+    candidate pairs. Dataset-level entry so composed pipelines (e.g.
+    extraction output) can feed near-dup directly.
 
     Two-phase bucket join: (1) a NATIVE count aggregate finds buckets with
     ≥2 members — near-dup buckets are rare, so this hot set is small and is
@@ -122,8 +133,7 @@ def minhash_candidates(sf_dir: str, concurrency=None, mode: str = "word"):
     from functools import partial
 
     bands = (
-        _read_docs(sf_dir)
-        .repartition(32)  # single-file read fan-out (see corpus.read_pages note)
+        docs_ds
         .map_batches(
             partial(_band_batch, mode=mode)
             if concurrency is None
@@ -201,8 +211,8 @@ def _broadcast_candidate_ids(pairs_ds):
     return ray.put(pa.array(uniq, type=pa.int64()))
 
 
-def _candidate_texts(sf_dir: str, ids_ref):
-    """Semi-join filter of the documents table against the broadcast id set:
+def _candidate_texts(docs_ds, ids_ref):
+    """Semi-join filter of the docs Dataset against the broadcast id set:
     a distributed `pc.is_in` scan — each read task keeps only candidate rows;
     the full corpus never leaves the workers. Materialized because BOTH
     verify join stages consume it (Ray re-executes lineage per consumer) and
@@ -211,10 +221,12 @@ def _candidate_texts(sf_dir: str, ids_ref):
     import ray
 
     def keep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column("doc_id"), value_set=ray.get(ids_ref)))
+        return t.select(["doc_id", "text"]).filter(
+            pc.is_in(t.column("doc_id"), value_set=ray.get(ids_ref))
+        )
 
     return (
-        _read_docs(sf_dir)
+        docs_ds
         .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .materialize()
     )
@@ -364,30 +376,38 @@ def _verify_pairs_broadcast(pairs_ds, texts_ds, sim_fn, threshold: float):
     return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
 
-def _verify_candidates(sf_dir: str, pairs, n_cand: int, sim_fn, threshold: float):
+def _verify_candidates(docs_ds, pairs, n_cand: int, sim_fn, threshold: float):
     """Shared verify tail: broadcast-texts below the crossover, bucketed
     co-group above it. Both paths read texts via the distributed semi-join."""
     ids_ref = _broadcast_candidate_ids(pairs)
-    texts = _candidate_texts(sf_dir, ids_ref)
+    texts = _candidate_texts(docs_ds, ids_ref)
     if n_cand <= BROADCAST_PAIRS_THRESHOLD:
         return _verify_pairs_broadcast(pairs, texts, sim_fn, threshold)
     return _verify_pairs_cogrouped(pairs, texts, sim_fn, threshold)
 
 
 def minhash_near_dup(sf_dir: str, threshold: float = 0.6):
+    """documents table → verified near-dup pairs (see minhash_near_dup_ds)."""
+    return minhash_near_dup_ds(_read_docs(sf_dir).repartition(32), threshold=threshold)
+
+
+def minhash_near_dup_ds(docs_ds, threshold: float = 0.6):
     """Candidate pairs (deduped across bands, distributed) verified by exact
-    shingle Jaccard. Only the candidate ID SET (and, below the smallness
-    crossover, the semi-joined candidate texts) touches the driver — the
-    full corpus never does; above the crossover texts flow worker-to-worker
-    via the bucket shuffle (``_verify_pairs_cogrouped``)."""
-    cand_ds = minhash_candidates(sf_dir)
+    shingle Jaccard, over any (doc_id, text) Dataset. Only the candidate ID
+    SET (and, below the smallness crossover, the semi-joined candidate
+    texts) touches the driver — the full corpus never does; above the
+    crossover texts flow worker-to-worker via the bucket shuffle
+    (``_verify_pairs_cogrouped``). ``docs_ds`` is consumed twice (banding +
+    text semi-join) — pass a materialized Dataset if its lineage is
+    expensive."""
+    cand_ds = minhash_candidates_ds(docs_ds)
     if cand_ds is None:
         return pd.DataFrame(_EMPTY_PAIRS)
     pairs = _dedup_pairs(cand_ds).materialize()  # tiny: 2 int cols, consumed twice
     n_cand = pairs.count()
     if n_cand == 0:
         return pd.DataFrame(_EMPTY_PAIRS)
-    return _verify_candidates(sf_dir, pairs, n_cand, _jaccard_word_shingles, threshold)
+    return _verify_candidates(docs_ds, pairs, n_cand, _jaccard_word_shingles, threshold)
 
 
 def connected_components(
@@ -740,4 +760,4 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9, max_candidates: int
         # distributed sort + limit: the deterministic lowest-(a,b) prefix
         pairs = pairs.sort(["doc_a", "doc_b"]).limit(max_candidates).materialize()
         n_cand = max_candidates
-    return _verify_candidates(sf_dir, pairs, n_cand, _jaccard_char_ngrams, threshold)
+    return _verify_candidates(_read_docs(sf_dir), pairs, n_cand, _jaccard_char_ngrams, threshold)

@@ -6,6 +6,7 @@ text-analysis operators (language ID, fingerprinting, media features).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -222,6 +223,130 @@ def cc_pipeline_audit(sf_dir: str):
                 "n_ok": int(agg["sum(n_ok)"]),
                 "n_quality_kept": int(agg["sum(n_quality_kept)"]),
                 "n_unique": int(agg["sum(n_unique)"]),
+            }
+        ]
+    )
+
+
+def corpus_near_dup_pipeline(sf_dir: str):
+    """THE canonical 100 TB training-data pipeline composed end-to-end:
+    extract (×2-replicated crawl) → quality filter → EXACT dedup (content
+    hash, min-doc representative) → MinHash NEAR-dup over the survivors →
+    connected components → one representative per cluster. Returns one audit
+    row: (n_pages, n_ok, n_quality_kept, n_exact_unique, n_near_dup_pairs,
+    n_clusters, n_final).
+
+    Every stage is the scale shape proven elsewhere in the repo: stateless
+    extraction tasks, vectorized quality features, groupby-hash dedup with
+    broadcast survivor-id semi-join, banded MinHash → hot-bucket candidates
+    → distributed verify, Dataset-native components with the smallness
+    crossover. Rows-only for the driver (LSH is not SQL-expressible);
+    pinned by tests/test_corpus_pipeline.py against brute-force Jaccard."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Min
+
+    from ..functions.hashing import sha256_hex
+    from ..functions.quality import quality_features
+    from .dedup import connected_components, minhash_near_dup_ds
+
+    pages = corpus.read_pages(sf_dir, replicate=2, fanout_blocks=32)
+    ext = extract_pages(pages)
+
+    def quality_keep(t: pa.Table) -> pa.Table:
+        ok = t.filter(pc.equal(t.column("status"), "ok"))
+        feats = quality_features(
+            pa.table({"text": pc.cast(ok.column("extracted_text"), pa.string())})
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(feats.column("n_tokens"), 10),
+                pc.less_equal(feats.column("n_tokens"), 200),
+            ),
+            pc.greater_equal(
+                pc.multiply(feats.column("n_stop"), 10), feats.column("n_tokens")
+            ),
+        )
+        kept_rows = ok.filter(keep)
+        shas = [sha256_hex(v) for v in kept_rows.column("extracted_text").to_pylist()]
+        n_k = kept_rows.num_rows
+        # one sentinel counter row per batch (doc_id −1) so a batch with ZERO
+        # kept rows still contributes its stage counters
+        ids = np.concatenate(
+            [kept_rows.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64), [-1]]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(
+                    kept_rows.column("extracted_text").to_pylist() + [""], pa.string()
+                ),
+                "text_sha": pa.array(shas + [""], pa.string()),
+                "n_in": pa.array([0] * n_k + [t.num_rows], pa.int64()),
+                "n_ok": pa.array([0] * n_k + [ok.num_rows], pa.int64()),
+            }
+        )
+
+    # kept rows = quality survivors + sentinel counter rows. Materialized:
+    # three consumers (counters, exact dedup, near-dup text semi-join), and
+    # at this point rows are already down to the kept fraction.
+    kept = ext.map_batches(quality_keep, batch_format="pyarrow").materialize()
+
+    def counter_partial(t: pa.Table) -> pa.Table:
+        sent = pc.sum(pc.cast(pc.equal(t.column("doc_id"), -1), pa.int64())).as_py() or 0
+        return pa.table(
+            {
+                "n_in": pa.array([pc.sum(t.column("n_in")).as_py() or 0], pa.int64()),
+                "n_ok": pa.array([pc.sum(t.column("n_ok")).as_py() or 0], pa.int64()),
+                "n_kept": pa.array([t.num_rows - sent], pa.int64()),
+            }
+        )
+
+    counters = kept.map_batches(counter_partial, batch_format="pyarrow").sum(
+        ["n_in", "n_ok", "n_kept"]
+    )
+
+    # EXACT dedup: min doc_id per content hash → broadcast survivor ids →
+    # semi-join the kept rows (representatives keep their text for near-dup)
+    real = kept.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("doc_id"), 0)),
+        batch_format="pyarrow",
+    )
+    reps = real.groupby("text_sha").aggregate(Min("doc_id", alias_name="doc_id"))
+    rep_ids = reps.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    ).to_pandas()
+    n_exact_unique = len(rep_ids)
+    ids_arr = ray.put(pa.array(np.unique(rep_ids.doc_id.to_numpy()), type=pa.int64()))
+
+    def keep_reps(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "text"]).filter(
+            pc.is_in(t.column("doc_id"), value_set=ray.get(ids_arr))
+        )
+
+    survivors = real.map_batches(keep_reps, batch_format="pyarrow").materialize()
+
+    # NEAR-dup over the exact-dedup survivors → clusters → final corpus size
+    pairs = minhash_near_dup_ds(survivors, threshold=0.6)
+    if isinstance(pairs, pd.DataFrame):
+        n_pairs, members, n_clusters = 0, 0, 0
+    else:
+        comp = connected_components(pairs, col_a="doc_a", col_b="doc_b").to_pandas()
+        n_pairs = int(pairs.count())
+        members = len(comp)  # nodes that belong to any near-dup cluster
+        n_clusters = comp.component.nunique()
+    n_final = n_exact_unique - members + n_clusters
+
+    return pd.DataFrame(
+        [
+            {
+                "n_pages": int(counters["sum(n_in)"]),
+                "n_ok": int(counters["sum(n_ok)"]),
+                "n_quality_kept": int(counters["sum(n_kept)"]),
+                "n_exact_unique": int(n_exact_unique),
+                "n_near_dup_pairs": n_pairs,
+                "n_clusters": int(n_clusters),
+                "n_final": int(n_final),
             }
         ]
     )
