@@ -228,6 +228,55 @@ def cc_pipeline_audit(sf_dir: str):
     )
 
 
+#: above this many exact-dedup representatives the survivor semi-join stops
+#: broadcasting ids (corpus-sized at 100 TB) and co-groups by doc_id bucket
+SURVIVOR_BROADCAST_THRESHOLD = 1_000_000
+
+
+def _rep_rows_cogrouped(real_ds, reps_ds, n_buckets: int = 64):
+    """Distributed semi-join: keep the kept-row whose (doc_id) appears in the
+    representative set, co-grouped by doc_id hash bucket — both sides of one
+    key land in one group, nothing touches the driver. Returns
+    (doc_id, text)."""
+    import pandas as pd
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(ids % n_buckets, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": t.column("text"),
+                "is_rep": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def tag_rep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(ids % n_buckets, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.nulls(t.num_rows, pa.string()),
+                "is_rep": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        rep_ids = set(g.loc[g["is_rep"] == 1, "doc_id"])
+        keep = g[(g["is_rep"] == 0) & g["doc_id"].isin(rep_ids)]
+        return pd.DataFrame(
+            {"doc_id": keep["doc_id"].to_numpy(dtype=np.int64), "text": keep["text"].to_numpy()}
+        )
+
+    return (
+        real_ds.map_batches(tag_left, batch_format="pyarrow")
+        .union(reps_ds.map_batches(tag_rep, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join, batch_format="pandas")
+    )
+
+
 def corpus_near_dup_pipeline(sf_dir: str):
     """THE canonical 100 TB training-data pipeline composed end-to-end:
     extract (×2-replicated crawl) → quality filter → EXACT dedup (content
@@ -306,25 +355,31 @@ def corpus_near_dup_pipeline(sf_dir: str):
         ["n_in", "n_ok", "n_kept"]
     )
 
-    # EXACT dedup: min doc_id per content hash → broadcast survivor ids →
-    # semi-join the kept rows (representatives keep their text for near-dup)
+    # EXACT dedup: min doc_id per content hash, then a semi-join of the kept
+    # rows against the representative set (representatives keep their text
+    # for near-dup). Below the crossover the rep-id set broadcasts; above it
+    # — the 100 TB case, where the survivor set is CORPUS-sized — a bucket
+    # co-group join runs fully distributed (no driver/broadcast id set).
     real = kept.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("doc_id"), 0)),
         batch_format="pyarrow",
     )
-    reps = real.groupby("text_sha").aggregate(Min("doc_id", alias_name="doc_id"))
-    rep_ids = reps.map_batches(
-        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
-    ).to_pandas()
-    n_exact_unique = len(rep_ids)
-    ids_arr = ray.put(pa.array(np.unique(rep_ids.doc_id.to_numpy()), type=pa.int64()))
+    reps = real.groupby("text_sha").aggregate(Min("doc_id", alias_name="doc_id")).materialize()
+    n_exact_unique = reps.count()
+    if n_exact_unique <= SURVIVOR_BROADCAST_THRESHOLD:
+        rep_ids = reps.map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+        ).to_pandas()
+        ids_arr = ray.put(pa.array(np.unique(rep_ids.doc_id.to_numpy()), type=pa.int64()))
 
-    def keep_reps(t: pa.Table) -> pa.Table:
-        return t.select(["doc_id", "text"]).filter(
-            pc.is_in(t.column("doc_id"), value_set=ray.get(ids_arr))
-        )
+        def keep_reps(t: pa.Table) -> pa.Table:
+            return t.select(["doc_id", "text"]).filter(
+                pc.is_in(t.column("doc_id"), value_set=ray.get(ids_arr))
+            )
 
-    survivors = real.map_batches(keep_reps, batch_format="pyarrow").materialize()
+        survivors = real.map_batches(keep_reps, batch_format="pyarrow").materialize()
+    else:
+        survivors = _rep_rows_cogrouped(real, reps).materialize()
 
     # NEAR-dup over the exact-dedup survivors → clusters → final corpus size
     pairs = minhash_near_dup_ds(survivors, threshold=0.6)

@@ -68,6 +68,17 @@ def _union_find_stats(pairs):
     return members, clusters
 
 
+def test_corpus_pipeline_cogrouped_survivor_path_matches(sf_dir, monkeypatch):
+    """Forcing the distributed (no-broadcast) survivor semi-join must give
+    the identical audit row — the 100 TB path stays correctness-tested."""
+    from pdf_extractor_ray.pipelines import textops
+
+    default = corpus_near_dup_pipeline(sf_dir)
+    monkeypatch.setattr(textops, "SURVIVOR_BROADCAST_THRESHOLD", 0)
+    forced = corpus_near_dup_pipeline(sf_dir)
+    pd.testing.assert_frame_equal(default, forced)
+
+
 def test_corpus_pipeline_audit_and_brute_force(sf_dir):
     import ray.data as rd
 
