@@ -40,9 +40,16 @@ def _batch_matrix(batch: pa.Table) -> np.ndarray:
 def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = t.column("vec_id").to_pylist().index(query_vec_id)
-    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+    # predicate pushdown: only row groups containing the query id are read —
+    # at 100 TB this is one row-group fetch, not a table scan
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", query_vec_id)],
+    )
+    if t.num_rows == 0:
+        raise KeyError(f"vec_id {query_vec_id} not found")
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFrame:
@@ -105,10 +112,15 @@ def ann_topk_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_cells: int =
     import pyarrow.parquet as pq
     import ray
 
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    sample = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()[:512]]
-    )
+    # capped read: stream record batches and STOP at 512 vectors — never a
+    # full table scan (the docstring's "capped read of the first shards")
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    rows: list[list[float]] = []
+    for rb in pf.iter_batches(batch_size=512, columns=["embedding"]):
+        rows.extend(rb.column("embedding").to_pylist())
+        if len(rows) >= 512:
+            break
+    sample = np.stack([np.asarray(v, dtype=np.float64) for v in rows[:512]])
     cent = deterministic_kmeans(sample, n_cells)
     q = _query_vector(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
