@@ -173,21 +173,23 @@ def classify_escalate(sf_dir: str):
     )
 
 
-def classify_escalate_resumable(
-    sf_dir: str,
+def _run_checkpointed_passes(
     out_dir: str,
+    passes: list[tuple[str, "callable"]],
     *,
     fail_after_passes: int | None = None,
     run_id: str | None = None,
 ) -> dict:
-    """The escalation pair with a checkpoint BETWEEN passes — the
-    reference's ``resume_from_pass`` (transaction_classifier.py:193-208:
-    per-pass snapshots, resume skips completed passes). Each pass snapshots
-    its full output to parquet and commits a marker (tmp+rename, marker
-    after data); a re-run after a crash recomputes ONLY uncommitted passes,
-    reading the prior pass's snapshot instead of its lineage.
+    """Generic multi-pass runner with per-pass checkpoints — the engine form
+    of the reference's ``resume_from_pass`` (transaction_classifier.py:
+    193-208: per-pass snapshots, resume skips completed passes). Each pass
+    fn receives the PREVIOUS pass's snapshot Dataset (None for the first)
+    and returns a Dataset; its full output is snapshotted to parquet and a
+    marker committed (tmp+rename, marker after data). A re-run after a
+    crash recomputes ONLY uncommitted passes, reading the prior snapshot
+    instead of re-executing its lineage.
 
-    ``fail_after_passes`` injects a crash between passes (resume test).
+    ``fail_after_passes`` injects a crash between passes (resume tests).
     Returns {"passes_run": n, "result": Dataset over the final snapshot}.
     """
     import uuid
@@ -199,30 +201,103 @@ def classify_escalate_resumable(
     ck = PassCheckpointer(out_dir)
     run_id = run_id or uuid.uuid4().hex[:12]
     passes_run = 0
+    prev_name = None
+    for name, fn in passes:
+        if not ck.done(name):
+            if fail_after_passes is not None and passes_run >= fail_after_passes:
+                raise RuntimeError("injected_failure")
+            prev = rd.read_parquet(ck.data_dir(prev_name)) if prev_name else None
+            ck.write_pass(name, fn(prev), run_id)
+            passes_run += 1
+        prev_name = name
+    return {"passes_run": passes_run, "result": rd.read_parquet(ck.data_dir(prev_name))}
 
-    if not ck.done("fast"):
-        if fail_after_passes is not None and passes_run >= fail_after_passes:
-            raise RuntimeError("injected_failure")
+
+def classify_escalate_resumable(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    fail_after_passes: int | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """The escalation pair with a checkpoint BETWEEN passes (see
+    ``_run_checkpointed_passes``)."""
+
+    def p_fast(_):
         docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-        fast = docs.map_batches(
+        return docs.map_batches(
             FastClassifier, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None, concurrency=(1, 4),
         )
-        ck.write_pass("fast", fast, run_id)
-        passes_run += 1
 
-    if not ck.done("precise"):
-        if fail_after_passes is not None and passes_run >= fail_after_passes:
-            raise RuntimeError("injected_failure")
-        p1 = rd.read_parquet(ck.data_dir("fast"))
-        precise = p1.map_batches(
+    def p_precise(prev):
+        return prev.map_batches(
             PreciseClassifier, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None, concurrency=(1, 2),
         )
-        ck.write_pass("precise", precise, run_id)
-        passes_run += 1
 
-    return {"passes_run": passes_run, "result": rd.read_parquet(ck.data_dir("precise"))}
+    return _run_checkpointed_passes(
+        out_dir,
+        [("fast", p_fast), ("precise", p_precise)],
+        fail_after_passes=fail_after_passes,
+        run_id=run_id,
+    )
+
+
+def classify_three_pass_resumable(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    fail_after_passes: int | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """``classify_three_pass`` with checkpoints between its two physical
+    stages (the reference's three LLM passes collapse into one distinct-key
+    classify stage here): (1) classify the DISTINCT (source, lang) keys —
+    the expensive 'model' stage, exactly what the reference's resume
+    protects — then (2) broadcast-join the snapshot back onto the full
+    table. A crash after stage 1 resumes without re-running the model."""
+
+    def p_classify_distinct(_):
+        docs = _read(sf_dir, "documents", ["source", "lang"])
+        distinct = docs.groupby(["source", "lang"]).count().drop_columns(["count()"])
+        return distinct.map_batches(
+            RuleClassifier, batch_format="pyarrow", concurrency=(1, 2), batch_size=None
+        )
+
+    def p_join_back(prev):
+        import ray
+
+        lut_df = prev.to_pandas()  # |distinct keys| rows — tiny by design
+        lut = {
+            (r.source, r.lang): (r.category, r.classified_by)
+            for r in lut_df.itertuples()
+        }
+        lut_ref = ray.put(lut)
+
+        def join_back(t: pa.Table) -> pa.Table:
+            m = ray.get(lut_ref)
+            got = [
+                m[(s, l)]
+                for s, l in zip(t.column("source").to_pylist(), t.column("lang").to_pylist())
+            ]
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "category": pa.array([g[0] for g in got], type=pa.string()),
+                    "classified_by": pa.array([g[1] for g in got], type=pa.string()),
+                }
+            )
+
+        docs = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+        return docs.map_batches(join_back, batch_format="pyarrow", zero_copy_batch=True)
+
+    return _run_checkpointed_passes(
+        out_dir,
+        [("classify_distinct", p_classify_distinct), ("join_back", p_join_back)],
+        fail_after_passes=fail_after_passes,
+        run_id=run_id,
+    )
 
 
 # ---------------------------------------------------------------------------

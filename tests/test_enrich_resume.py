@@ -47,6 +47,26 @@ def test_crash_between_passes_resumes_without_recompute(sf_dir, tmp_path):
     )
 
 
+def test_three_pass_crash_resume(sf_dir, tmp_path):
+    from pdf_extractor_ray.pipelines.enrich import (
+        classify_three_pass,
+        classify_three_pass_resumable,
+    )
+
+    out = str(tmp_path / "three_ck")
+    with pytest.raises(RuntimeError, match="injected_failure"):
+        classify_three_pass_resumable(sf_dir, out, fail_after_passes=1, run_id="runA")
+    ck = PassCheckpointer(out)
+    assert ck.done("classify_distinct") and not ck.done("join_back")
+
+    res = classify_three_pass_resumable(sf_dir, out, run_id="runB")
+    assert res["passes_run"] == 1  # the model stage was NOT recomputed
+    assert ck.committed_run_id("classify_distinct") == "runA"
+    pd.testing.assert_frame_equal(
+        _canon(res["result"]), _canon(classify_three_pass(sf_dir)), check_dtype=False
+    )
+
+
 def test_completed_run_is_idempotent(sf_dir, tmp_path):
     out = str(tmp_path / "enrich_ck2")
     first = classify_escalate_resumable(sf_dir, out, run_id="run1")
