@@ -60,6 +60,23 @@ _WS_RE = re.compile(r"\s+")
 # tags, text runs, and a trailing unterminated '<' fragment (truncated docs)
 _TOKEN_RE = re.compile(r"<!--.*?(?:-->|$)|<![^>]*>|<[^>]*>|[^<]+|<[^>]*$", re.DOTALL)
 _TAG_NAME_RE = re.compile(r"^<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+_ANCHOR_RE = re.compile(r"<\s*(/?)\s*[aA]\b")
+
+
+def _anchor_close_positions(doc: str) -> dict[int, int]:
+    """open-tag position → matching close-tag position for every PAIRED
+    ``<a>`` in the document (stack pairing). Used lazily by the scanner to
+    let a properly-closed anchor's scope survive block boundaries (card
+    links) while an unclosed anchor still dies at the boundary."""
+    pairs: dict[int, int] = {}
+    stack: list[int] = []
+    for m in _ANCHOR_RE.finditer(doc):
+        if m.group(1):
+            if stack:
+                pairs[stack.pop()] = m.start()
+        else:
+            stack.append(m.start())
+    return pairs
 
 
 def _scan_blocks(doc: str) -> list[dict]:
@@ -76,11 +93,12 @@ def _scan_blocks(doc: str) -> list[dict]:
     link_chars = 0
     b_start = -1
     b_end = -1
-    link_depth = 0
+    anchor_stack: list[int] = []  # open positions of <a> tags in scope
+    anchor_pairs: dict[int, int] | None = None  # lazy (see flush)
     skip_tag: str | None = None  # raw-content mode for script/style/title…
 
-    def flush():
-        nonlocal pieces, link_chars, b_start, b_end, link_depth
+    def flush(pos: int):
+        nonlocal pieces, link_chars, b_start, b_end, anchor_stack, anchor_pairs
         if pieces:
             blocks.append(
                 {
@@ -94,18 +112,23 @@ def _scan_blocks(doc: str) -> list[dict]:
         link_chars = 0
         b_start = -1
         b_end = -1
-        # anchor scope ends at block boundaries: an unclosed <a> must not
-        # poison link-density for the rest of the document (common in real
-        # crawls). Cost: fully link-wrapped block elements (card links) count
-        # their inner text as plain — the lesser error.
-        link_depth = 0
+        # anchor scope at a block boundary: a PAIRED <a> whose close lies
+        # ahead keeps its scope (fully link-wrapped card links stay
+        # link-dense); anything else — unclosed, or whose close was missed
+        # (e.g. inside a comment) — dies here, so a broken anchor can never
+        # poison link-density for the rest of the document. The pairing
+        # pre-pass runs lazily, only for documents that actually hit this.
+        if anchor_stack:
+            if anchor_pairs is None:
+                anchor_pairs = _anchor_close_positions(doc)
+            anchor_stack = [p for p in anchor_stack if anchor_pairs.get(p, -1) > pos]
 
     def add(piece: str, start: int, end: int):
         nonlocal link_chars, b_start, b_end
         if not piece:
             return
         pieces.append(piece)
-        if link_depth > 0:
+        if anchor_stack:
             link_chars += len(piece.strip())
         if b_start < 0:
             b_start = start
@@ -138,12 +161,16 @@ def _scan_blocks(doc: str) -> list[dict]:
         if not closing and name in _SKIP_TAGS and not doc.startswith("/>", m.end() - 2):
             skip_tag = name
         elif name in _BLOCK_TAGS:
-            flush()
+            flush(start)
         elif name == "a":
-            link_depth = max(0, link_depth - 1) if closing else link_depth + 1
+            if closing:
+                if anchor_stack:
+                    anchor_stack.pop()
+            else:
+                anchor_stack.append(start)
         elif name == "br":
             add(" ", start, start)
-    flush()
+    flush(len(doc))
     return blocks
 
 

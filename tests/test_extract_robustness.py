@@ -199,3 +199,29 @@ def test_unclosed_anchor_does_not_poison_following_blocks():
     assert r["status"] == "ok"
     assert LONG in r["extracted_text"]
     assert r["n_blocks"] == 2
+
+
+def test_card_link_blocks_are_boilerplate():
+    """r2: a PAIRED anchor fully wrapping block elements (card link) keeps
+    its scope across the block boundary — the wrapped text is link-dense
+    boilerplate — while the unclosed-anchor protection above still holds."""
+    card = f"<a href='/x'><div>{LONG}</div></a><p>{LONG} real content</p>".encode()
+    r = extract_html(card)
+    assert r["extracted_text"] == f"{LONG} real content"
+    assert r["n_blocks"] == 1
+
+    # anchor spanning SEVERAL blocks: scope survives each boundary until </a>
+    multi = (
+        f"<a href='/x'><div>{LONG}</div><div>{LONG} two</div></a>"
+        f"<p>{LONG} three</p>"
+    ).encode()
+    r2 = extract_html(multi)
+    assert r2["extracted_text"] == f"{LONG} three"
+
+    # a close the scanner never sees (inside a comment) must not keep the
+    # scope alive past the close's position — bounded poisoning
+    weird = (
+        f"<div><a href='/x'>text<!-- </a> --></div><p>{LONG} after</p>"
+    ).encode()
+    r3 = extract_html(weird)
+    assert f"{LONG} after" in r3["extracted_text"]
