@@ -200,14 +200,18 @@ class MinHasher:
         matrix reduced by ``np.minimum.reduceat`` at doc offsets. Bit-equal
         to ``signature_from_hashes`` per doc (empty docs → sentinel row)."""
         n_docs = len(offsets) - 1
+        sigs = np.full((n_docs, self.num_perm), np.uint64(MERSENNE31), dtype=np.uint64)
         if concat.size == 0:
-            return np.full((n_docs, self.num_perm), np.uint64(MERSENNE31), dtype=np.uint64)
+            return sigs
         x = (concat % np.uint64(MERSENNE31))[:, None]  # (N, 1)
         vals = (x * self.a[None, :] + self.b[None, :]) % np.uint64(MERSENNE31)
-        starts = np.minimum(offsets[:-1], len(concat) - 1)  # clip empty-tail starts
-        sigs = np.minimum.reduceat(vals, starts, axis=0)
+        # reduceat over NON-EMPTY segments only: empty segments have
+        # start == end, so consecutive non-empty starts still delimit
+        # correctly — clipping starts instead silently corrupts the LAST
+        # non-empty doc when trailing docs are empty
         lengths = np.diff(offsets)
-        sigs[lengths == 0] = np.uint64(MERSENNE31)
+        nonempty = np.flatnonzero(lengths > 0)
+        sigs[nonempty] = np.minimum.reduceat(vals, offsets[:-1][nonempty], axis=0)
         return sigs
 
     def band_hashes_batch(self, sigs: np.ndarray, num_bands: int) -> np.ndarray:
@@ -319,9 +323,11 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     shifts = np.arange(64, dtype=np.uint64)[None, :]
     pm = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2) - 1  # (N, 64) ±1
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    starts = np.minimum(offsets[:-1], len(toks) - 1)
-    sums = np.add.reduceat(pm, starts, axis=0)
-    sums[counts == 0] = 0  # empty docs → fingerprint 0
+    # reduceat over non-empty segments only (see signatures_from_concat:
+    # clipped starts corrupt the last non-empty doc's sum)
+    sums = np.zeros((len(texts), 64), dtype=np.int64)
+    nonempty = np.flatnonzero(counts > 0)
+    sums[nonempty] = np.add.reduceat(pm, offsets[:-1][nonempty], axis=0)
     bits = (sums > 0).astype(np.uint64)
     out = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
     return out

@@ -533,6 +533,23 @@ def explode_struct_items(sf_dir: str):
         # a block boundary yields two partial lists, which the explode half
         # reabsorbs exactly (strict one-row-per-key would take key-hash
         # partitioned blocks).
+        if t.num_rows == 0:  # empty block from sparse range partitioning
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], t.column("l_orderkey").type),
+                    "items": pa.array(
+                        [],
+                        pa.list_(
+                            pa.struct(
+                                [
+                                    ("l_linenumber", t.column("l_linenumber").type),
+                                    ("l_quantity", t.column("l_quantity").type),
+                                ]
+                            )
+                        ),
+                    ),
+                }
+            )
         t = t.sort_by([("l_orderkey", "ascending"), ("l_linenumber", "ascending")])
         keys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
         bounds = np.flatnonzero(np.diff(keys)) + 1

@@ -386,6 +386,9 @@ def corpus_near_dup_pipeline(sf_dir: str):
     if isinstance(pairs, pd.DataFrame):
         n_pairs, members, n_clusters = 0, 0, 0
     else:
+        # materialize ONCE: both consumers (components + count) would
+        # otherwise re-execute the whole verify lineage
+        pairs = pairs.materialize()
         comp = connected_components(pairs, col_a="doc_a", col_b="doc_b").to_pandas()
         n_pairs = int(pairs.count())
         members = len(comp)  # nodes that belong to any near-dup cluster

@@ -52,7 +52,9 @@ def parse_jsonl_line(line: str) -> dict:
         return {"url": "", "warc_ts": 0, "html": b"", "jsonl_error": "jsonl_missing_url"}
     err = None
     ts = obj.get("warc_ts_us", 0)
-    if not isinstance(ts, int):
+    # bool is an int subclass, and JSON ints are unbounded — either would
+    # crash the batch's timestamp("us") array build instead of error-rowing
+    if not isinstance(ts, int) or isinstance(ts, bool) or not (-(2**62) <= ts < 2**62):
         ts, err = 0, "jsonl_bad_ts"
     payload = b""
     if "html_b64" in obj:

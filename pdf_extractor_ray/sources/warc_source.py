@@ -76,6 +76,8 @@ def parse_warc_bytes(data: bytes) -> dict[str, list]:
             n = int(headers["content-length"])
         except (KeyError, ValueError):
             ok, n = False, 0
+        if n < 0:  # negative length would move pos BACKWARDS → infinite loop
+            ok, n = False, 0
         if ok and url:
             payload = data[body_start : body_start + n]
             if len(payload) != n:

@@ -83,6 +83,8 @@ def parse_wet_bytes(data: bytes) -> dict[str, list]:
             n = int(headers.get("content-length", ""))
         except ValueError:
             ok, n = False, 0
+        if n < 0:  # negative length would move pos BACKWARDS → infinite loop
+            ok, n = False, 0
         rectype = headers.get("warc-type", "conversion")
         if ok and rectype != "conversion":
             pos = body_start + n  # metadata record: consume and move on

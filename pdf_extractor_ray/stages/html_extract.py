@@ -60,22 +60,43 @@ _WS_RE = re.compile(r"\s+")
 # tags, text runs, and a trailing unterminated '<' fragment (truncated docs)
 _TOKEN_RE = re.compile(r"<!--.*?(?:-->|$)|<![^>]*>|<[^>]*>|[^<]+|<[^>]*$", re.DOTALL)
 _TAG_NAME_RE = re.compile(r"^<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)")
-_ANCHOR_RE = re.compile(r"<\s*(/?)\s*[aA]\b")
-
-
 def _anchor_close_positions(doc: str) -> dict[int, int]:
     """open-tag position → matching close-tag position for every PAIRED
     ``<a>`` in the document (stack pairing). Used lazily by the scanner to
     let a properly-closed anchor's scope survive block boundaries (card
-    links) while an unclosed anchor still dies at the boundary."""
+    links) while an unclosed anchor still dies at the boundary.
+
+    Tokenizes with the SAME regexes and skip-tag elision as ``_scan_blocks``
+    so pre-pass pairing can never disagree with scanner state — an ``</a>``
+    inside a comment or a ``<script>`` body does not pair, and ``<a-card>``
+    / ``<a:ns>`` custom elements are not anchors."""
     pairs: dict[int, int] = {}
     stack: list[int] = []
-    for m in _ANCHOR_RE.finditer(doc):
-        if m.group(1):
-            if stack:
-                pairs[stack.pop()] = m.start()
-        else:
-            stack.append(m.start())
+    skip_tag: str | None = None
+    for m in _TOKEN_RE.finditer(doc):
+        start = m.start()
+        if doc[start] != "<":
+            continue
+        head = doc[start : start + 24]
+        if skip_tag is not None:
+            tm = _TAG_NAME_RE.match(head)
+            if tm and tm.group(1) == "/" and tm.group(2).lower() == skip_tag:
+                skip_tag = None
+            continue
+        if head.startswith("<!"):
+            continue
+        tm = _TAG_NAME_RE.match(head)
+        if tm is None:
+            continue
+        closing, name = tm.group(1) == "/", tm.group(2).lower()
+        if not closing and name in _SKIP_TAGS and not doc.startswith("/>", m.end() - 2):
+            skip_tag = name
+        elif name == "a":
+            if closing:
+                if stack:
+                    pairs[stack.pop()] = start
+            else:
+                stack.append(start)
     return pairs
 
 

@@ -218,10 +218,20 @@ def test_card_link_blocks_are_boilerplate():
     r2 = extract_html(multi)
     assert r2["extracted_text"] == f"{LONG} three"
 
-    # a close the scanner never sees (inside a comment) must not keep the
-    # scope alive past the close's position — bounded poisoning
+    # a close the scanner never sees (inside a comment) pairs with NOTHING —
+    # the pre-pass tokenizes like the scanner, so the unclosed anchor still
+    # dies at the block boundary and later blocks stay content
     weird = (
         f"<div><a href='/x'>text<!-- </a> --></div><p>{LONG} after</p>"
     ).encode()
     r3 = extract_html(weird)
     assert f"{LONG} after" in r3["extracted_text"]
+
+    # custom elements <a-...> / closes inside <script> are NOT anchors; the
+    # real card-link pairing must still fire around them
+    tricky = (
+        f"<a href='/x'><a-icon/><div>{LONG}</div></a>"
+        f"<script>var s = '</a>';</script><p>{LONG} keep</p>"
+    ).encode()
+    r4 = extract_html(tricky)
+    assert r4["extracted_text"] == f"{LONG} keep"

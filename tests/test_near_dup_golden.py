@@ -43,7 +43,9 @@ def test_batch_kernels_match_scalar():
     data = [b"", b"a", b"hello world", b"x" * 100, "héllo".encode(), b"abc"]
     assert list(fnv1a64_batch(data)) == [fnv1a64(d) for d in data]
 
-    texts = ["the quick brown fox jumps over it", "", "a b", "a b c d a b c d", "one"]
+    # empty docs in the MIDDLE and at the END — a trailing empty doc once
+    # silently corrupted the last non-empty doc's signature (review r2)
+    texts = ["the quick brown fox jumps over it", "", "a b", "a b c d a b c d", "one", ""]
     mh = MinHasher()
     concat, off = doc_shingle_hashes_batch(texts, 3)
     sigs = mh.signatures_from_concat(concat, off)
@@ -60,7 +62,7 @@ def test_batch_kernels_match_scalar():
 
     from pdf_extractor_ray.functions.sketches import simhash64, simhash64_batch
 
-    sh_texts = texts + ["x y z w v u", "hello world hello"]
+    sh_texts = texts + ["x y z w v u", "hello world hello", ""]
     assert [int(h) for h in simhash64_batch(sh_texts)] == [simhash64(t) for t in sh_texts]
 
 

@@ -69,6 +69,20 @@ def test_wet_malformed_records_flagged_not_fatal():
     assert cols["wet_error"] == [None, "wet_bad_utf8", "wet_short_payload"]
     assert cols["text"][0] == "abc"
 
+    # negative Content-Length must not loop forever (pos moving backwards)
+    neg = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: https://a/4\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00.000000Z\r\nContent-Length: -999\r\n\r\nxx"
+    )
+    cols = parse_wet_bytes(good + neg)
+    assert cols["wet_error"] == [None, "wet_bad_header"]
+
+    from pdf_extractor_ray.sources.warc_source import parse_warc_bytes
+
+    warc_neg = neg.replace(b"WARC-Type: conversion\r\n", b"")
+    wcols = parse_warc_bytes(warc_neg)
+    assert wcols["warc_error"] == ["warc_bad_header"]
+
 
 def test_jsonl_roundtrip_through_extraction(sf_dir, tmp_path):
     from pdf_extractor_ray.pipelines.extract import extract_pages
@@ -115,3 +129,8 @@ def test_jsonl_malformed_lines_flagged_not_fatal():
     )
     ok = parse_jsonl_line('{"url": "u", "warc_ts_us": 1, "html": "<p>x</p>"}')
     assert ok["jsonl_error"] is None and ok["html"] == b"<p>x</p>"
+    # bool is an int subclass; unbounded JSON ints overflow timestamp("us") —
+    # both must become error ROWS, not batch crashes
+    assert parse_jsonl_line('{"url": "u", "warc_ts_us": true}')["jsonl_error"] == "jsonl_bad_ts"
+    big = parse_jsonl_line('{"url": "u", "warc_ts_us": 100000000000000000000000000}')
+    assert big["jsonl_error"] == "jsonl_bad_ts" and big["warc_ts"] == 0
