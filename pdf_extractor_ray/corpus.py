@@ -52,8 +52,9 @@ HOSTS = [
 HOST_CUTS = [40, 60, 72, 80, 86, 90, 93, 95, 97, 98, 99, 100]
 
 WARC_TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+WARC_TS_STEP_US = 137_000_000  # per-doc spacing (137 s) — ONE constant, two call sites
 
-PDF_MAGIC = b"%PDF-1.4"
+PDF_MAGIC = b"%PDF-1.4"  # used by render_pdf; PdfLayoutExtractor checks the "%PDF" prefix
 
 # PDF-like layout geometry (points, letter-size page)
 PAGE_WIDTH = 612
@@ -74,6 +75,16 @@ def host_for_doc(doc_id: int) -> str:
     return HOSTS[-1]
 
 
+def hosts_for_docs(doc_ids) -> "np.ndarray":
+    """Vectorized ``host_for_doc`` over an int64 array (same arithmetic:
+    ``h = (id*37) % 100`` binned by HOST_CUTS via searchsorted)."""
+    import numpy as np
+
+    h = (np.asarray(doc_ids, dtype=np.int64) * 37) % 100
+    idx = np.searchsorted(np.asarray(HOST_CUTS), h, side="right")
+    return np.asarray(HOSTS, dtype=object)[idx]
+
+
 def is_pdf_doc(doc_id: int) -> bool:
     return doc_id % 8 == 5
 
@@ -87,7 +98,7 @@ def url_for_doc(doc_id: int) -> str:
 
 
 def warc_ts_us_for_doc(doc_id: int) -> int:
-    return WARC_TS_BASE_US + doc_id * 137_000_000  # 137 s apart, still 2024
+    return WARC_TS_BASE_US + doc_id * WARC_TS_STEP_US  # still within 2024
 
 
 # ---------------------------------------------------------------------------
@@ -173,7 +184,7 @@ def render_pdf(doc_id: int, text: str) -> bytes:
         key=lambda i: ((i * 2654435761 + doc_id * 97) % 4294967296, i),
     )
     lines = [f"T {tokens[i][0]} {tokens[i][1]} {tokens[i][2]} {tokens[i][3]}" for i in order]
-    return b"%PDF-1.4\n" + "\n".join(lines).encode("utf-8") + b"\n%%EOF\n"
+    return PDF_MAGIC + b"\n" + "\n".join(lines).encode("utf-8") + b"\n%%EOF\n"
 
 
 def render_payload(doc_id: int, text: str, paragraphs: int = 1) -> bytes:
@@ -202,7 +213,7 @@ def pages_batch_from_documents(batch: pa.Table, paragraphs: int = 1) -> pa.Table
     urls = [url_for_doc(int(d)) for d in doc_ids]
     payloads = [render_payload(int(d), t, paragraphs) for d, t in zip(doc_ids, texts)]
     ts = pa.array(
-        (WARC_TS_BASE_US + doc_ids * 137_000_000).astype(np.int64),
+        (WARC_TS_BASE_US + doc_ids * WARC_TS_STEP_US).astype(np.int64),
         type=pa.timestamp("us"),
     )
     return pa.table(

@@ -69,13 +69,45 @@ def dedup_extracted_by_url(extracted_ds):
     (first by (status, doc_id) — prefers an ok row over an error row for the
     same url, then the lowest doc_id). Used on re-crawled corpora where the
     unique-url input invariant does not hold."""
+    import zlib
+
+    import numpy as np
     import pandas as pd
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        order = g["status"].map({"ok": 0, "empty": 1, "error": 2})
-        return g.assign(_o=order).sort_values(["_o", "doc_id"]).drop(columns="_o").head(1)
+    n_buckets = 64
 
-    return extracted_ds.groupby("url").map_groups(first, batch_format="pandas")
+    def add_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        status = t.column("status")
+        rank = pc.if_else(
+            pc.equal(status, "ok"),
+            pa.scalar(0, pa.int64()),
+            pc.if_else(pc.equal(status, "empty"), pa.scalar(1, pa.int64()), pa.scalar(2, pa.int64())),
+        ).to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # one sortable key: status rank in the high bits, doc_id below
+        key = rank * np.int64(1 << 52) + doc
+        bucket = np.fromiter(
+            (zlib.crc32(u.encode()) % n_buckets for u in t.column("url").to_pylist()),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return t.append_column("_rank_key", pa.array(key)).append_column(
+            "_bucket", pa.array(bucket)
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        # one group per url-hash BUCKET, not per url (NOTES: ~1 ms/group for
+        # tiny groups); the per-url argmin is vectorized pandas inside
+        idx = g.groupby("url")["_rank_key"].idxmin()
+        return g.loc[idx].drop(columns=["_rank_key", "_bucket"])
+
+    return (
+        extracted_ds.map_batches(add_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(pick, batch_format="pandas")
+    )
 
 
 def _quality_partials(batch: pa.Table) -> pa.Table:
@@ -92,10 +124,10 @@ def _quality_partials(batch: pa.Table) -> pa.Table:
             "is_ok": pc.cast(pc.equal(batch.column("status"), "ok"), pa.int64()),
             "is_error": pc.cast(pc.equal(batch.column("status"), "error"), pa.int64()),
             "is_empty": pc.cast(pc.equal(batch.column("status"), "empty"), pa.int64()),
-            "n_chars": pc.cast(
-                pc.utf8_length(pc.cast(batch.column("extracted_text"), pa.string())),
-                pa.int64(),
-            ),
+            # utf8_length takes large_string directly — the cast-to-string it
+            # replaced copied every extracted byte per batch (and would hit
+            # the 2 GiB int32-offset ceiling on huge blocks)
+            "n_chars": pc.cast(pc.utf8_length(batch.column("extracted_text")), pa.int64()),
             "n_blocks": pc.cast(batch.column("n_blocks"), pa.int64()),
         }
     )

@@ -473,15 +473,17 @@ def semi_join_bloom(sf_dir: str):
     keys = _building_custkeys(sf_dir)
     bloom = BloomFilter(capacity=len(keys), fp_rate=0.01)
     bloom.add_many(keys)
-    state_ref = ray.put((bloom, set(keys)))
+    state_ref = ray.put((bloom, np.asarray(sorted(keys), dtype=np.int64)))
 
     def semi(t: pa.Table) -> pa.Table:
         bf, exact = ray.get(state_ref)
         ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        maybe = bf.contains_many(ck)  # bloom pass: no false negatives
-        confirmed = np.array(
-            [bool(m) and int(k) in exact for m, k in zip(maybe, ck)], dtype=bool
-        )
+        maybe = np.asarray(bf.contains_many(ck), dtype=bool)  # no false negatives
+        # exact check runs ONLY on the Bloom survivors (the docstring's
+        # point) and vectorized — no per-row Python loop
+        confirmed = maybe.copy()
+        if confirmed.any():
+            confirmed[maybe] = np.isin(ck[maybe], exact)
         return t.filter(pa.array(confirmed)).select(["o_orderkey"])
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -766,7 +768,7 @@ def host_counts_salted(sf_dir: str, salt_buckets: int = 8):
 
     def salted_partial(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        hosts = [corpus_mod.host_for_doc(int(d)) for d in ids]
+        hosts = corpus_mod.hosts_for_docs(ids)  # vectorized searchsorted bin
         tt = pa.table(
             {
                 "host": pa.array(hosts, type=pa.string()),

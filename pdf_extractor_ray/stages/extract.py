@@ -27,9 +27,10 @@ from ..schemas import DEFAULT_NUM_PARTITIONS, EXTRACTED_SCHEMA, EXTRACTOR_VERSIO
 from .registry import ExtractorRegistry, default_registry
 
 
-def detect_kind(payload: bytes) -> str:
-    """Content sniffing on the payload head (``can_parse`` analog)."""
-    head = payload[:64].lstrip()
+def detect_kind(payload: bytes, _head: bytes | None = None) -> str:
+    """Content sniffing on the payload head (``can_parse`` analog).
+    ``_head`` lets a caller that already sliced the head avoid re-slicing."""
+    head = (_head if _head is not None else payload[:64]).lstrip()
     if head.startswith(b"%PDF"):
         return "pdf"
     if head.startswith(b"<"):
@@ -79,11 +80,24 @@ class ExtractDocuments:
         )}
         for url, payload in zip(urls, payloads):
             payload = payload or b""
-            kind = detect_kind(payload)
-            ex = self.registry.detect(payload)
+            head = payload[:64]  # sniffed ONCE, shared by kind + routing
+            kind = detect_kind(payload, _head=head)
+            ex = self.registry.detect_from_head(head)
             if ex is not None:
-                r = ex.extract(payload)
                 name = ex.name
+                try:
+                    r = ex.extract(payload)
+                except Exception as e:
+                    # the reference's per-row guard (registry.py:33-35): one
+                    # pathological document becomes an error ROW — it must
+                    # never fail the task/job (this module's stated contract)
+                    r = {
+                        "status": "error",
+                        "extracted_text": "",
+                        "spans": [],
+                        "n_blocks": 0,
+                        "error": f"extractor_exception: {type(e).__name__}: {e}"[:200],
+                    }
             else:
                 r = {
                     "status": "error",

@@ -76,7 +76,10 @@ class ExtractorRegistry:
 
     def detect(self, payload: bytes, head_bytes: int = 64) -> Extractor | None:
         """First extractor whose content sniff matches the payload head."""
-        head = payload[:head_bytes]
+        return self.detect_from_head(payload[:head_bytes])
+
+    def detect_from_head(self, head: bytes) -> Extractor | None:
+        """Routing against an already-sliced head (hot path: slice once)."""
         for e in self._extractors:
             if e.can_extract(head):
                 return e

@@ -94,3 +94,41 @@ def test_sinks_partitioned_parquet_and_csv(sf_dir, tmp_path):
     export_csv(ext2.limit(50), csv_out, drop_columns=["spans"])
     files = os.listdir(csv_out)
     assert files
+
+
+def test_raising_extractor_becomes_error_row_not_task_failure():
+    """Per-row guard (review r2): one pathological document must divert to a
+    status=error row — the reference's registry.py:33-35 contract — never
+    fail the batch/task/job."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.stages.extract import ExtractDocuments
+    from pdf_extractor_ray.stages.registry import ExtractorRegistry, HtmlExtractor
+
+    class Bomb:
+        name = "bomb_v1"
+        version = "0"
+
+        def can_extract(self, head: bytes) -> bool:
+            return head.startswith(b"BOOM")
+
+        def extract(self, payload: bytes) -> dict:
+            raise RecursionError("pathological layout")
+
+    reg = ExtractorRegistry()
+    reg.register(Bomb())
+    reg.register(HtmlExtractor())
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "url": ["https://h/x", "https://h/y"],
+            "html": [b"BOOM payload", b"<p>" + b"fine content word " * 5 + b"</p>"],
+            "lang": ["en", "en"],
+        }
+    )
+    out = ExtractDocuments(registry=reg)(batch)
+    rows = out.to_pylist()
+    assert rows[0]["status"] == "error"
+    assert "extractor_exception: RecursionError" in rows[0]["error"]
+    assert rows[0]["extractor"] == "bomb_v1"
+    assert rows[1]["status"] == "ok"  # the rest of the batch is unaffected
