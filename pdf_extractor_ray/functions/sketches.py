@@ -29,6 +29,16 @@ def _splitmix64(x: int) -> int:
     return z ^ (z >> 31)
 
 
+def splitmix64_vec(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over a uint64 array — bit-identical to
+    ``_splitmix64`` per element (identity-tested)."""
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
 def minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     a = np.array(
         [(_splitmix64(2 * i + 1) % (MERSENNE31 - 1)) + 1 for i in range(num_perm)],
@@ -111,6 +121,22 @@ def _unique_per_segment(hashes: np.ndarray, seg_ids: np.ndarray) -> tuple[np.nda
     return hs, counts
 
 
+def _segment_hashes(grams: list[bytes], seg: list[int], n_texts: int) -> tuple[np.ndarray, np.ndarray]:
+    """Shared tail of the batch gram-hash builders: hash, per-segment dedup,
+    pad trailing empty docs, cumsum offsets. ONE implementation so the
+    word/char paths cannot silently diverge (the trailing-empty-doc padding
+    already bit this code once)."""
+    if not grams:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_texts + 1, dtype=np.int64)
+    hashes = fnv1a64_batch(grams)
+    seg_ids = np.asarray(seg, dtype=np.int64)
+    uniq, counts = _unique_per_segment(hashes, seg_ids)
+    if len(counts) < n_texts:  # trailing empty docs
+        counts = np.concatenate([counts, np.zeros(n_texts - len(counts), dtype=np.int64)])
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return uniq, offsets
+
+
 def doc_shingle_hashes_batch(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """Whole-batch word-shingle hashing: per-doc UNIQUE shingle hashes
     (sorted, same as ``shingles``) concatenated, plus offsets (n_docs+1).
@@ -126,15 +152,7 @@ def doc_shingle_hashes_batch(texts: list[str], k: int = 3) -> tuple[np.ndarray, 
             g = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
         grams.extend(s.encode() for s in g)
         seg.extend([d] * len(g))
-    if not grams:
-        return np.empty(0, dtype=np.uint64), np.zeros(len(texts) + 1, dtype=np.int64)
-    hashes = fnv1a64_batch(grams)
-    seg_ids = np.asarray(seg, dtype=np.int64)
-    uniq, counts = _unique_per_segment(hashes, seg_ids)
-    if len(counts) < len(texts):  # trailing empty docs
-        counts = np.concatenate([counts, np.zeros(len(texts) - len(counts), dtype=np.int64)])
-    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    return uniq, offsets
+    return _segment_hashes(grams, seg, len(texts))
 
 
 def char_ngram_hashes_batch(texts: list[str], n: int = 3) -> tuple[np.ndarray, np.ndarray]:
@@ -151,15 +169,7 @@ def char_ngram_hashes_batch(texts: list[str], n: int = 3) -> tuple[np.ndarray, n
         uniq_gs = set(gs)
         grams.extend(s.encode() for s in uniq_gs)
         seg.extend([d] * len(uniq_gs))
-    if not grams:
-        return np.empty(0, dtype=np.uint64), np.zeros(len(texts) + 1, dtype=np.int64)
-    hashes = fnv1a64_batch(grams)
-    seg_ids = np.asarray(seg, dtype=np.int64)
-    uniq, counts = _unique_per_segment(hashes, seg_ids)
-    if len(counts) < len(texts):
-        counts = np.concatenate([counts, np.zeros(len(texts) - len(counts), dtype=np.int64)])
-    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    return uniq, offsets
+    return _segment_hashes(grams, seg, len(texts))
 
 
 class MinHasher:

@@ -356,7 +356,7 @@ def fuzzy_edit_join(sf_dir: str, threshold: float = 0.8, n_lookup: int = 50, n_p
     topic_id; below threshold → null (the reference's unmatched branch)."""
     import ray
 
-    from ..functions.fuzzy import token_sort_key, token_sort_similarity
+    from ..functions.fuzzy import levenshtein, token_sort_key
 
     lk = (
         _read(sf_dir, "part", ["p_partkey", "p_name"])
@@ -368,8 +368,9 @@ def fuzzy_edit_join(sf_dir: str, threshold: float = 0.8, n_lookup: int = 50, n_p
         .to_pandas()
         .sort_values("p_partkey")
     )
+    # token-sort keys computed ONCE for the lookup side (not per comparison)
     lookup = [
-        (int(k), " ".join(reversed(name.split(" "))))
+        (int(k), token_sort_key(" ".join(reversed(name.split(" ")))))
         for k, name in zip(lk.p_partkey, lk.p_name)
     ]
     lookup_ref = ray.put(lookup)
@@ -378,9 +379,10 @@ def fuzzy_edit_join(sf_dir: str, threshold: float = 0.8, n_lookup: int = 50, n_p
         pairs = ray.get(lookup_ref)
         ids, sims = [], []
         for name in t.column("p_name").to_pylist():
+            sk = token_sort_key(name)  # once per probe row, not per lookup entry
             best_id, best_sim = None, None
-            for tid, lname in pairs:
-                s = token_sort_similarity(name, lname)
+            for tid, lkey in pairs:
+                s = float(np.round(1.0 - levenshtein(sk, lkey) / max(len(sk), len(lkey), 1), 6))
                 if s >= threshold and (best_sim is None or s > best_sim):
                     best_id, best_sim = tid, s  # ties keep first (smallest id)
             ids.append(best_id)

@@ -201,64 +201,139 @@ def embedding_near_dup(
 ):
     """Cosine near-dup pairs: BANDED sign-LSH (each vector lands in
     ``n_bands`` buckets, one per band of hyperplanes; a pair is a candidate
-    if ANY band bucket collides) → exact verify within buckets. OR-ing bands
-    fixes single-bucket recall: at cos=0.95, one 6-plane band collides w.p.
-    ≈0.53, four bands ≈0.95. Returns (vec_a, vec_b, cos_r), vec_a < vec_b,
-    deduped across bands."""
+    if ANY band bucket collides) → distinct candidate pairs → exact cosine
+    verify. OR-ing bands fixes single-bucket recall: at cos=0.95, one
+    6-plane band collides w.p. ≈0.53, four bands ≈0.95. Returns
+    (vec_a, vec_b, cos_r), vec_a < vec_b, deduped across bands.
+
+    Shuffle discipline (review r2): only (bucket, vec_id) int pairs cross
+    the bucket shuffle — never the vectors (the old shape replicated every
+    embedding once PER BAND). Verify reads the candidate vectors via the
+    broadcast-id-set semi-join (candidate-fraction sized by construction;
+    for a candidate set too big to broadcast, co-group by id bucket exactly
+    as dedup._verify_pairs_cogrouped does for texts)."""
     import ray
+    from ray.data.aggregate import Count
 
     dim = len(_query_vector(sf_dir, 0))
     n_planes = n_bands * planes_per_band
     planes_ref = ray.put(_hyperplanes(n_planes, dim))
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64))[None, :]
 
     def bucketize(batch: pa.Table) -> pa.Table:
         planes = ray.get(planes_ref)
         m = _batch_matrix(batch)
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
-        mn = m / norms[:, None]
-        signs = (mn @ planes.T) > 0  # (n, n_planes)
+        signs = ((m / norms[:, None]) @ planes.T) > 0  # (n, n_planes)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        out_bucket, out_id, out_vec = [], [], []
+        out_bucket = []
         for band in range(n_bands):
             sl = signs[:, band * planes_per_band : (band + 1) * planes_per_band]
-            code = np.zeros(len(mn), dtype=np.int64)
-            for b in range(planes_per_band):
-                code |= sl[:, b].astype(np.int64) << b
+            code = (sl.astype(np.int64) * weights).sum(axis=1)
             # band id in the high bits so buckets never collide across bands
             out_bucket.append(code | (np.int64(band) << 32))
-            out_id.append(ids)
-            out_vec.extend(list(mn))
         return pa.table(
             {
                 "bucket": pa.array(np.concatenate(out_bucket)),
-                "vec_id": pa.array(np.concatenate(out_id)),
-                "vec": pa.array(out_vec, type=pa.list_(pa.float64())),
+                "vec_id": pa.array(np.tile(ids, n_bands), type=pa.int64()),
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_r": []})
-        ids = g["vec_id"].to_numpy()
-        m = np.stack(g["vec"].to_numpy())
-        cos = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        # round BEFORE thresholding so borderline pairs agree with
-        # embedding_dup_exact (which thresholds the rounded value)
-        cos_r = np.round(cos[ia, ib], 6)
-        mask = cos_r >= threshold
+    bands = (
+        _read_embeddings(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()  # 2 int cols; reused by the count pass and the pair pass
+    )
+    counts = bands.groupby("bucket").aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t.column("n"), 2)).select(["bucket"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(hot) == 0:
         return pd.DataFrame(
             {
-                "vec_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
-                "vec_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
-                "cos_r": cos_r[mask],
+                "vec_a": pd.Series([], dtype=np.int64),
+                "vec_b": pd.Series([], dtype=np.int64),
+                "cos_r": pd.Series([], dtype=np.float64),
+            }
+        )
+    hot_ref = ray.put(pa.array(hot.bucket.to_numpy(), type=pa.int64()))
+
+    def in_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.is_in(t.column("bucket"), value_set=ray.get(hot_ref)))
+
+    def gen_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["vec_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype=np.int64), "vec_b": pd.Series([], dtype=np.int64)}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]})
+
+    # band-duplicated candidate pairs; dedup happens AFTER the exact verify,
+    # where rows are few (deduping candidates costs ~0.4 ms per group in
+    # Ray's aggregate — 32 s at 80k candidate groups, measured)
+    pairs = (
+        bands.map_batches(in_hot, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gen_pairs, batch_format="pandas")
+        .materialize()
+    )
+
+    # verify: candidate vectors via the broadcast-id-set semi-join — the
+    # full embedding table never leaves the workers
+    def pair_ids(t: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    t.column("vec_a").to_numpy(zero_copy_only=False),
+                    t.column("vec_b").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"vec_id": pa.array(ids, type=pa.int64())})
+
+    cand_ids = np.unique(
+        pairs.map_batches(pair_ids, batch_format="pyarrow").to_pandas().vec_id.to_numpy()
+    )
+    ids_ref = ray.put(pa.array(cand_ids, type=pa.int64()))
+
+    def keep_vecs(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.is_in(t.column("vec_id"), value_set=ray.get(ids_ref)))
+
+    cand = (
+        _read_embeddings(sf_dir)
+        .map_batches(keep_vecs, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    mats = np.stack([np.asarray(v, dtype=np.float64) for v in cand.embedding])
+    nrm = np.linalg.norm(mats, axis=1)
+    nrm[nrm == 0] = 1.0
+    mats = mats / nrm[:, None]
+    id2row = {int(v): i for i, v in enumerate(cand.vec_id)}
+    vec_ref = ray.put((id2row, mats))
+
+    def verify(t: pa.Table) -> pa.Table:
+        m2r, mm = ray.get(vec_ref)
+        a = t.column("vec_a").to_numpy(zero_copy_only=False)
+        b = t.column("vec_b").to_numpy(zero_copy_only=False)
+        ra = np.fromiter((m2r[int(x)] for x in a), dtype=np.int64, count=len(a))
+        rb = np.fromiter((m2r[int(x)] for x in b), dtype=np.int64, count=len(b))
+        # round BEFORE thresholding so borderline pairs agree with
+        # embedding_dup_exact (which thresholds the rounded value)
+        cos_r = np.round(np.einsum("ij,ij->i", mm[ra], mm[rb]), 6)
+        mask = cos_r >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(a[mask], type=pa.int64()),
+                "vec_b": pa.array(b[mask], type=pa.int64()),
+                "cos_r": pa.array(cos_r[mask], type=pa.float64()),
             }
         )
 
-    from ray.data.aggregate import Min
+    from .dedup import _dedup_verified
 
-    ds = _read_embeddings(sf_dir).map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = ds.groupby("bucket").map_groups(verify, batch_format="pandas")
-    # a pair colliding in several bands is found several times — dedup on key
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cos_r", alias_name="cos_r"))
+    verified = pairs.map_batches(verify, batch_format="pyarrow")
+    return _dedup_verified(verified, "vec_a", "vec_b", "cos_r")

@@ -122,7 +122,10 @@ class PassCheckpointer:
         os.makedirs(data, exist_ok=True)
         ds.write_parquet(data)
         marker = os.path.join(self._pass_dir(name), f"_done-{run_id}")
-        tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+        # tmp name must NOT share the `_done-` prefix: a crash between create
+        # and rename would otherwise read as a committed pass (and garbage
+        # the run-id audit)
+        tmp = os.path.join(self._pass_dir(name), f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w"):
             pass
         os.replace(tmp, marker)
