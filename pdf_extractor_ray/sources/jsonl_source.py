@@ -64,6 +64,10 @@ def parse_jsonl_line(line: str) -> dict:
             err = err or "jsonl_bad_base64"
     elif isinstance(obj.get("html"), str):
         payload = obj["html"].encode("utf-8")
+    else:
+        # absent / null / non-string payload is a BROKEN record, not an
+        # empty page — silent b"" would be indistinguishable downstream
+        err = err or "jsonl_missing_payload"
     return {"url": url, "warc_ts": ts, "html": payload, "jsonl_error": err}
 
 

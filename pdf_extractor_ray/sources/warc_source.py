@@ -30,6 +30,57 @@ _CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
 _MAGIC = b"WARC/1.0\r\n"
 
+# real Common-Crawl WARC/WET dates come in BOTH fractional- and whole-second
+# forms — a single-format parse flags every real record as bad_date
+_DATE_FORMATS = ("%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ")
+
+
+def parse_warc_date_us(date: str) -> int | None:
+    """ISO8601 WARC-Date → epoch microseconds, or None if unparseable."""
+    for fmt in _DATE_FORMATS:
+        try:
+            return int(
+                datetime.strptime(date, fmt).replace(tzinfo=timezone.utc).timestamp() * 1e6
+            )
+        except ValueError:
+            continue
+    return None
+
+
+def iter_warc_records(data: bytes):
+    """Shared WARC record framing: yields (headers, ok, payload, short) per
+    record — magic scan, CRLF header parse, Content-Length framing with the
+    negative-length guard (a negative n would move the scan position
+    BACKWARDS → infinite loop). One implementation for the WARC and WET
+    sources so framing fixes cannot diverge."""
+    pos = 0
+    while True:
+        start = data.find(_MAGIC, pos)
+        if start < 0:
+            return
+        hdr_end = data.find(_HDR_END, start)
+        if hdr_end < 0:
+            return  # truncated trailing record: header never completes
+        headers: dict[str, str] = {}
+        ok = True
+        for line in data[start + len(_MAGIC) : hdr_end].split(_CRLF):
+            if b":" not in line:
+                ok = False
+                break
+            k, v = line.split(b":", 1)
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+        body_start = hdr_end + len(_HDR_END)
+        try:
+            n = int(headers.get("content-length", ""))
+        except ValueError:
+            ok, n = False, 0
+        if n < 0:
+            ok, n = False, 0
+        payload = data[body_start : body_start + n] if ok else b""
+        short = ok and len(payload) != n
+        yield headers, ok, payload, short
+        pos = body_start + n if ok else hdr_end + len(_HDR_END)
+
 
 def write_warc_like(records: list[dict], path: str) -> None:
     """Test-fixture writer: records = [{url, warc_ts_us, payload}, ...]."""
@@ -52,55 +103,26 @@ def parse_warc_bytes(data: bytes) -> dict[str, list]:
     ts_us: list[int] = []
     payloads: list[bytes] = []
     errors: list[str | None] = []
-    pos = 0
-    while True:
-        start = data.find(_MAGIC, pos)
-        if start < 0:
-            break
-        hdr_end = data.find(_HDR_END, start)
-        if hdr_end < 0:
-            break  # truncated trailing record: header never completes
-        headers: dict[str, str] = {}
-        ok = True
-        for line in data[start + len(_MAGIC) : hdr_end].split(_CRLF):
-            if b":" not in line:
-                ok = False
-                break
-            k, v = line.split(b":", 1)
-            headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+    for headers, ok, payload, short in iter_warc_records(data):
         url = headers.get("warc-target-uri", "")
         err = None
-        payload = b""
-        body_start = hdr_end + len(_HDR_END)
-        try:
-            n = int(headers["content-length"])
-        except (KeyError, ValueError):
-            ok, n = False, 0
-        if n < 0:  # negative length would move pos BACKWARDS → infinite loop
-            ok, n = False, 0
         if ok and url:
-            payload = data[body_start : body_start + n]
-            if len(payload) != n:
+            if short:
                 err, payload = "warc_short_payload", b""
         else:
-            err = "warc_bad_header"
+            err, payload = "warc_bad_header", b""
         t = 0
         date = headers.get("warc-date", "")
         if date:
-            try:
-                t = int(
-                    datetime.strptime(date, "%Y-%m-%dT%H:%M:%S.%fZ")
-                    .replace(tzinfo=timezone.utc)
-                    .timestamp()
-                    * 1e6
-                )
-            except ValueError:
+            parsed = parse_warc_date_us(date)
+            if parsed is None:
                 err = err or "warc_bad_date"
+            else:
+                t = parsed
         urls.append(url)
         ts_us.append(t)
         payloads.append(payload)
         errors.append(err)
-        pos = body_start + n if ok else hdr_end + len(_HDR_END)
     return {"url": urls, "warc_ts": ts_us, "html": payloads, "warc_error": errors}
 
 

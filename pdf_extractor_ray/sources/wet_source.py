@@ -57,44 +57,22 @@ def write_wet_like(records: list[dict], path: str, with_warcinfo: bool = True) -
 def parse_wet_bytes(data: bytes) -> dict[str, list]:
     """One file's bytes → columns {url, warc_ts (us), text, wet_error}.
     ``warcinfo`` / other non-conversion records are skipped silently (they
-    are file metadata, not pages)."""
+    are file metadata, not pages). Record framing and date parsing are the
+    shared ``warc_source`` machinery — one implementation, two sources."""
+    from .warc_source import iter_warc_records, parse_warc_date_us
+
     urls: list[str] = []
     ts_us: list[int] = []
     texts: list[str] = []
     errors: list[str | None] = []
-    pos = 0
-    while True:
-        start = data.find(_MAGIC, pos)
-        if start < 0:
-            break
-        hdr_end = data.find(_HDR_END, start)
-        if hdr_end < 0:
-            break
-        headers: dict[str, str] = {}
-        ok = True
-        for line in data[start + len(_MAGIC) : hdr_end].split(_CRLF):
-            if b":" not in line:
-                ok = False
-                break
-            k, v = line.split(b":", 1)
-            headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
-        body_start = hdr_end + len(_HDR_END)
-        try:
-            n = int(headers.get("content-length", ""))
-        except ValueError:
-            ok, n = False, 0
-        if n < 0:  # negative length would move pos BACKWARDS → infinite loop
-            ok, n = False, 0
-        rectype = headers.get("warc-type", "conversion")
-        if ok and rectype != "conversion":
-            pos = body_start + n  # metadata record: consume and move on
-            continue
+    for headers, ok, payload, short in iter_warc_records(data):
+        if ok and headers.get("warc-type", "conversion") != "conversion":
+            continue  # metadata record (warcinfo etc.)
         url = headers.get("warc-target-uri", "")
         err = None
         text = ""
         if ok and url:
-            payload = data[body_start : body_start + n]
-            if len(payload) != n:
+            if short:
                 err = "wet_short_payload"
             else:
                 try:
@@ -106,20 +84,15 @@ def parse_wet_bytes(data: bytes) -> dict[str, list]:
         t = 0
         date = headers.get("warc-date", "")
         if date:
-            try:
-                t = int(
-                    datetime.strptime(date, "%Y-%m-%dT%H:%M:%S.%fZ")
-                    .replace(tzinfo=timezone.utc)
-                    .timestamp()
-                    * 1e6
-                )
-            except ValueError:
+            parsed = parse_warc_date_us(date)
+            if parsed is None:
                 err = err or "wet_bad_date"
+            else:
+                t = parsed
         urls.append(url)
         ts_us.append(t)
         texts.append(text)
         errors.append(err)
-        pos = body_start + n if ok else hdr_end + len(_HDR_END)
     return {"url": urls, "warc_ts": ts_us, "text": texts, "wet_error": errors}
 
 

@@ -36,10 +36,16 @@ def _try_pdfplumber(payload: bytes) -> list[str]:
 def _try_pypdf(payload: bytes) -> list[str]:
     import io
 
-    try:
-        from pypdf import PdfReader
-    except ImportError:  # the reference's PyPDF2 era
-        from PyPDF2 import PdfReader
+    from pypdf import PdfReader
+
+    reader = PdfReader(io.BytesIO(payload))
+    return [(page.extract_text() or "") for page in reader.pages]
+
+
+def _try_pypdf2(payload: bytes) -> list[str]:
+    import io
+
+    from PyPDF2 import PdfReader  # the reference's PyPDF2 era
 
     reader = PdfReader(io.BytesIO(payload))
     return [(page.extract_text() or "") for page in reader.pages]
@@ -52,19 +58,25 @@ def _try_fitz(payload: bytes) -> list[str]:
         return [page.get_text() for page in doc]
 
 
-#: (name, importable-module, page-extractor) in reference cascade order
+#: (name, importable-module, page-extractor) in reference cascade order —
+#: each entry imports ITS OWN library so a cascade step never silently
+#: re-runs the previous backend
 _BACKEND_SPECS = [
     ("pdfplumber", "pdfplumber", _try_pdfplumber),
     ("pypdf", "pypdf", _try_pypdf),
-    ("PyPDF2", "PyPDF2", _try_pypdf),
+    ("PyPDF2", "PyPDF2", _try_pypdf2),
     ("fitz", "fitz", _try_fitz),
 ]
 
 
-def available_backends() -> list[str]:
+def _importable_specs() -> list[tuple[str, "callable"]]:
     import importlib.util
 
-    return [name for name, mod, _ in _BACKEND_SPECS if importlib.util.find_spec(mod)]
+    return [(name, fn) for name, mod, fn in _BACKEND_SPECS if importlib.util.find_spec(mod)]
+
+
+def available_backends() -> list[str]:
+    return [name for name, _ in _importable_specs()]
 
 
 def is_synthetic_pdf(payload: bytes, probe_bytes: int = 4096) -> bool:
@@ -86,16 +98,7 @@ class RealPdfExtractor:
     version = "0.1.0"
 
     def __init__(self, backends=None):
-        if backends is not None:
-            self._backends = list(backends)
-        else:
-            import importlib.util
-
-            self._backends = [
-                (bname, fn)
-                for bname, mod, fn in _BACKEND_SPECS
-                if importlib.util.find_spec(mod)
-            ]
+        self._backends = list(backends) if backends is not None else _importable_specs()
 
     def can_extract(self, head: bytes) -> bool:
         # real %PDF payloads only — the synthetic token format routes to the

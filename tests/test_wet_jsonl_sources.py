@@ -84,6 +84,23 @@ def test_wet_malformed_records_flagged_not_fatal():
     assert wcols["warc_error"] == ["warc_bad_header"]
 
 
+def test_whole_second_warc_dates_accepted():
+    """Real Common-Crawl WET/WARC dates have NO fractional seconds — both
+    forms must parse (a single-format parse flagged every real record)."""
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: https://a/1\r\n"
+        b"WARC-Date: 2017-03-20T17:22:30Z\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    cols = parse_wet_bytes(rec)
+    assert cols["wet_error"] == [None]
+    assert cols["warc_ts"][0] == 1490030550000000  # 2017-03-20T17:22:30Z in us
+
+    from pdf_extractor_ray.sources.warc_source import parse_warc_bytes
+
+    wcols = parse_warc_bytes(rec)
+    assert wcols["warc_error"] == [None] and wcols["warc_ts"][0] == 1490030550000000
+
+
 def test_jsonl_roundtrip_through_extraction(sf_dir, tmp_path):
     from pdf_extractor_ray.pipelines.extract import extract_pages
 
@@ -129,6 +146,13 @@ def test_jsonl_malformed_lines_flagged_not_fatal():
     )
     ok = parse_jsonl_line('{"url": "u", "warc_ts_us": 1, "html": "<p>x</p>"}')
     assert ok["jsonl_error"] is None and ok["html"] == b"<p>x</p>"
+    # absent / null / non-string payloads are broken records, not empty pages
+    for line in (
+        '{"url": "u", "warc_ts_us": 1}',
+        '{"url": "u", "warc_ts_us": 1, "html": null}',
+        '{"url": "u", "warc_ts_us": 1, "html": 123}',
+    ):
+        assert parse_jsonl_line(line)["jsonl_error"] == "jsonl_missing_payload"
     # bool is an int subclass; unbounded JSON ints overflow timestamp("us") —
     # both must become error ROWS, not batch crashes
     assert parse_jsonl_line('{"url": "u", "warc_ts_us": true}')["jsonl_error"] == "jsonl_bad_ts"
