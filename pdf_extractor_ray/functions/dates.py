@@ -47,9 +47,10 @@ def to_iso_hour(ts_col) -> pa.Array:
     return pc.strftime(floored, format="%Y-%m-%d %H:%M:%S")
 
 
-def splice_year(month_col, day_col, doc_year_col, doc_month_col) -> pa.Array:
-    """Year-boundary inference: MM/DD + document year; if the document is
-    dated January and the record month is December, use year−1."""
+def splice_year(month_col, doc_year_col, doc_month_col) -> pa.Array:
+    """Year-boundary inference: record month + document year; if the
+    document is dated January and the record month is December, use year−1.
+    (Only the MONTH participates — the day never affects the inference.)"""
     doc_year = pc.cast(doc_year_col, pa.int32())
     rollback = pc.and_(pc.equal(doc_month_col, 1), pc.equal(month_col, 12))
     year = pc.if_else(rollback, pc.subtract(doc_year, 1), doc_year)

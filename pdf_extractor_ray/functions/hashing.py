@@ -30,10 +30,15 @@ def sha256_hex(value: str) -> str:
 
 def row_sha256(batch: pa.Table, columns: list[str], sep: str = "|") -> pa.Array:
     """sha256 over '|'-joined stringified columns. The join is vectorized
-    (Arrow); the digest itself is per-row by nature (like the reference)."""
+    (Arrow); the digest itself is per-row by nature (like the reference).
+    A null in any column makes the joined row null → the hash is null (SQL
+    sha256(NULL) semantics), never a crashed task."""
     cols = [pc.cast(batch.column(c), pa.string()) for c in columns]
     joined = pc.binary_join_element_wise(*cols, sep)
-    return pa.array([sha256_hex(v) for v in joined.to_pylist()], type=pa.string())
+    return pa.array(
+        [sha256_hex(v) if v is not None else None for v in joined.to_pylist()],
+        type=pa.string(),
+    )
 
 
 def hash_bucket(col, num_buckets: int) -> pa.Array:

@@ -1,10 +1,11 @@
 """Language identification: character n-gram profile heuristic.
 
-A classic rank-order n-gram classifier (Cavnar & Trenkle-style): small
-built-in trigram profiles per language; a document is scored by overlap of
-its most frequent trigrams with each profile. Deterministic, dependency-free,
-and cheap — intended as the actor-pool stage's once-per-worker state
-(profiles built in ``__init__``).
+An n-gram profile classifier in the Cavnar & Trenkle family, simplified to
+OVERLAP COUNT scoring: a document is scored by how many of its ``top_k``
+most frequent trigrams appear in each language's profile set (the full C&T
+rank-distance is not used — membership is enough at these profile sizes).
+Deterministic, dependency-free, and cheap — intended as the actor-pool
+stage's once-per-worker state (profiles built in ``__init__``).
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ DEFAULT_PROFILES: dict[str, list[str]] = {
     "fr": [" de", "de ", " le", "es ", "le ", "ent", "nt ", "et ", " et", "la ",
            " la", "ion", "on ", "re ", " pa", "e d", "ne ", "ur ", " qu", "que"],
     "es": [" de", "de ", " la", "la ", "os ", " el", "el ", "ue ", "en ", " en",
-           "ent", " qu", "que", "nte", "as ", "ón ", "ción", "es ", " co", "ar "],
+           "ent", " qu", "que", "nte", "as ", "ón ", "ció", "es ", " co", "ar "],
     "zh": [],  # CJK: routed by script detection, not trigrams
 }
 
@@ -33,10 +34,9 @@ class LangId:
     def __init__(self, profiles: dict[str, list[str]] | None = None, top_k: int = 40):
         profiles = profiles or DEFAULT_PROFILES
         self.top_k = top_k
+        # membership sets — scoring is overlap count (see module docstring)
         self.profiles = {
-            lang: {g: rank for rank, g in enumerate(grams)}
-            for lang, grams in profiles.items()
-            if grams
+            lang: frozenset(grams) for lang, grams in profiles.items() if grams
         }
 
     @staticmethod
@@ -45,7 +45,9 @@ class LangId:
         return cjk > 10
 
     def predict(self, text: str) -> str:
-        if not text:
+        # NaN/None survive pandas object columns — must route to "und", not
+        # crash the CJK subscript
+        if not isinstance(text, str) or not text:
             return "und"
         if self._is_cjk(text):
             return "zh"

@@ -7,11 +7,10 @@ so the DuckDB oracle can match them hash-exactly.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .tokens import split_ws
+from .tokens import count_in_lists, split_ws
 
 DEFAULT_STOPWORDS = ["the", "a", "and", "row", "data"]
 
@@ -24,15 +23,8 @@ def quality_features(batch: pa.Table, text_col: str = "text", stopwords: list[st
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
     n_tokens = pc.cast(pc.list_value_length(lists), pa.int64())
-    # stopword count: flatten → membership mask → per-row reduce via offsets
-    flat = lists.flatten()
-    hits = pc.cast(pc.is_in(flat, value_set=pa.array(stopwords)), pa.int64()).to_numpy(
-        zero_copy_only=False
-    )
-    offsets = lists.offsets.to_numpy(zero_copy_only=False)
-    offsets = offsets - offsets[0]  # flatten() re-bases sliced arrays at 0
-    cum = np.concatenate([[0], np.cumsum(hits)])
-    n_stop = (cum[offsets[1:]] - cum[offsets[:-1]]).astype(np.int64)
+    # stopword count via the SHARED segment-sum helper (tokens.count_in_lists)
+    n_stop = count_in_lists(lists, stopwords)
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
     n_punct = pc.cast(
         pc.count_substring_regex(text, pattern=r"[^\w\s]"), pa.int64()
@@ -41,7 +33,7 @@ def quality_features(batch: pa.Table, text_col: str = "text", stopwords: list[st
     for name, arr in (
         ("n_chars_q", n_chars),
         ("n_tokens", n_tokens),
-        ("n_stop", pa.array(n_stop)),
+        ("n_stop", n_stop),
         ("n_punct", n_punct),
     ):
         out = out.append_column(name, arr)

@@ -14,7 +14,6 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_WS_RUN = re.compile(r" +")
 
 
 def clean_description(col: pa.ChunkedArray | pa.Array, noise_pattern: str = r"\bdup\b") -> pa.Array:

@@ -31,7 +31,14 @@ def explode_tokens(batch: pa.Table, id_col: str, text_col: str, out_col: str = "
     lists = split_ws(batch.column(text_col))
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
-    lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    # null text → null list → null length: fill with 0 so the row emits no
+    # tokens (SQL unnest-of-NULL semantics) instead of crashing the int cast;
+    # flatten() drops the null slot, so ids stay aligned
+    lengths = (
+        pc.fill_null(pc.list_value_length(lists), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     return pa.table(
         {
@@ -41,12 +48,11 @@ def explode_tokens(batch: pa.Table, id_col: str, text_col: str, out_col: str = "
     )
 
 
-def count_in_set(col, vocab: list[str]) -> pa.Array:
-    """Per-row count of tokens that fall in ``vocab`` (stopword counting):
-    flatten → membership mask → per-row segment sum via list offsets."""
-    lists = split_ws(col)
-    if isinstance(lists, pa.ChunkedArray):
-        lists = lists.combine_chunks()
+def count_in_lists(lists: pa.ListArray, vocab: list[str]) -> pa.Array:
+    """Per-row count of list elements that fall in ``vocab``: flatten →
+    membership mask → per-row segment sum via list offsets. SHARED by
+    count_in_set and quality_features so the offsets-rebase subtlety lives
+    in exactly one place."""
     hits = pc.cast(pc.is_in(lists.flatten(), value_set=pa.array(vocab)), pa.int64())
     hits_np = hits.to_numpy(zero_copy_only=False)
     offsets = lists.offsets.to_numpy(zero_copy_only=False)
@@ -55,3 +61,11 @@ def count_in_set(col, vocab: list[str]) -> pa.Array:
     offsets = offsets - offsets[0]
     cum = np.concatenate([[0], np.cumsum(hits_np)])
     return pa.array((cum[offsets[1:]] - cum[offsets[:-1]]).astype(np.int64))
+
+
+def count_in_set(col, vocab: list[str]) -> pa.Array:
+    """Per-row count of tokens that fall in ``vocab`` (stopword counting)."""
+    lists = split_ws(col)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    return count_in_lists(lists, vocab)

@@ -84,8 +84,11 @@ def _validity_reason(t: pa.Table) -> pa.Array:
         pc.is_null(t.column("description")),
         pc.equal(pc.utf8_trim_whitespace(pc.fill_null(t.column("description"), "")), ""),
     )
+    # fill_null BEFORE equal: pc.or_ is non-Kleene, so or_(True, null) is
+    # null and a null-amount row would slip through validation as valid
     bad_amount = pc.or_(
-        pc.is_null(t.column("amount")), pc.equal(t.column("amount"), 0.0)
+        pc.is_null(t.column("amount")),
+        pc.equal(pc.fill_null(t.column("amount"), 0.0), 0.0),
     )
     below_min = pc.less(pc.abs(pc.fill_null(t.column("amount"), 1.0)), 0.05)
     return pc.if_else(
@@ -118,6 +121,7 @@ def _normalize_source(sf_dir: str, table: str, columns: list[str], tmap: Transfo
         lambda t: _split(apply_transform_map(t, tmap)),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,
     )
 
 
@@ -138,6 +142,8 @@ def normalize_union(sf_dir: str):
     return _all_sources(sf_dir).map_batches(
         lambda t: t.filter(pc.is_null(t.column("problem_reason"))).select(CANONICAL_COLUMNS),
         batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
     )
 
 

@@ -910,7 +910,7 @@ def year_splice(sf_dir: str):
         n = t.num_rows
         doc_year = pa.array(np.full(n, 2025, dtype=np.int32))
         doc_month = pa.array(np.ones(n, dtype=np.int32))
-        year = splice_year(month, day, doc_year, doc_month)
+        year = splice_year(month, doc_year, doc_month)
         return pa.table(
             {
                 "event_id": t.column("event_id"),

@@ -55,8 +55,7 @@ def test_date_cascade_multi_format_and_failure():
 
 def test_year_splice_december_rollback():
     out = splice_year(
-        pa.array([12, 11, 1]), pa.array([30, 2, 5]), pa.array([2025, 2025, 2025]),
-        pa.array([1, 1, 1]),
+        pa.array([12, 11, 1]), pa.array([2025, 2025, 2025]), pa.array([1, 1, 1])
     ).to_pylist()
     assert out == [2024, 2025, 2025]
 
@@ -180,3 +179,40 @@ def test_pii_scrub_and_count():
     assert cleaned[0] == "contact me at [REDACTED] or [REDACTED] ok"
     assert cleaned[1] == "card [REDACTED] was used"
     assert cleaned[2] == "no pii here at all"
+
+
+def test_null_safety_kernels():
+    """Review r2: nulls/NaN in inputs become null/empty OUTPUTS, never
+    crashed tasks — row_sha256, explode_tokens, LangId, validity reasons."""
+    import numpy as np
+
+    from pdf_extractor_ray.functions.langid import LangId
+    from pdf_extractor_ray.functions.tokens import explode_tokens
+    from pdf_extractor_ray.pipelines.normalize import _validity_reason
+
+    # row_sha256: null column value -> null hash (SQL sha256(NULL))
+    t = pa.table({"a": [1, None], "b": ["x", "y"]})
+    h = row_sha256(t, ["a", "b"]).to_pylist()
+    assert len(h[0]) == 64 and h[1] is None
+
+    # explode_tokens: null text -> zero rows for that id, others aligned
+    t2 = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()), "text": ["a b", None, "c"]})
+    out = explode_tokens(t2, "doc_id", "text").to_pylist()
+    assert [(r["doc_id"], r["token"]) for r in out] == [(1, "a"), (1, "b"), (3, "c")]
+
+    # LangId: NaN / None / non-str -> "und", no crash
+    li = LangId()
+    assert li.predict(np.nan) == "und"
+    assert li.predict(None) == "und"
+
+    # validity: null amount is zero_amount, not silently valid (or_ is
+    # non-Kleene; or_(True, null) would be null without the fill)
+    v = pa.table(
+        {
+            "transaction_date": ["2024-01-01"],
+            "description": ["ok desc"],
+            "amount": pa.array([None], pa.float64()),
+            "source": ["x"],
+        }
+    )
+    assert _validity_reason(v).to_pylist() == ["zero_amount"]
