@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_event_delta": relational.lag_event_delta,
         "range_join_campaigns": relational.range_join_campaigns,
         "pivot_event_counts": relational.pivot_event_counts,
+        "percentile_by_group": relational.percentile_by_group,
+        "rolling_avg_per_user": relational.rolling_avg_per_user,
+        "mode_by_group": relational.mode_by_group,
         # --- sorts / top-k / distinct / stats (§2.6, §2.7, §2.5) -----------
         "topk_per_group": relational.topk_per_group,
         "distinct_pairs": relational.distinct_pairs,
@@ -376,6 +379,25 @@ def oracle_sql() -> dict[str, str]:
                    WHEN o2 >= o3 THEN 'sort order key'
                    ELSE 'filter scan row' END AS topic
             FROM s
+        """,
+        "percentile_by_group": """
+            SELECT o_orderpriority, quantile_disc(o_totalprice, 0.9) AS p90_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "rolling_avg_per_user": """
+            SELECT event_id,
+              ROUND(AVG(value) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
+            FROM events
+        """,
+        "mode_by_group": """
+            SELECT user_id, event_type AS mode_type FROM (
+              SELECT user_id, event_type,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+              FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
         """,
         "lag_event_delta": """
             SELECT event_id,

@@ -1242,6 +1242,81 @@ def running_total(sf_dir: str):
     return ds.groupby("user_id").map_groups(cumsum, batch_format="pandas")
 
 
+def percentile_by_group(sf_dir: str, q_num: int = 9, q_den: int = 10):
+    """Exact discrete quantile per group (p90 of order totals per priority).
+    DuckDB ``quantile_disc`` semantics: sorted element at ``ceil(q·n) − 1``
+    with EXACT fraction arithmetic (float q·n drifts above integers — e.g.
+    0.9·10 = 9.000000000000002 — and flips the index)."""
+    from fractions import Fraction
+    from math import ceil
+
+    q = Fraction(q_num, q_den)
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["o_totalprice"].to_numpy())
+        idx = ceil(q * len(v)) - 1
+        return pd.DataFrame(
+            {"o_orderpriority": [g["o_orderpriority"].iloc[0]], "p90_price": [v[idx]]}
+        )
+
+    # 5 priority groups — far below the tiny-group trap threshold
+    return ds.groupby("o_orderpriority").map_groups(pick, batch_format="pandas")
+
+
+def rolling_avg_per_user(sf_dir: str, window: int = 3):
+    """Frame-based rolling aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW): per user ordered by (ts, event_id), mean of the trailing window.
+    Sort-within-group + pandas rolling — the ordered-state shape shared with
+    running_total; rounded 4dp on both sides."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        avg = g["value"].rolling(window, min_periods=1).mean()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "rolling_avg": np.round(avg.to_numpy(), 4),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+def mode_by_group(sf_dir: str):
+    """Most frequent event_type per user with a DETERMINISTIC tiebreak
+    (count DESC, value ASC) — DuckDB's bare mode() breaks ties by scan
+    order, which no distributed implementation should depend on, so BOTH
+    sides use the explicit count+rank formulation. Per-batch combiner
+    before the (user, type) groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+        return (
+            tt.group_by(["user_id", "event_type"])
+            .aggregate([("one", "sum")])
+            .rename_columns(["user_id", "event_type", "n"])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "event_type"], ascending=[False, True])
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "mode_type": [g["event_type"].iloc[0]]}
+        )
+
+    return counts.groupby("user_id").map_groups(argmax, batch_format="pandas")
+
+
 def lag_event_delta(sf_dir: str):
     """LAG window function (previous-row delta per key): co-partition by
     user, sort the group by (ts, event_id), microsecond delta to the
