@@ -122,6 +122,9 @@ QUERY_PANEL = [
     "range_join_campaigns",
     "pivot_event_counts",
     "lag_event_delta",
+    "percentile_by_group",
+    "rolling_avg_per_user",
+    "mode_by_group",
     "corpus_near_dup_pipeline",
 ]
 
