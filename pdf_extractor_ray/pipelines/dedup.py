@@ -445,6 +445,71 @@ def minhash_near_dup_ds(docs_ds, threshold: float = 0.6):
     return _dedup_verified(verified, "doc_a", "doc_b", "jaccard_r")
 
 
+#: groups-per-shuffle for the distributed components rounds — every grouped
+#: stage groups by ``node % N_CC_BUCKETS`` (bucket-level), never per node or
+#: per edge: Ray's grouped stages cost ~1 ms per map_groups group and
+#: ~0.4 ms per aggregate group (NOTES), which at 10^7+ nodes is hours per
+#: round on exactly the path that exists for big graphs (VERDICT r2 #2).
+N_CC_BUCKETS = 64
+
+
+def _add_mod_bucket(col: str, n_buckets: int = N_CC_BUCKETS):
+    """map_batches fn: append ``_bucket = col % n_buckets`` (vectorized)."""
+
+    def add(t: pa.Table) -> pa.Table:
+        k = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_bucket", pa.array(k % n_buckets, type=pa.int64()))
+
+    return add
+
+
+def _bucket_distinct(ds, cols: list[str], n_buckets: int = N_CC_BUCKETS):
+    """Distinct rows via one bucket-level grouped stage: bucket on the first
+    column, ``drop_duplicates`` vectorized inside the bucket group. Replaces
+    ``groupby(cols).count()`` dedup, whose group count equals the DISTINCT
+    ROW count (the per-group cost trap above)."""
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(cols).drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(_add_mod_bucket(cols[0], n_buckets), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(distinct, batch_format="pandas")
+    )
+
+
+def _bucket_min_by_node(ds, node_col: str, val_col: str, n_buckets: int = N_CC_BUCKETS):
+    """Per-node min via bucket-level groups: partial per-batch combiner
+    (pa.Table.group_by) shrinks the shuffle, then one pandas groupby-min per
+    BUCKET. Replaces ``groupby(node).aggregate(Min)`` (one group per node)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = (
+            t.select([node_col, val_col])
+            .group_by(node_col)
+            .aggregate([(val_col, "min")])
+            .rename_columns([node_col, val_col])
+        )
+        k = r.column(node_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return r.append_column("_bucket", pa.array(k % n_buckets, type=pa.int64()))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(node_col, sort=False)[val_col].min()
+        return pd.DataFrame(
+            {
+                node_col: m.index.to_numpy(dtype=np.int64),
+                val_col: m.to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def connected_components(
     pairs_ds,
     col_a: str = "doc_a",
@@ -469,7 +534,6 @@ def connected_components(
     ``driver_threshold=0``.
     """
     import ray.data as rd
-    from ray.data.aggregate import Min
 
     # smallness decision WITHOUT pulling a Dataset to the driver: count first
     # (pairs are 2 int columns — materialize is cheap and reused below)
@@ -512,17 +576,16 @@ def connected_components(
             }
         )
 
-    edges = (
-        pairs_ds.map_batches(sym_edges, batch_format="pyarrow")
-        .groupby(["key", "dst"])
-        .count()
-        .drop_columns(["count()"])
-        .materialize()
-    )
+    edges = _bucket_distinct(
+        pairs_ds.map_batches(sym_edges, batch_format="pyarrow"), ["key", "dst"]
+    ).materialize()
     labels = (
-        edges.groupby("key")
-        .count()
-        .drop_columns(["count()"])
+        _bucket_distinct(
+            edges.map_batches(
+                lambda t: t.select(["key"]), batch_format="pyarrow"
+            ),
+            ["key"],
+        )
         .map_batches(
             lambda t: pa.table({"node": t.column("key"), "label": t.column("key")}),
             batch_format="pyarrow",
@@ -530,48 +593,80 @@ def connected_components(
         .materialize()
     )
 
-    def propagate(g: pd.DataFrame) -> pd.DataFrame:
-        key = int(g["key"].iloc[0])
-        label = int(g.loc[g["dst"].isna(), "label"].min())  # the node's label row
-        dsts = g.loc[g["dst"].notna(), "dst"].to_numpy().astype(np.int64)
+    # round primitive, bucket-level end to end (VERDICT r2 #2): co-locate
+    # each node's label row with its outgoing edges by key-bucket, emit
+    # (neighbour, my_label) + (self, my_label) messages with a vectorized
+    # within-bucket label map, partial-min the messages per bucket, then a
+    # second bucket-level per-node min combines across source buckets. Sides
+    # carry an explicit is_label int8 flag with dummy-zero int columns (a
+    # nullable int64 union column becomes float64 in the pandas group and
+    # silently rounds ids ≥ 2^53 — same discipline as _verify_pairs_cogrouped).
+    def tag_labels(t: pa.Table) -> pa.Table:
+        k = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(k % N_CC_BUCKETS, type=pa.int64()),
+                "key": t.column("node"),
+                "label": t.column("label"),
+                "dst": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "is_label": pa.array(np.ones(len(k), dtype=np.int8)),
+            }
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(k % N_CC_BUCKETS, type=pa.int64()),
+                "key": t.column("key"),
+                "label": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "dst": t.column("dst"),
+                "is_label": pa.array(np.zeros(len(k), dtype=np.int8)),
+            }
+        )
+
+    def gen_msgs(g: pd.DataFrame) -> pd.DataFrame:
+        is_l = g["is_label"] == 1
+        lbl = g.loc[is_l]
+        lmap = lbl.set_index("key")["label"]
+        e = g.loc[~is_l]
+        node = np.concatenate(
+            [lbl["key"].to_numpy(dtype=np.int64), e["dst"].to_numpy(dtype=np.int64)]
+        )
+        label = np.concatenate(
+            [lbl["label"].to_numpy(dtype=np.int64), e["key"].map(lmap).to_numpy(dtype=np.int64)]
+        )
+        # partial per-node min INSIDE the source bucket: a hub node addressed
+        # by many edges here contributes one row to the node-bucket shuffle
+        m = pd.Series(label).groupby(node).min()
         return pd.DataFrame(
             {
-                "node": np.concatenate([np.array([key], dtype=np.int64), dsts]),
-                "label": np.int64(label),
+                "node": m.index.to_numpy(dtype=np.int64),
+                "label": m.to_numpy(dtype=np.int64),
             }
         )
 
     prev_sum = None
     for _ in range(max_rounds):
-        tagged_labels = labels.map_batches(
-            lambda t: t.rename_columns(["key", "label"]).append_column(
-                "dst", pa.nulls(t.num_rows, pa.float64())
-            ),
-            batch_format="pyarrow",
-        )
-        tagged_edges = edges.map_batches(
-            lambda t: pa.table(
-                {
-                    "key": t.column("key"),
-                    "label": pa.nulls(t.num_rows, pa.int64()),
-                    "dst": pa.compute.cast(t.column("dst"), pa.float64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        msgs = tagged_labels.union(tagged_edges).groupby("key").map_groups(
-            propagate, batch_format="pandas"
+        msgs = (
+            labels.map_batches(tag_labels, batch_format="pyarrow")
+            .union(edges.map_batches(tag_edges, batch_format="pyarrow"))
+            .groupby("_bucket")
+            .map_groups(gen_msgs, batch_format="pandas")
         )
         # materialize per round: bounds the lineage (otherwise each round
         # re-executes every prior round per consumer) — the label table is
         # one (node, label) row per node, tiny next to the corpus
-        labels = msgs.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        labels = _bucket_min_by_node(msgs, "node", "label").materialize()
         s = int(labels.sum("label"))  # distributed aggregate; a scalar reaches the driver
         if s == prev_sum:
             break
         prev_sum = s
     return labels.map_batches(
-        lambda t: t.rename_columns(["node", "component"]), batch_format="pyarrow"
+        lambda t: pa.table(
+            {"node": t.column("node"), "component": t.column("label")}
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -600,19 +695,16 @@ def connected_components_star(pairs_ds, col_a: str = "doc_a", col_b: str = "doc_
             {"u": pa.array(np.concatenate([a, b])), "v": pa.array(np.concatenate([b, a]))}
         )
 
-    # deduped symmetric edges — one shuffle, never on the driver; also the
-    # node universe for the final labelling (one row per node on the u side)
-    edges = (
-        pairs_ds.map_batches(sym, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .count()
-        .drop_columns(["count()"])
-        .materialize()
-    )
+    # deduped symmetric edges — one bucket-level shuffle, never on the
+    # driver; also the node universe for the final labelling (every node
+    # appears on the u side of the symmetric list)
+    edges = _bucket_distinct(
+        pairs_ds.map_batches(sym, batch_format="pyarrow"), ["u", "v"]
+    ).materialize()
     nodes_ds = (
-        edges.groupby("u")
-        .count()
-        .drop_columns(["count()"])
+        _bucket_distinct(
+            edges.map_batches(lambda t: t.select(["u"]), batch_format="pyarrow"), ["u"]
+        )
         .map_batches(
             lambda t: pa.table({"node": t.column("u"), "component": t.column("u")}),
             batch_format="pyarrow",
@@ -620,25 +712,47 @@ def connected_components_star(pairs_ds, col_a: str = "doc_a", col_b: str = "doc_
         .materialize()
     )
 
+    # star phases run per BUCKET of u (VERDICT r2 #2 — one group per node
+    # was the ~1 ms/group trap): the per-u min neighbour is a vectorized
+    # pandas groupby-min inside the bucket, re-attachment a vectorized mask.
     def large_star(g: pd.DataFrame) -> pd.DataFrame:
-        u = int(g["u"].iloc[0])
-        nbrs = g["v"].to_numpy(dtype=np.int64)
-        m = min(int(nbrs.min()), u)
-        bigger = nbrs[nbrs > u]
-        return pd.DataFrame({"u": bigger, "v": np.int64(m)})
+        u = g["u"].to_numpy(dtype=np.int64)
+        v = g["v"].to_numpy(dtype=np.int64)
+        mins = pd.Series(v).groupby(u).min()  # min neighbour per u
+        m = pd.Series(
+            np.minimum(mins.to_numpy(dtype=np.int64), mins.index.to_numpy(dtype=np.int64)),
+            index=mins.index,
+        )  # min(Γ(u) ∪ {u})
+        mask = v > u
+        return pd.DataFrame(
+            {
+                "u": v[mask],
+                "v": pd.Series(u[mask]).map(m).to_numpy(dtype=np.int64),
+            }
+        )
 
     def small_star(g: pd.DataFrame) -> pd.DataFrame:
-        u = int(g["u"].iloc[0])
-        nbrs = g["v"].to_numpy(dtype=np.int64)  # all ≤ u by orientation
-        m = int(nbrs.min())
-        members = np.unique(np.concatenate([nbrs, [u]]))
-        out = members[members != m]
-        return pd.DataFrame({"u": out, "v": np.int64(m)})
+        # input oriented u=max, v=min (may contain duplicate rows — the
+        # following bucket dedup absorbs emitted duplicates, as before)
+        u = g["u"].to_numpy(dtype=np.int64)
+        v = g["v"].to_numpy(dtype=np.int64)
+        mins = pd.Series(v).groupby(u).min()  # m = min(Γ(u)), all Γ(u) < u
+        vm = pd.Series(u).map(mins).to_numpy(dtype=np.int64)
+        mask = v != vm
+        return pd.DataFrame(
+            {
+                # every neighbour ≠ m re-attaches to m, and u itself does too
+                "u": np.concatenate([v[mask], mins.index.to_numpy(dtype=np.int64)]),
+                "v": np.concatenate([vm[mask], mins.to_numpy(dtype=np.int64)]),
+            }
+        )
 
-    def _edge_signature(ds) -> tuple[int, int]:
+    def _edge_signature(ds) -> tuple[int, int, int]:
         """Order-independent distributed fingerprint of the edge SET:
-        (count, XOR of a per-edge mix hash). One partial row per block
-        reaches the driver — never the edges (VERDICT r1 #5)."""
+        (count, XOR of a per-edge mix hash, SUM of the hashes mod 2^64 —
+        two independent folds, ADVICE r2: a single-fold collision between
+        consecutive rounds' distinct edge sets would terminate early). One
+        partial row per block reaches the driver — never the edges."""
         from ..functions.sketches import splitmix64_vec
 
         def partial(t: pa.Table) -> pa.Table:
@@ -648,37 +762,48 @@ def connected_components_star(pairs_ds, col_a: str = "doc_a", col_b: str = "doc_
                 mix = np.bitwise_xor(
                     u * np.uint64(0x9E3779B97F4A7C15), v + np.uint64(0x6A09E667F3BCC909)
                 )
-            # vectorized finalize + fold — a Python per-edge loop here would
-            # dominate rounds on exactly the large graphs this path exists for
-            x = (
-                np.bitwise_xor.reduce(splitmix64_vec(mix)) if len(mix) else np.uint64(0)
-            )
+                # vectorized finalize + fold — a Python per-edge loop here
+                # would dominate rounds on exactly the graphs this path is for
+                h = splitmix64_vec(mix)
+                x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+                s = np.add.reduce(h) if len(h) else np.uint64(0)  # wraps mod 2^64
             return pa.table(
                 {
                     "n": pa.array([t.num_rows], pa.int64()),
                     "x": pa.array([int(x) - (1 << 63)], pa.int64()),
+                    "s": pa.array([int(s) - (1 << 63)], pa.int64()),
                 }
             )
 
         parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-        x = 0
-        for xv in parts["x"].to_numpy():
+        x, s = 0, 0
+        for xv, sv in zip(parts["x"].to_numpy(), parts["s"].to_numpy()):
             x ^= int(xv) + (1 << 63)
-        return int(parts["n"].sum()), x
+            s = (s + int(sv) + (1 << 63)) % (1 << 64)
+        return int(parts["n"].sum()), x, s
+
+    def bucketed_phase(ds, phase_fn):
+        """One star phase + duplicate-drop in bucket-level groups of u."""
+        return _bucket_distinct(
+            ds.map_batches(_add_mod_bucket("u"), batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(
+                lambda g: phase_fn(g.drop(columns=["_bucket"])), batch_format="pandas"
+            ),
+            ["u", "v"],
+        )
 
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         # large-star over the symmetric view
-        sym = edges.map_batches(
+        sym_view = edges.map_batches(
             lambda t: pa.concat_tables(
                 [t, pa.table({"u": t.column("v"), "v": t.column("u")})]
             ),
             batch_format="pyarrow",
         )
-        edges = (
-            sym.groupby("u").map_groups(large_star, batch_format="pandas")
-            .groupby(["u", "v"]).count().drop_columns(["count()"])
-        )
+        edges = bucketed_phase(sym_view, large_star)
         # small-star over edges oriented toward the larger endpoint
         oriented = edges.map_batches(
             lambda t: pa.table(
@@ -691,30 +816,30 @@ def connected_components_star(pairs_ds, col_a: str = "doc_a", col_b: str = "doc_
         )
         # materialize per round: edges stay a Dataset (no driver round-trip)
         # and the next round's lineage starts from pinned blocks
-        edges = (
-            oriented.groupby("u").map_groups(small_star, batch_format="pandas")
-            .groupby(["u", "v"]).count().drop_columns(["count()"])
-            .materialize()
-        )
+        edges = bucketed_phase(oriented, small_star).materialize()
         sig = _edge_signature(edges)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # ADVICE r2: never return unconverged labels silently
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components_star: max_rounds=%d exhausted without edge-set "
+            "signature convergence — labels may be non-final", max_rounds,
+        )
 
     # final assembly, distributed: at the fixpoint edges form a star forest
-    # (child u → root v). union(self-labels, child→root rows) + groupby-min
-    # labels every node: children take v (< u always), roots keep themselves.
-    from ray.data.aggregate import Min
-
+    # (child u → root v). union(self-labels, child→root rows) + bucket-level
+    # per-node min labels every node: children take v (< u always), roots
+    # keep themselves.
     child_labels = edges.map_batches(
         lambda t: pa.table({"node": t.column("u"), "component": t.column("v")}),
         batch_format="pyarrow",
     )
-    return (
-        nodes_ds.union(child_labels)
-        .groupby("node")
-        .aggregate(Min("component", alias_name="component"))
-    )
+    return _bucket_min_by_node(nodes_ds.union(child_labels), "node", "component")
 
 
 def dup_components(sf_dir: str, threshold: float = 0.4, n_bands: int = 24, planes_per_band: int = 4):
