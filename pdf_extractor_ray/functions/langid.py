@@ -62,6 +62,10 @@ class LangId:
         return best_lang
 
     def __call__(self, batch):
-        """pandas batch in/out (map_batches actor usage)."""
-        batch["lang_pred"] = [self.predict(t) for t in batch["text"]]
-        return batch
+        """Arrow batch in/out (map_batches actor usage). The per-row
+        ``predict`` is inherent to the model (Counter over trigrams), but
+        the batch stays zero-copy Arrow around it — no pandas round-trip."""
+        import pyarrow as pa
+
+        preds = [self.predict(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))

@@ -409,10 +409,14 @@ def fuzzy_edit_join(sf_dir: str, threshold: float = 0.8, n_lookup: int = 50, n_p
 
 def asof_join_last_signup(sf_dir: str):
     """For every purchase event, the most recent signup ts of the same user
-    (backward as-of join). Partitioning assumption: co-partition facts and
-    dimension by user_id (one groupby shuffle), then pd.merge_asof within the
-    sorted group — the documented pattern for as-of/range joins Ray Data
-    lacks natively."""
+    (backward as-of join). Bucket by user-hash (``map_key_buckets`` — never
+    one Ray group per user), sort the bucket by (user, ts, kind, event_id)
+    with signups BEFORE purchases at equal ts (allow_exact_matches
+    semantics), then the as-of lookup is a segment-wise groupby-ffill of the
+    signup timestamps — the documented pattern for as-of/range joins Ray
+    Data lacks natively."""
+    from .relational import map_key_buckets
+
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
     both = ev.map_batches(
         lambda t: t.filter(
@@ -422,26 +426,20 @@ def asof_join_last_signup(sf_dir: str):
         zero_copy_batch=True,
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        facts = g[g.event_type == "purchase"].sort_values(["ts", "event_id"])
-        dims = g[g.event_type == "signup"].sort_values("ts")[["ts"]]
-        if len(facts) == 0:
-            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64), "last_signup": pd.Series([], dtype=object)})
-        if len(dims) == 0:
-            joined = facts.assign(signup_ts=pd.NaT)
-        else:
-            joined = pd.merge_asof(
-                facts, dims.rename(columns={"ts": "signup_ts"}),
-                left_on="ts", right_on="signup_ts",
-                direction="backward", allow_exact_matches=True,
-            )
+    def asof_b(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_kind=(g["event_type"] == "purchase").astype(np.int8)).sort_values(
+            ["user_id", "ts", "_kind", "event_id"]
+        )
+        sig = g["ts"].where(g["_kind"] == 0)  # NaT on purchase rows
+        last = sig.groupby(g["user_id"].to_numpy()).ffill()  # aligned to g
+        p = g["_kind"] == 1
         out = pd.DataFrame(
             {
-                "event_id": joined["event_id"].to_numpy(),
-                "last_signup": joined["signup_ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "event_id": g.loc[p, "event_id"].to_numpy(dtype=np.int64),
+                "last_signup": last[p].dt.strftime("%Y-%m-%d %H:%M:%S"),
             }
         )
         out["last_signup"] = out["last_signup"].where(out["last_signup"].notna(), None)
         return out
 
-    return both.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return map_key_buckets(both, "user_id", asof_b)
