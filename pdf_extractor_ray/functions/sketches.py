@@ -204,24 +204,42 @@ class MinHasher:
             out.append(h)
         return out
 
+    #: max element-hash rows per universal-hash matrix chunk (ADVICE r2:
+    #: the unchunked (N, num_perm) intermediate is num_perm·8 bytes per
+    #: shingle — unbounded peak RSS with batch_size=None on large blocks).
+    #: 2^18 rows × 64 perms × 8 B = 128 MB per worker, bounded.
+    CHUNK_ROWS = 1 << 18
+
     def signatures_from_concat(self, concat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-        """(n_docs, num_perm) signatures in ONE vectorized pass over the
-        concatenated per-doc element hashes: the (N, num_perm) universal-hash
-        matrix reduced by ``np.minimum.reduceat`` at doc offsets. Bit-equal
-        to ``signature_from_hashes`` per doc (empty docs → sentinel row)."""
+        """(n_docs, num_perm) signatures over the concatenated per-doc
+        element hashes: the universal-hash matrix is built in bounded
+        ``CHUNK_ROWS`` slices, each reduced by ``np.minimum.reduceat`` at
+        the (clipped) doc offsets and folded into the running per-doc min —
+        min is associative, so the result is BIT-equal to the one-pass form
+        and to ``signature_from_hashes`` per doc (empty docs → sentinel
+        row), pinned by test_batch_kernels_match_scalar."""
         n_docs = len(offsets) - 1
         sigs = np.full((n_docs, self.num_perm), np.uint64(MERSENNE31), dtype=np.uint64)
         if concat.size == 0:
             return sigs
-        x = (concat % np.uint64(MERSENNE31))[:, None]  # (N, 1)
-        vals = (x * self.a[None, :] + self.b[None, :]) % np.uint64(MERSENNE31)
-        # reduceat over NON-EMPTY segments only: empty segments have
-        # start == end, so consecutive non-empty starts still delimit
-        # correctly — clipping starts instead silently corrupts the LAST
-        # non-empty doc when trailing docs are empty
-        lengths = np.diff(offsets)
-        nonempty = np.flatnonzero(lengths > 0)
-        sigs[nonempty] = np.minimum.reduceat(vals, offsets[:-1][nonempty], axis=0)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        for start in range(0, concat.size, self.CHUNK_ROWS):
+            end = min(start + self.CHUNK_ROWS, concat.size)
+            x = (concat[start:end] % np.uint64(MERSENNE31))[:, None]  # (chunk, 1)
+            vals = (x * self.a[None, :] + self.b[None, :]) % np.uint64(MERSENNE31)
+            # docs overlapping [start, end): clip their boundaries into the
+            # chunk; reduceat over NON-EMPTY clipped segments only (empty
+            # segments have start == end — clipping starts instead silently
+            # corrupts the last non-empty doc when trailing docs are empty)
+            lo = int(np.searchsorted(offsets, start, side="right")) - 1
+            hi = int(np.searchsorted(offsets, end, side="left"))
+            local = np.clip(offsets[lo : hi + 1], start, end) - start
+            nonempty = np.flatnonzero(np.diff(local) > 0)
+            if nonempty.size == 0:
+                continue
+            part = np.minimum.reduceat(vals, local[:-1][nonempty], axis=0)
+            idx = lo + nonempty
+            sigs[idx] = np.minimum(sigs[idx], part)
         return sigs
 
     def band_hashes_batch(self, sigs: np.ndarray, num_bands: int) -> np.ndarray:

@@ -906,7 +906,15 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9, max_candidates: int
     sets uniformly similar across unrelated documents, so LSH cannot
     separate candidates the way it does on natural text. Candidate volume
     is therefore bounded by ``max_candidates`` (deterministic: lowest
-    (doc_a, doc_b) first) and the drop is LOGGED, never silent."""
+    (doc_a, doc_b) first) and the drop is LOGGED, never silent.
+
+    ``max_candidates`` semantics (changed in r2, per ADVICE): the limit
+    truncates candidate ROWS — band-duplicated, since candidates are
+    deduped only after verify — not distinct pairs; under truncation fewer
+    distinct pairs are verified than a distinct-first limit would allow.
+    Band duplicates sort adjacent under (doc_a, doc_b), so the kept prefix
+    is still a deterministic set of whole pairs (at most the boundary pair
+    loses duplicate rows, which verify absorbs)."""
     import logging
 
     cand_ds = minhash_candidates(sf_dir, mode="char")

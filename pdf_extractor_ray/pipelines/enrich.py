@@ -173,12 +173,18 @@ def classify_escalate(sf_dir: str):
     )
 
 
+#: bump when any resumable pass's LOGIC changes — folded into the checkpoint
+#: fingerprint so stale snapshots from older logic are invalidated (ADVICE r2)
+PASS_LOGIC_VERSION = 1
+
+
 def _run_checkpointed_passes(
     out_dir: str,
     passes: list[tuple[str, "callable"]],
     *,
     fail_after_passes: int | None = None,
     run_id: str | None = None,
+    fingerprint: str | None = None,
 ) -> dict:
     """Generic multi-pass runner with per-pass checkpoints — the engine form
     of the reference's ``resume_from_pass`` (transaction_classifier.py:
@@ -198,7 +204,11 @@ def _run_checkpointed_passes(
 
     from ..state.lineage import PassCheckpointer
 
-    ck = PassCheckpointer(out_dir)
+    ck = PassCheckpointer(
+        out_dir,
+        fingerprint=fingerprint
+        or f"{'>'.join(n for n, _ in passes)}|v{PASS_LOGIC_VERSION}",
+    )
     run_id = run_id or uuid.uuid4().hex[:12]
     passes_run = 0
     prev_name = None
@@ -241,6 +251,7 @@ def classify_escalate_resumable(
         [("fast", p_fast), ("precise", p_precise)],
         fail_after_passes=fail_after_passes,
         run_id=run_id,
+        fingerprint=f"{sf_dir}|fast>precise|v{PASS_LOGIC_VERSION}",
     )
 
 
@@ -297,6 +308,7 @@ def classify_three_pass_resumable(
         [("classify_distinct", p_classify_distinct), ("join_back", p_join_back)],
         fail_after_passes=fail_after_passes,
         run_id=run_id,
+        fingerprint=f"{sf_dir}|classify_distinct>join_back|v{PASS_LOGIC_VERSION}",
     )
 
 

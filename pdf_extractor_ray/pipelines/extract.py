@@ -86,7 +86,12 @@ def dedup_extracted_by_url(extracted_ds):
             pc.if_else(pc.equal(status, "empty"), pa.scalar(1, pa.int64()), pa.scalar(2, pa.int64())),
         ).to_numpy(zero_copy_only=False)
         doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        # one sortable key: status rank in the high bits, doc_id below
+        # one sortable key: status rank in the high bits, doc_id below.
+        # ADVICE r2: a doc_id ≥ 2^52 would silently corrupt the packed
+        # ordering — fail loudly instead (switch to a two-column idxmin if
+        # ids ever outgrow this)
+        if doc.size and int(doc.max()) >= (1 << 52):
+            raise ValueError("dedup_extracted_by_url: doc_id >= 2^52 breaks the packed rank key")
         key = rank * np.int64(1 << 52) + doc
         bucket = np.fromiter(
             (zlib.crc32(u.encode()) % n_buckets for u in t.column("url").to_pylist()),

@@ -85,11 +85,19 @@ class PassCheckpointer:
     Layout under ``out_dir``::
 
         pass-<name>/data/*.parquet    the pass's full output snapshot
-        pass-<name>/_done-<run_id>    commit marker (empty file)
+        pass-<name>/_done-<run_id>    commit marker (content = fingerprint)
+
+    ``fingerprint`` (ADVICE r2): an input/logic identity string (e.g.
+    "sf_dir|pass names|logic version") stored INSIDE the marker at commit.
+    ``done`` requires marker presence AND fingerprint equality, so rerunning
+    with a different input dir or changed pass logic invalidates the stale
+    snapshot instead of silently reusing it. Pre-fingerprint markers (empty
+    files) match only the default empty fingerprint.
     """
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, fingerprint: str | None = None):
         self.out_dir = out_dir
+        self.fingerprint = fingerprint or ""
         os.makedirs(out_dir, exist_ok=True)
 
     def _pass_dir(self, name: str) -> str:
@@ -100,7 +108,13 @@ class PassCheckpointer:
 
     def done(self, name: str) -> bool:
         d = self._pass_dir(name)
-        return os.path.isdir(d) and any(f.startswith("_done-") for f in os.listdir(d))
+        if not os.path.isdir(d):
+            return False
+        for f in sorted(os.listdir(d)):
+            if f.startswith("_done-"):
+                with open(os.path.join(d, f)) as fh:
+                    return fh.read() == self.fingerprint
+        return False
 
     def committed_run_id(self, name: str) -> str | None:
         d = self._pass_dir(name)
@@ -112,13 +126,16 @@ class PassCheckpointer:
         return None
 
     def write_pass(self, name: str, ds, run_id: str) -> None:
-        """Snapshot ``ds`` (a Dataset) then commit. An uncommitted data dir
-        is garbage from a mid-write crash — cleared before the rewrite."""
+        """Snapshot ``ds`` (a Dataset) then commit. An uncommitted (or
+        fingerprint-mismatched) pass dir is garbage from a mid-write crash
+        or a different input/logic — cleared whole (data AND stale markers)
+        before the rewrite."""
         import shutil
 
+        d = self._pass_dir(name)
+        if os.path.isdir(d) and not self.done(name):
+            shutil.rmtree(d)
         data = self.data_dir(name)
-        if os.path.isdir(data) and not self.done(name):
-            shutil.rmtree(data)
         os.makedirs(data, exist_ok=True)
         ds.write_parquet(data)
         marker = os.path.join(self._pass_dir(name), f"_done-{run_id}")
@@ -126,8 +143,8 @@ class PassCheckpointer:
         # and rename would otherwise read as a committed pass (and garbage
         # the run-id audit)
         tmp = os.path.join(self._pass_dir(name), f".tmp-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w"):
-            pass
+        with open(tmp, "w") as fh:
+            fh.write(self.fingerprint)
         os.replace(tmp, marker)
 
 

@@ -12,6 +12,7 @@ import pandas as pd
 import pytest
 
 from pdf_extractor_ray.pipelines.enrich import (
+    PASS_LOGIC_VERSION,
     classify_escalate,
     classify_escalate_resumable,
 )
@@ -23,6 +24,10 @@ def _canon(obj) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)[sorted(df.columns)]
 
 
+def _escalate_fp(sf_dir: str) -> str:
+    return f"{sf_dir}|fast>precise|v{PASS_LOGIC_VERSION}"
+
+
 def test_crash_between_passes_resumes_without_recompute(sf_dir, tmp_path):
     out = str(tmp_path / "enrich_ck")
 
@@ -30,7 +35,7 @@ def test_crash_between_passes_resumes_without_recompute(sf_dir, tmp_path):
     with pytest.raises(RuntimeError, match="injected_failure"):
         classify_escalate_resumable(sf_dir, out, fail_after_passes=1, run_id="runA")
 
-    ck = PassCheckpointer(out)
+    ck = PassCheckpointer(out, fingerprint=_escalate_fp(sf_dir))
     assert ck.done("fast")
     assert not ck.done("precise")
     assert ck.committed_run_id("fast") == "runA"
@@ -56,7 +61,9 @@ def test_three_pass_crash_resume(sf_dir, tmp_path):
     out = str(tmp_path / "three_ck")
     with pytest.raises(RuntimeError, match="injected_failure"):
         classify_three_pass_resumable(sf_dir, out, fail_after_passes=1, run_id="runA")
-    ck = PassCheckpointer(out)
+    ck = PassCheckpointer(
+        out, fingerprint=f"{sf_dir}|classify_distinct>join_back|v{PASS_LOGIC_VERSION}"
+    )
     assert ck.done("classify_distinct") and not ck.done("join_back")
 
     res = classify_three_pass_resumable(sf_dir, out, run_id="runB")
@@ -64,6 +71,22 @@ def test_three_pass_crash_resume(sf_dir, tmp_path):
     assert ck.committed_run_id("classify_distinct") == "runA"
     pd.testing.assert_frame_equal(
         _canon(res["result"]), _canon(classify_three_pass(sf_dir)), check_dtype=False
+    )
+
+
+def test_changed_input_invalidates_checkpoints(tmp_path):
+    """ADVICE r2: rerunning with the same out_dir but a different sf_dir must
+    NOT silently reuse the stale pass snapshot — the marker fingerprint
+    mismatch forces a recompute."""
+    out = str(tmp_path / "enrich_fp")
+    a = classify_escalate_resumable("/root/testdata/sf0.001", out, run_id="runA")
+    assert a["passes_run"] == 2
+    b = classify_escalate_resumable("/root/testdata/sf0.01", out, run_id="runB")
+    assert b["passes_run"] == 2  # both passes recomputed for the new input
+    pd.testing.assert_frame_equal(
+        _canon(b["result"]),
+        _canon(classify_escalate("/root/testdata/sf0.01")),
+        check_dtype=False,
     )
 
 

@@ -60,6 +60,15 @@ def test_batch_kernels_match_scalar():
             fnv1a64(g.encode()) for g in char_ngrams(t)
         }
 
+    # chunked reduceat (ADVICE r2: bounded intermediate matrix) must fold to
+    # the SAME bits — force multiple tiny chunks, including splits inside a
+    # doc's segment
+    mh_small = MinHasher()
+    mh_small.CHUNK_ROWS = 3
+    assert np.array_equal(mh_small.signatures_from_concat(concat, off), sigs)
+    mh_small.CHUNK_ROWS = 1
+    assert np.array_equal(mh_small.signatures_from_concat(concat, off), sigs)
+
     from pdf_extractor_ray.functions.sketches import simhash64, simhash64_batch
 
     sh_texts = texts + ["x y z w v u", "hello world hello", ""]
