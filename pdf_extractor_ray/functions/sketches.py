@@ -334,6 +334,15 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def popcount64_vec(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit count over a uint64 array (the batch form of
+    ``hamming64``'s popcount): bytes → unpackbits → per-word sum."""
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(x.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1)
+    return bits.sum(axis=1).astype(np.int64)
+
+
 def simhash64_batch(texts: list[str]) -> np.ndarray:
     """Whole-batch SimHash (bit-identical to ``simhash64`` per doc): all
     tokens hashed with the ragged batch FNV, expanded to a ±1 bit matrix,

@@ -895,6 +895,113 @@ def simhash_dup_groups(sf_dir: str):
     )
 
 
+#: 64-bit fingerprint split into four disjoint 16-bit chunks: two
+#: fingerprints within Hamming distance 3 share AT LEAST one chunk
+#: unchanged (pigeonhole), so chunk-bucket collision is a complete
+#: candidate generator for max_hamming ≤ 3
+SIMHASH_BANDS = 4
+
+
+def simhash_near_dup_ds(fp_ds, max_hamming: int = 3):
+    """(doc_id, fp:int64) Dataset → near-dup pairs at Hamming ≤ max_hamming
+    (VERDICT r2 #5 — completes the near-dup family's third modality as a
+    bucketed scale path; Hamming-0 exact buckets remain simhash_dup_groups).
+
+    Shape mirrors minhash_candidates_ds: band rows (4 per doc, 3 int
+    columns) → native count finds hot buckets → broadcast hot set →
+    ``pc.is_in`` filter → per-bucket pair generation. The fingerprint rides
+    the band row (8 bytes), so the popcount verify runs INSIDE the pair
+    group — no second text/fingerprint join stage at all. Duplicate pairs
+    from multi-band collisions collapse after verify (``_dedup_verified``).
+    Partitioning assumption: a 16-bit chunk bucket holds ~n/2^16 docs per
+    band; for corpora where that k² pair blow-up bites, extend the chunk
+    width (more bands of wider chunks) before sharding the bucket."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..functions.sketches import popcount64_vec
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        fp = t.column("fp").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(fp)
+        buckets = [
+            (((fp >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+             | np.int64((b + 1) << 16))
+            for b in range(SIMHASH_BANDS)
+        ]
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(buckets), type=pa.int64()),
+                "doc_id": pa.array(np.tile(doc, SIMHASH_BANDS), type=pa.int64()),
+                "fp": pa.array(np.tile(fp.view(np.int64), SIMHASH_BANDS), type=pa.int64()),
+            }
+        )
+
+    bands = fp_ds.map_batches(
+        band_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()  # 3 int columns; reused by count + pair passes
+
+    counts = bands.groupby("bucket").aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t.column("n"), 2)).select(["bucket"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype=np.int64),
+            "doc_b": pd.Series([], dtype=np.int64),
+            "hamming": pd.Series([], dtype=np.int64),
+        }
+    )
+    if len(hot) == 0:
+        return empty
+    hot_ref = ray.put(pa.array(hot.bucket.to_numpy(), type=pa.int64()))
+
+    def in_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.is_in(t.column("bucket"), value_set=ray.get(hot_ref)))
+
+    def pairs_verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return empty
+        fps = g["fp"].to_numpy(dtype=np.int64).view(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = popcount64_vec(fps[ia] ^ fps[ib])
+        m = ham <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ia][m], "doc_b": ids[ib][m], "hamming": ham[m]}
+        )
+
+    verified = (
+        bands.map_batches(in_hot, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_verify, batch_format="pandas")
+    )
+    return _dedup_verified(verified, "doc_a", "doc_b", "hamming")
+
+
+def simhash_near_dup(sf_dir: str, max_hamming: int = 3):
+    """documents table → SimHash near-dup pairs (see simhash_near_dup_ds).
+    Rows-only (bit-level fingerprint banding has no SQL equivalent)."""
+    from ..functions.sketches import simhash64_batch
+
+    def fp(batch: pa.Table) -> pa.Table:
+        hs = simhash64_batch(batch.column("text").to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp": pa.array(np.asarray(hs, dtype=np.uint64).view(np.int64), type=pa.int64()),
+            }
+        )
+
+    fp_ds = _read_docs(sf_dir).repartition(32).map_batches(
+        fp, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return simhash_near_dup_ds(fp_ds, max_hamming=max_hamming)
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9, max_candidates: int = 500_000):
     """Char-trigram Jaccard near-dup: banded MinHash over trigram hashes as
     the blocking key (a single min-gram bucket degenerates on small

@@ -75,6 +75,46 @@ def test_batch_kernels_match_scalar():
     assert [int(h) for h in simhash64_batch(sh_texts)] == [simhash64(t) for t in sh_texts]
 
 
+def test_simhash_banding_constructed_hamming():
+    """16-bit-chunk banding is COMPLETE for Hamming ≤ 3 (pigeonhole: 3 flips
+    cannot touch all 4 chunks) — over constructed fingerprints with 1..4-bit
+    flips, the result must equal the brute-force pairs at Hamming ≤ 3
+    exactly: every close pair found with the right distance, nothing above
+    the threshold, and the ≥4-bit spread-across-chunks case (never even a
+    candidate) absent."""
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_extractor_ray.functions.sketches import hamming64
+    from pdf_extractor_ray.pipelines.dedup import simhash_near_dup_ds
+
+    base = 0x0123456789ABCDEF
+    fps = [
+        base,
+        base ^ 0b1,                                   # Hamming 1, chunk 0
+        base ^ (0b11 << 20),                          # Hamming 2, chunk 1
+        base ^ (0b111 << 40),                         # Hamming 3, chunk 2
+        base ^ (0b1 | (1 << 16) | (1 << 32) | (1 << 48)),  # 4 flips, one per chunk
+        base ^ 0b1111,                                # 4 flips in one chunk
+        0xFEDCBA9876543210,                           # far fingerprint
+    ]
+    expected = sorted(
+        (a, b, hamming64(fps[a], fps[b]))
+        for a in range(len(fps))
+        for b in range(a + 1, len(fps))
+        if hamming64(fps[a], fps[b]) <= 3
+    )
+    assert len(expected) >= 4  # constructed cases actually cover 1..3
+
+    def to_i64(f: int) -> int:  # uint64 → signed storage form
+        return f - (1 << 64) if f >= (1 << 63) else f
+
+    ds = rd.from_items([{"doc_id": i, "fp": to_i64(f)} for i, f in enumerate(fps)])
+    out = simhash_near_dup_ds(ds).to_pandas()
+    got = sorted(zip(out.doc_a, out.doc_b, out.hamming))
+    assert [(int(a), int(b), int(h)) for a, b, h in got] == expected
+
+
 @pytest.mark.parametrize("path", ["broadcast", "cogrouped"])
 @pytest.mark.parametrize(
     "name,fn", [("minhash_near_dup", minhash_near_dup), ("ngram_jaccard_pairs", ngram_jaccard_pairs)]
