@@ -68,54 +68,75 @@ class ExtractDocuments:
         self.num_partitions = num_partitions
         self.registry = registry or default_registry()
 
+    @staticmethod
+    def _extract_row(ex, payload: bytes) -> dict:
+        try:
+            return ex.extract(payload)
+        except Exception as e:
+            # the reference's per-row guard (registry.py:33-35): one
+            # pathological document becomes an error ROW — it must
+            # never fail the task/job (this module's stated contract)
+            return {
+                "status": "error",
+                "extracted_text": "",
+                "spans": [],
+                "n_blocks": 0,
+                "error": f"extractor_exception: {type(e).__name__}: {e}"[:200],
+            }
+
+    @staticmethod
+    def _set_result(out: dict, i: int, r: dict) -> None:
+        out["status"][i] = r["status"]
+        out["extracted_text"][i] = r["extracted_text"]
+        out["spans"][i] = r["spans"]
+        out["n_blocks"][i] = r["n_blocks"]
+        out["error"][i] = r["error"]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist() if "doc_id" in batch.column_names else [None] * batch.num_rows
         urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
         langs = batch.column("lang").to_pylist() if "lang" in batch.column_names else [None] * batch.num_rows
 
-        out: dict[str, list] = {k: [] for k in (
+        n = batch.num_rows
+        out: dict[str, list] = {k: [None] * n for k in (
             "status", "extracted_text", "spans", "n_blocks", "doc_kind",
             "extractor", "error", "host", "part_id",
         )}
-        for url, payload in zip(urls, payloads):
+        # route every row first; rows whose extractor implements
+        # extract_batch are grouped and handed over in ONE call (r3: the
+        # vectorized HTML scanner amortizes over the whole batch)
+        batched: dict[int, tuple] = {}  # id(ex) -> (ex, [row_idx], [payload])
+        for i, (url, payload) in enumerate(zip(urls, payloads)):
             payload = payload or b""
             head = payload[:64]  # sniffed ONCE, shared by kind + routing
-            kind = detect_kind(payload, _head=head)
+            out["doc_kind"][i] = detect_kind(payload, _head=head)
+            out["host"][i] = url_host(url)
+            out["part_id"][i] = url_part_id(url, self.num_partitions)
             ex = self.registry.detect_from_head(head)
-            if ex is not None:
-                name = ex.name
-                try:
-                    r = ex.extract(payload)
-                except Exception as e:
-                    # the reference's per-row guard (registry.py:33-35): one
-                    # pathological document becomes an error ROW — it must
-                    # never fail the task/job (this module's stated contract)
-                    r = {
-                        "status": "error",
-                        "extracted_text": "",
-                        "spans": [],
-                        "n_blocks": 0,
-                        "error": f"extractor_exception: {type(e).__name__}: {e}"[:200],
-                    }
+            if ex is None:
+                out["extractor"][i] = "none"
+                self._set_result(out, i, {
+                    "status": "error", "extracted_text": "", "spans": [],
+                    "n_blocks": 0, "error": "unknown_payload_kind",
+                })
+                continue
+            out["extractor"][i] = ex.name
+            if hasattr(ex, "extract_batch"):
+                grp = batched.setdefault(id(ex), (ex, [], []))
+                grp[1].append(i)
+                grp[2].append(payload)
             else:
-                r = {
-                    "status": "error",
-                    "extracted_text": "",
-                    "spans": [],
-                    "n_blocks": 0,
-                    "error": "unknown_payload_kind",
-                }
-                name = "none"
-            out["status"].append(r["status"])
-            out["extracted_text"].append(r["extracted_text"])
-            out["spans"].append(r["spans"])
-            out["n_blocks"].append(r["n_blocks"])
-            out["doc_kind"].append(kind)
-            out["extractor"].append(name)
-            out["error"].append(r["error"])
-            out["host"].append(url_host(url))
-            out["part_id"].append(url_part_id(url, self.num_partitions))
+                self._set_result(out, i, self._extract_row(ex, payload))
+        for ex, idxs, pls in batched.values():
+            try:
+                results = ex.extract_batch(pls)
+            except Exception:
+                # batch kernel failure degrades to the per-row guard path —
+                # one pathological batch must not fail the task
+                results = [self._extract_row(ex, p) for p in pls]
+            for i, r in zip(idxs, results):
+                self._set_result(out, i, r)
 
         return pa.table(
             {

@@ -195,12 +195,26 @@ def _scan_blocks(doc: str) -> list[dict]:
     return blocks
 
 
+def _stripped_len(norm_text: str) -> int:
+    """len with every whitespace char removed — C-speed ``str.count`` for
+    ASCII (where ``\\s`` is exactly these six chars), regex otherwise.
+    Bit-equal to ``len(_WS_RE.sub("", s))`` (r3 profile: the sub was the
+    single largest regex cost in extraction)."""
+    if norm_text.isascii():
+        n = len(norm_text) - norm_text.count(" ")
+        for ch in ("\t", "\n", "\r", "\f", "\v"):
+            if ch in norm_text:
+                n -= norm_text.count(ch)
+        return n
+    return len(_WS_RE.sub("", norm_text))
+
+
 def classify_block(norm_text: str, link_chars: int) -> bool:
     """True iff the block is main content (density heuristic + blacklist)."""
     n = len(norm_text)
     if n < MIN_CONTENT_CHARS:
         return False
-    stripped_len = len(_WS_RE.sub("", norm_text))
+    stripped_len = _stripped_len(norm_text)
     link_density = link_chars / stripped_len if stripped_len else 1.0
     if link_density > MAX_LINK_DENSITY:
         return False
@@ -238,6 +252,13 @@ def extract_html(payload: bytes) -> dict:
             "n_blocks": 0,
             "error": f"parse_error: {type(e).__name__}: {e}",
         }
+    return assemble_result(raw_blocks)
+
+
+def assemble_result(raw_blocks: list[dict]) -> dict:
+    """Blocks → result dict (classify + normalize + span assembly). Shared
+    by the per-doc scanner above and the vectorized batch scanner
+    (stages/html_fast.py), so both paths produce bit-identical results."""
     spans = []
     content = []
     for b in raw_blocks:
