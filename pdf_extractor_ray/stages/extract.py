@@ -49,6 +49,14 @@ def url_part_id(url: str, num_partitions: int = DEFAULT_NUM_PARTITIONS) -> int:
     return zlib.crc32(url.encode("utf-8")) % num_partitions
 
 
+def _fast_disabled() -> bool:
+    """Benchmark kill-switch for the vectorized batch kernels (A/B tool:
+    set GRAFT_NO_FAST_EXTRACT=1 before ray.init in a fresh process)."""
+    import os
+
+    return os.environ.get("GRAFT_NO_FAST_EXTRACT", "") == "1"
+
+
 class ExtractDocuments:
     """Callable class for ``map_batches`` (actor pool or per-worker-cached
     task state — see pipelines/extract.py).
@@ -122,7 +130,7 @@ class ExtractDocuments:
                 })
                 continue
             out["extractor"][i] = ex.name
-            if hasattr(ex, "extract_batch"):
+            if hasattr(ex, "extract_batch") and not _fast_disabled():
                 grp = batched.setdefault(id(ex), (ex, [], []))
                 grp[1].append(i)
                 grp[2].append(payload)
