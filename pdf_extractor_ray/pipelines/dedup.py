@@ -128,7 +128,6 @@ def minhash_candidates_ds(docs_ds, concurrency=None, mode: str = "word"):
     faster) and is the scale path: phase-1 shuffle moves (key, count)
     partials, phase-2 touches only the near-dup fraction of the data."""
     import ray
-    from ray.data.aggregate import Count
 
     from functools import partial
 
@@ -152,21 +151,15 @@ def minhash_candidates_ds(docs_ds, concurrency=None, mode: str = "word"):
     # 3 int columns — tiny next to the documents — so pinning it is safe
     bands = bands.materialize()
 
-    counts = bands.groupby(["band_id", "band_hash"]).aggregate(Count(alias_name="n"))
-    hot = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater_equal(t.column("n"), 2)).select(
-            ["band_id", "band_hash"]
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    if len(hot) == 0:
+    # hot-bucket detection on the PACKED key (r3): per-batch partial counts
+    # + bucket-level pandas merge — the previous native two-key Count had
+    # one Ray group per band bucket (≈ corpus × bands groups, the ~0.4 ms/
+    # group aggregate tax). A packed-key collision only promotes a singleton
+    # to "hot", which the exact (band_id, band_hash) pair stage ignores.
+    hot = _hot_packed_keys(bands)
+    if hot is None:
         return None
-    hot_ref = ray.put(
-        pa.array(
-            _pack_band_key(hot.band_id.to_numpy(), hot.band_hash.to_numpy()),
-            type=pa.int64(),
-        )
-    )
+    hot_ref = ray.put(pa.array(hot, type=pa.int64()))
 
     def in_hot(t: pa.Table) -> pa.Table:
         packed = _pack_band_key(
@@ -186,6 +179,48 @@ def minhash_candidates_ds(docs_ds, concurrency=None, mode: str = "word"):
 
     hot_rows = bands.map_batches(in_hot, batch_format="pyarrow")
     return hot_rows.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+
+
+def _hot_int_keys(ds, key_fn, n_buckets: int = 64) -> np.ndarray | None:
+    """Int64 keys with ≥2 members in ``ds``, via per-batch partial counts
+    and ONE bucket-level grouped merge — no per-key Ray groups (the native
+    Count aggregate had one group per DISTINCT key ≈ corpus × bands).
+    ``key_fn(batch) -> np.ndarray[int64]``. None when nothing is hot."""
+
+    def hot_partial(t: pa.Table) -> pa.Table:
+        p = (
+            pa.table({"k": pa.array(key_fn(t), type=pa.int64())})
+            .group_by("k")
+            .aggregate([("k", "count")])
+            .rename_columns(["k", "n"])
+        )
+        k = p.column("k").to_numpy(zero_copy_only=False)
+        return p.append_column("_bucket", pa.array(k % n_buckets, type=pa.int64()))
+
+    def hot_merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("k", sort=False, as_index=False)["n"].sum()
+        return s.loc[s["n"] >= 2, ["k"]]
+
+    hot = (
+        ds.map_batches(hot_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(hot_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(hot) == 0:
+        return None
+    return hot["k"].to_numpy(dtype=np.int64)
+
+
+def _hot_packed_keys(bands) -> np.ndarray | None:
+    """Hot (≥2-member) PACKED minhash band keys (see ``_pack_band_key``)."""
+    return _hot_int_keys(
+        bands,
+        lambda t: _pack_band_key(
+            t.column("band_id").to_numpy(zero_copy_only=False),
+            t.column("band_hash").to_numpy(zero_copy_only=False),
+        ),
+    )
 
 
 def _pack_band_key(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
@@ -917,7 +952,6 @@ def simhash_near_dup_ds(fp_ds, max_hamming: int = 3):
     band; for corpora where that k² pair blow-up bites, extend the chunk
     width (more bands of wider chunks) before sharding the bucket."""
     import ray
-    from ray.data.aggregate import Count
 
     from ..functions.sketches import popcount64_vec
 
@@ -942,11 +976,6 @@ def simhash_near_dup_ds(fp_ds, max_hamming: int = 3):
         band_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).materialize()  # 3 int columns; reused by count + pair passes
 
-    counts = bands.groupby("bucket").aggregate(Count(alias_name="n"))
-    hot = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater_equal(t.column("n"), 2)).select(["bucket"]),
-        batch_format="pyarrow",
-    ).to_pandas()
     empty = pd.DataFrame(
         {
             "doc_a": pd.Series([], dtype=np.int64),
@@ -954,9 +983,12 @@ def simhash_near_dup_ds(fp_ds, max_hamming: int = 3):
             "hamming": pd.Series([], dtype=np.int64),
         }
     )
-    if len(hot) == 0:
+    hot = _hot_int_keys(
+        bands, lambda t: t.column("bucket").to_numpy(zero_copy_only=False)
+    )
+    if hot is None:
         return empty
-    hot_ref = ray.put(pa.array(hot.bucket.to_numpy(), type=pa.int64()))
+    hot_ref = ray.put(pa.array(hot, type=pa.int64()))
 
     def in_hot(t: pa.Table) -> pa.Table:
         return t.filter(pa.compute.is_in(t.column("bucket"), value_set=ray.get(hot_ref)))

@@ -381,14 +381,16 @@ def sort_topk(sf_dir: str):
 
 
 def dedup_exact(sf_dir: str):
-    """Exact dedup: content-hash groupby, deterministic representative
-    (min doc_id) — normalize_api.py:21-33 semantics done relationally."""
-    from ray.data.aggregate import Min
-
+    """Exact dedup: content-hash grouping, deterministic representative
+    (min doc_id) — normalize_api.py:21-33 semantics done relationally.
+    Shape (r3): per-batch combiner (min doc per sha inside the batch) →
+    sha-prefix bucket → bucket-level pandas min. The previous native
+    ``groupby(text_sha).aggregate(Min)`` had one Ray group per UNIQUE
+    document — the per-group aggregate tax on a corpus-sized key space."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def add_hash(t: pa.Table) -> pa.Table:
-        return pa.table(
+        tt = pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "text_sha": pa.array(
@@ -396,11 +398,28 @@ def dedup_exact(sf_dir: str):
                 ),
             }
         )
+        p = (
+            tt.group_by("text_sha")
+            .aggregate([("doc_id", "min")])
+            .rename_columns(["text_sha", "doc_id"])
+        )
+        bucket = np.fromiter(
+            (int(s[:8], 16) % N_KEY_BUCKETS for s in p.column("text_sha").to_pylist()),
+            dtype=np.int64,
+            count=p.num_rows,
+        )
+        return p.append_column("_bucket", pa.array(bucket))
+
+    def merge_b(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("text_sha", sort=False, as_index=False)["doc_id"]
+            .min()[["text_sha", "doc_id"]]
+        )
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("text_sha")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .groupby("_bucket")
+        .map_groups(merge_b, batch_format="pandas")
     )
 
 
@@ -641,10 +660,8 @@ def quality_score(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def tumbling_window_agg(sf_dir: str):
-    """Tumbling 1-hour windows per user: groupby (user_id, window_start) with
-    per-batch partial aggregation; window label as ISO string (hash-stable)."""
-    from ray.data.aggregate import Sum
-
+    """Tumbling 1-hour windows per user: per-batch partial aggregation +
+    bucket-level merge; window label as ISO string (hash-stable)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -682,12 +699,21 @@ def tumbling_window_agg(sf_dir: str):
         )
         return _round4(out, ["sum_value"])
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "ws_epoch"])
-        .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n_events", alias_name="n_events"))
-    )
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = map_key_buckets(parts, "user_id", _merge_window_partials_b)
     return agg.map_batches(render, batch_format="pyarrow")
+
+
+def _merge_window_partials_b(g: pd.DataFrame) -> pd.DataFrame:
+    """Bucket-level merge of (user, window) partial aggregates — replaces a
+    native two-key ``groupby.aggregate`` whose group count equals the OUTPUT
+    row count (the ~0.4 ms/group tax at sf0.1 window cardinalities). Float
+    re-accumulation order differs from the native path, which the shared
+    4-dp rounding convention absorbs (the per-batch combiner already made
+    accumulation order nondeterministic)."""
+    return g.groupby(["user_id", "ws_epoch"], sort=False, as_index=False).agg(
+        sum_value=("sum_value", "sum"), n_events=("n_events", "sum")
+    )
 
 
 def date_parse_cascade(sf_dir: str):
@@ -804,10 +830,8 @@ def host_counts_salted(sf_dir: str, salt_buckets: int = 8):
 def sliding_window_agg(sf_dir: str):
     """Sliding 2-hour windows advancing by 1 hour: each event is expanded to
     the two windows covering it inside map_batches (flat-map semantics), then
-    the usual partial-agg + groupby. No event-time machinery needed — the
-    expansion is a pure batch transform."""
-    from ray.data.aggregate import Sum
-
+    the usual partial-agg + bucket-level merge. No event-time machinery
+    needed — the expansion is a pure batch transform."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def expand_partial(t: pa.Table) -> pa.Table:
@@ -851,11 +875,8 @@ def sliding_window_agg(sf_dir: str):
         )
         return _round4(out, ["sum_value"])
 
-    agg = (
-        ds.map_batches(expand_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "ws_epoch"])
-        .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n_events", alias_name="n_events"))
-    )
+    parts = ds.map_batches(expand_partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = map_key_buckets(parts, "user_id", _merge_window_partials_b)
     return agg.map_batches(render, batch_format="pyarrow")
 
 
@@ -1338,10 +1359,13 @@ def mode_by_group(sf_dir: str):
     """Most frequent event_type per user with a DETERMINISTIC tiebreak
     (count DESC, value ASC) — DuckDB's bare mode() breaks ties by scan
     order, which no distributed implementation should depend on, so BOTH
-    sides use the explicit count+rank formulation. Per-batch combiner
-    before the (user, type) groupby."""
-    from ray.data.aggregate import Sum
+    sides use the explicit count+rank formulation.
 
+    Shape (r3): per-batch combiner → ONE bucket-level grouped stage that
+    both merges the partial counts AND takes the argmax (vectorized pandas
+    inside the bucket). The previous ``groupby(user, type).aggregate(Sum)``
+    was one Ray group per (user, type) pair — the ~0.4 ms/group native-
+    aggregate tax (NOTES) on exactly the high-cardinality path."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1352,17 +1376,12 @@ def mode_by_group(sf_dir: str):
             .rename_columns(["user_id", "event_type", "n"])
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-    def argmax_b(g: pd.DataFrame) -> pd.DataFrame:
-        # per-(user,type) counts are already aggregated — the argmax is a
-        # bucket-level sort + drop_duplicates, no per-user groups anywhere
-        g = g.sort_values(["user_id", "n", "event_type"], ascending=[True, False, True])
-        top = g.drop_duplicates(subset="user_id", keep="first")
+    def merge_argmax_b(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(["user_id", "event_type"], sort=False)["n"].sum().reset_index()
+        )
+        s = s.sort_values(["user_id", "n", "event_type"], ascending=[True, False, True])
+        top = s.drop_duplicates(subset="user_id", keep="first")
         return pd.DataFrame(
             {
                 "user_id": top["user_id"].to_numpy(dtype=np.int64),
@@ -1370,7 +1389,8 @@ def mode_by_group(sf_dir: str):
             }
         )
 
-    return map_key_buckets(counts, "user_id", argmax_b)
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_buckets(parts, "user_id", merge_argmax_b)
 
 
 def lag_event_delta(sf_dir: str):
@@ -1449,12 +1469,13 @@ def range_join_campaigns(sf_dir: str):
 
 def pivot_event_counts(sf_dir: str):
     """PIVOT (long → wide counts): per user, one column per event type.
-    Per-batch partial pivot (pa.Table.group_by + conditional casts) then a
-    groupby-sum merge — the combiner-before-shuffle rule, so a hot user
+    Per-batch partial pivot (pa.Table.group_by + conditional casts), merged
+    by a bucket-level pandas groupby-sum (r3: the previous native
+    ``groupby(user).aggregate(5×Sum)`` paid the per-user-group aggregate
+    tax). The combiner-before-shuffle rule still holds: a hot user
     contributes one partial row per block."""
-    from ray.data.aggregate import Sum
-
     types = ["click", "error", "purchase", "signup", "view"]
+    ncols = [f"n_{ty}" for ty in types]
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1465,14 +1486,14 @@ def pivot_event_counts(sf_dir: str):
             pa.table(cols)
             .group_by("user_id")
             .aggregate([(f"n_{ty}", "sum") for ty in types])
-            .rename_columns(["user_id"] + [f"n_{ty}" for ty in types])
+            .rename_columns(["user_id"] + ncols)
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(*[Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in types])
-    )
+    def merge_b(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", sort=False, as_index=False)[ncols].sum()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_buckets(parts, "user_id", merge_b)
 
 
 def session_windows(sf_dir: str, gap_minutes: int = 30):

@@ -213,7 +213,6 @@ def embedding_near_dup(
     for a candidate set too big to broadcast, co-group by id bucket exactly
     as dedup._verify_pairs_cogrouped does for texts)."""
     import ray
-    from ray.data.aggregate import Count
 
     dim = len(_query_vector(sf_dir, 0))
     n_planes = n_bands * planes_per_band
@@ -245,12 +244,15 @@ def embedding_near_dup(
         .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()  # 2 int cols; reused by the count pass and the pair pass
     )
-    counts = bands.groupby("bucket").aggregate(Count(alias_name="n"))
-    hot = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater_equal(t.column("n"), 2)).select(["bucket"]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    if len(hot) == 0:
+    # hot-bucket detection via per-batch partial counts + bucket-level merge
+    # (r3, shared with the minhash path): the native Count had one Ray group
+    # per LSH bucket — the per-group aggregate tax at corpus scale
+    from .dedup import _hot_int_keys
+
+    hot = _hot_int_keys(
+        bands, lambda t: t.column("bucket").to_numpy(zero_copy_only=False)
+    )
+    if hot is None:
         return pd.DataFrame(
             {
                 "vec_a": pd.Series([], dtype=np.int64),
@@ -258,7 +260,7 @@ def embedding_near_dup(
                 "cos_r": pd.Series([], dtype=np.float64),
             }
         )
-    hot_ref = ray.put(pa.array(hot.bucket.to_numpy(), type=pa.int64()))
+    hot_ref = ray.put(pa.array(hot, type=pa.int64()))
 
     def in_hot(t: pa.Table) -> pa.Table:
         return t.filter(pa.compute.is_in(t.column("bucket"), value_set=ray.get(hot_ref)))
