@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": dedup.minhash_near_dup,
         "dup_components": dedup.dup_components,
         "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_dup_groups": dedup.simhash_dup_groups,
         "simhash_near_dup": dedup.simhash_near_dup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # --- composed 100TB pipeline (extract→quality→exact→near-dup→CC) ---
@@ -706,6 +707,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rows-only (non-SQL-expressible): ann_topk_ivf (approximate probe),
         # embedding_near_dup / minhash_near_dup / ngram_jaccard_pairs (LSH),
-        # simhash_fingerprints / fingerprint_rolling (bit-level sketches),
-        # langid_predict (heuristic model).
+        # simhash_fingerprints / simhash_dup_groups / fingerprint_rolling
+        # (bit-level sketches), langid_predict (heuristic model).
     }

@@ -917,16 +917,40 @@ def simhash_fingerprints(sf_dir: str):
 
 
 def simhash_dup_groups(sf_dir: str):
-    """Exact-SimHash duplicate buckets: fingerprint → groupby → groups with
-    >1 member (near-dup at Hamming distance 0; banding over 16-bit chunks
-    would extend to distance ≤3 at scale)."""
-    from ray.data.aggregate import Count, Min
+    """Exact-SimHash duplicate buckets: fingerprint → grouped count/min-rep
+    → groups with >1 member (near-dup at Hamming distance 0; Hamming ≤3 is
+    simhash_near_dup's banded path).
+
+    Shape (r3): per-batch (simhash, n, min_doc) partials merged in 64
+    fingerprint-prefix buckets — the native per-fingerprint Count/Min paid
+    the per-group aggregate tax on a corpus-sized key space, and the >1
+    filter was a per-row Python lambda; both are now vectorized in the
+    bucket merge."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = (
+            t.group_by("simhash")
+            .aggregate([("doc_id", "count"), ("doc_id", "min")])
+            .rename_columns(["simhash", "n_docs", "rep_doc"])
+        )
+        bucket = np.fromiter(
+            (int(s[:8], 16) % 64 for s in p.column("simhash").to_pylist()),
+            dtype=np.int64,
+            count=p.num_rows,
+        )
+        return p.append_column("_bucket", pa.array(bucket))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("simhash", sort=False, as_index=False).agg(
+            n_docs=("n_docs", "sum"), rep_doc=("rep_doc", "min")
+        )
+        return m.loc[m["n_docs"] > 1, ["simhash", "n_docs", "rep_doc"]]
 
     return (
         simhash_fingerprints(sf_dir)
-        .groupby("simhash")
-        .aggregate(Count(alias_name="n_docs"), Min("doc_id", alias_name="rep_doc"))
-        .filter(lambda row: row["n_docs"] > 1)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
     )
 
 

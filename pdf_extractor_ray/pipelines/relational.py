@@ -902,14 +902,39 @@ def distinct_pairs(sf_dir: str):
 
 
 def distinct_count_by_group(sf_dir: str):
-    """Exact COUNT(DISTINCT x) per group as a two-level groupby — the shape
-    that scales (level 1 dedups (group, x) pairs, level 2 counts them),
-    instead of collecting sets per group."""
-    from ray.data.aggregate import Count
+    """Exact COUNT(DISTINCT x) per group without per-pair Ray groups: each
+    batch emits its distinct (source, n_chars) pairs bucketed by
+    ``n_chars % 64`` (a pair's bucket is a function of the pair, so pairs
+    partition disjointly and per-bucket distinct counts add up exactly);
+    the bucket merge dedups vectorized and the final groupby sees only the
+    small per-(bucket, source) partials. The previous two-level native
+    groupby paid the ~0.4 ms/group tax once per DISTINCT PAIR (r3)."""
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", ["source", "n_chars"])
-    pairs = ds.groupby(["source", "n_chars"]).count().drop_columns(["count()"])
-    return pairs.groupby("source").aggregate(Count(alias_name="n_distinct_chars"))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        p = t.group_by(["source", "n_chars"]).aggregate([])
+        nc = p.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return p.append_column("_bucket", pa.array(nc % 64, type=pa.int64()))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.drop_duplicates(["source", "n_chars"])
+            .groupby("source", sort=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {"source": s.index, "n_distinct_chars": s.to_numpy(dtype=np.int64)}
+        )
+
+    return (
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum(on="n_distinct_chars", alias_name="n_distinct_chars"))
+    )
 
 
 def mean_std_agg(sf_dir: str):

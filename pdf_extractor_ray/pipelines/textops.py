@@ -196,44 +196,43 @@ def cc_pipeline_audit(sf_dir: str):
         # impossible as a real sha). Lets the unique-count groupby and the
         # stage counters ride ONE streaming execution (VERDICT r1 #3).
         n_kept = kept.num_rows
-        shas = [sha256_hex(v) for v in kept.column("extracted_text").to_pylist()]
+        # r3: distinct shas per batch + sha-prefix bucket — the previous
+        # global groupby(text_sha) had one Ray group per distinct text (the
+        # ~0.4 ms/group aggregate tax on a corpus-sized key space); now the
+        # shuffle carries one row per distinct sha per batch and the merge
+        # sees 64 groups. Counter sentinels ("") ride bucket 0.
+        shas = sorted({sha256_hex(v) for v in kept.column("extracted_text").to_pylist()})
+        bucket = np.fromiter(
+            (int(s[:8], 16) % 64 for s in shas), dtype=np.int64, count=len(shas)
+        )
         return pa.table(
             {
                 "text_sha": pa.array(shas + [""], pa.string()),
-                "n_in": pa.array([0] * n_kept + [t.num_rows], pa.int64()),
-                "n_ok": pa.array([0] * n_kept + [ok.num_rows], pa.int64()),
-                "n_kept": pa.array([0] * n_kept + [n_kept], pa.int64()),
+                "_bucket": pa.array(np.append(bucket, 0)),
+                "n_in": pa.array([0] * len(shas) + [t.num_rows], pa.int64()),
+                "n_ok": pa.array([0] * len(shas) + [ok.num_rows], pa.int64()),
+                "n_kept": pa.array([0] * len(shas) + [n_kept], pa.int64()),
             }
         )
 
-    from ray.data.aggregate import Sum
-
-    groups = (
-        ext.map_batches(quality_keep, batch_format="pyarrow")
-        .groupby("text_sha")
-        .aggregate(
-            Sum(on="n_in", alias_name="n_in"),
-            Sum(on="n_ok", alias_name="n_ok"),
-            Sum(on="n_kept", alias_name="n_kept"),
-        )
-    )
-
-    def finish_partial(t: pa.Table) -> pa.Table:
-        # counter group ("") carries the stage totals; every other group is
-        # one distinct kept text
-        is_counter = pc.equal(t.column("text_sha"), "")
-        n_counter = pc.sum(pc.cast(is_counter, pa.int64())).as_py() or 0
-        return pa.table(
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct shas partition disjointly by bucket, so per-bucket
+        # nunique sums to the global distinct count exactly
+        real = g["text_sha"] != ""
+        return pd.DataFrame(
             {
-                "n_pages": pa.array([pc.sum(t.column("n_in")).as_py() or 0], pa.int64()),
-                "n_ok": pa.array([pc.sum(t.column("n_ok")).as_py() or 0], pa.int64()),
-                "n_quality_kept": pa.array([pc.sum(t.column("n_kept")).as_py() or 0], pa.int64()),
-                "n_unique": pa.array([t.num_rows - n_counter], pa.int64()),
+                "n_pages": [int(g["n_in"].sum())],
+                "n_ok": [int(g["n_ok"].sum())],
+                "n_quality_kept": [int(g["n_kept"].sum())],
+                "n_unique": [int(g.loc[real, "text_sha"].nunique())],
             }
         )
 
-    agg = groups.map_batches(finish_partial, batch_format="pyarrow").sum(
-        ["n_pages", "n_ok", "n_quality_kept", "n_unique"]
+    agg = (
+        ext.map_batches(quality_keep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_partial, batch_format="pandas")
+        .sum(["n_pages", "n_ok", "n_quality_kept", "n_unique"])
     )
     return pd.DataFrame(
         [
@@ -312,7 +311,6 @@ def corpus_near_dup_pipeline(sf_dir: str):
     pinned by tests/test_corpus_pipeline.py against brute-force Jaccard."""
     import pandas as pd
     import ray
-    from ray.data.aggregate import Min
 
     from ..functions.hashing import sha256_hex
     from ..functions.quality import quality_features
@@ -383,7 +381,34 @@ def corpus_near_dup_pipeline(sf_dir: str):
         lambda t: t.filter(pc.greater_equal(t.column("doc_id"), 0)),
         batch_format="pyarrow",
     )
-    reps = real.groupby("text_sha").aggregate(Min("doc_id", alias_name="doc_id")).materialize()
+    def rep_partial(t: pa.Table) -> pa.Table:
+        # per-batch combiner (min doc per sha) + sha-prefix bucket: the
+        # native groupby(text_sha).aggregate(Min) had one Ray group per
+        # unique document (r3, same shape as relational.dedup_exact)
+        p = (
+            t.select(["text_sha", "doc_id"])
+            .group_by("text_sha")
+            .aggregate([("doc_id", "min")])
+            .rename_columns(["text_sha", "doc_id"])
+        )
+        bucket = np.fromiter(
+            (int(s[:8], 16) % 64 for s in p.column("text_sha").to_pylist()),
+            dtype=np.int64,
+            count=p.num_rows,
+        )
+        return p.append_column("_bucket", pa.array(bucket))
+
+    def rep_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("text_sha", sort=False, as_index=False)["doc_id"].min()[
+            ["text_sha", "doc_id"]
+        ]
+
+    reps = (
+        real.map_batches(rep_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(rep_merge, batch_format="pandas")
+        .materialize()
+    )
     n_exact_unique = reps.count()
     if n_exact_unique <= SURVIVOR_BROADCAST_THRESHOLD:
         rep_ids = reps.map_batches(

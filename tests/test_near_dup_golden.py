@@ -129,3 +129,40 @@ def test_near_dup_matches_round1_golden(name, fn, path, sf_dir, monkeypatch):
     got = _canon(fn(sf_dir))
     want = _canon(pd.read_parquet(f"{GOLDEN_DIR}/{name}_sf0.001.parquet"))
     pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
+
+
+def test_simhash_dup_groups_constructed_duplicates(tmp_path):
+    """The bucketed dup-groups path (per-batch partials merged per
+    fingerprint-prefix bucket) must equal a brute-force pandas groupby over
+    the scalar fingerprints: identical texts share a simhash, groups with
+    n_docs > 1 survive with min-doc representative, singletons are absent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.functions.sketches import simhash64
+    from pdf_extractor_ray.pipelines.dedup import simhash_dup_groups
+
+    texts = (
+        ["the quick brown fox jumps over the lazy dog"] * 3
+        + ["pack my box with five dozen liquor jugs"] * 2
+        + [f"unique document number {i} with its own words entirely" for i in range(5)]
+    )
+    # shuffle doc_ids deterministically so min-doc reps aren't trivially first
+    order = [7, 0, 4, 9, 2, 5, 1, 8, 3, 6]
+    rows = [{"doc_id": order[i], "text": t} for i, t in enumerate(texts)]
+    pq.write_table(pa.Table.from_pylist(rows), tmp_path / "documents.parquet")
+
+    want = (
+        pd.DataFrame(
+            {
+                "simhash": [f"{simhash64(r['text']):016x}" for r in rows],
+                "doc_id": [r["doc_id"] for r in rows],
+            }
+        )
+        .groupby("simhash", as_index=False)
+        .agg(n_docs=("doc_id", "count"), rep_doc=("doc_id", "min"))
+    )
+    want = want[want.n_docs > 1]
+
+    got = _canon(simhash_dup_groups(str(tmp_path)))
+    pd.testing.assert_frame_equal(got, _canon(want), check_exact=True, check_dtype=False)
