@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "embedding_dup_exact": similarity.embedding_dup_exact,
         "media_features": textops.media_features,
+        # exact heavy hitters via mergeable MG summaries + verify pass (r3)
+        "heavy_hitter_tokens": relational.heavy_hitter_tokens,
         # --- twice-graded representatives (one per §2 family) --------------
         "pricing_summary": relational.pricing_summary,
         "counts_by_source": relational.counts_by_source,
@@ -113,9 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_edit_join": enrich.fuzzy_edit_join,
         "asof_join_last_signup": enrich.asof_join_last_signup,
         "classify_three_pass": enrich.classify_three_pass,
-        "tumbling_window_agg": relational.tumbling_window_agg,
         # ==== driver-graded prefix boundary (first 50 end here) ============
         # --- twice-graded remainder (still tested at both scales locally) --
+        "tumbling_window_agg": relational.tumbling_window_agg,
         "part_brand_stats": relational.part_brand_stats,
         "json_parse_tolerant": relational.json_parse_tolerant,
         "hash_bucket_counts": relational.hash_bucket_counts,
@@ -516,6 +518,17 @@ def oracle_sql() -> dict[str, str]:
         "explode_tokens": (
             "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
         ),
+        # the verify pass makes the MG-sketched result exact; DOUBLE cast so
+        # both sides compare count > φ·N in identical float64 arithmetic
+        "heavy_hitter_tokens": """
+            WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            ), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM toks, tot
+            GROUP BY token, tot.n
+            HAVING COUNT(*) > 0.002 * tot.n
+        """,
         "explode_struct_items": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
         ),

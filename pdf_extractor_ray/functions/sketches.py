@@ -291,6 +291,25 @@ class HyperLogLog:
         # keys, which starves the register index (top-p bits)
         self.add_hash(_splitmix64(fnv1a64(value.encode("utf-8"))))
 
+    def add_batch(self, values: list[str]) -> None:
+        """Vectorized add: ragged batch FNV + splitmix finalize + one
+        unbuffered register max — bit-identical to per-value ``add``
+        (identity-tested). The rank uses frexp's exponent, which equals
+        bit_length exactly for integers < 2^53, so this path requires
+        64 - p <= 53 (p >= 11); smaller p falls back to the scalar loop."""
+        if not values:
+            return
+        if 64 - self.p > 53:
+            for v in values:
+                self.add(v)
+            return
+        h = splitmix64_vec(fnv1a64_batch([v.encode("utf-8") for v in values]))
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - self.p)) - 1)
+        exp = np.frexp(w.astype(np.float64))[1]
+        rank = np.where(w == 0, 64 - self.p + 1, 64 - self.p - exp + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         np.maximum(self.registers, other.registers, out=self.registers)
         return self

@@ -1248,15 +1248,129 @@ def approx_distinct_tokens(sf_dir: str, p: int = 12):
 
     def sketch(t: pa.Table) -> pa.Table:
         h = HyperLogLog(p)
-        for text in t.column("text").to_pylist():
-            for tok in text.split(" "):
-                h.add(tok)
+        texts = t.column("text").to_pylist()
+        if texts:
+            # joining with the split separator preserves the token multiset
+            # (and HLL only sees the set) — one vectorized add per batch
+            # instead of a per-token Python loop (r3)
+            h.add_batch(" ".join(texts).split(" "))
         return pa.table({"sketch": pa.array([h.to_bytes()], type=pa.binary())})
 
     merged = HyperLogLog(p)
     for row in ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True).iter_rows():
         merged.merge(HyperLogLog.from_bytes(row["sketch"], p))
     return pd.DataFrame({"approx_distinct": [int(round(merged.estimate()))]})
+
+
+def heavy_hitter_tokens(sf_dir: str, phi: float = 0.002):
+    """EXACT φ-heavy-hitter tokens (count > φ·N) without ever shuffling the
+    full token key space — the shape that finds hot vocabulary / hot hosts
+    at 100 TB where ``groupby(token)`` means one exchange row (and one Ray
+    group) per DISTINCT token:
+
+    1. per-batch Misra-Gries-style summary: exact in-batch value_counts
+       truncated to k = ⌈2/φ⌉ counters, subtracting the (k+1)-th largest
+       count (the per-batch decrement); only these bounded summaries plus
+       a sentinel (batch token total, decrement) cross the exchange;
+    2. candidate superset by distributed bucket merge: per-key undercount
+       is ≤ Σ decrements ≤ N/(k+1) < φN/2, so every true heavy hitter has
+       merged count > φN − Σdec — at most ~2/φ candidates survive;
+    3. exact verify pass: broadcast the candidate set, count ONLY candidate
+       tokens per batch, bucket-merge, keep count > φN (strict, float64 —
+       the oracle casts to DOUBLE so both sides compare identically).
+
+    The verify pass makes the answer exact (oracle-paired), not sketchy;
+    the sketch only bounds what moves. Two passes over the text are the
+    price of exactness with bounded state."""
+    import ray
+
+    from ..functions.sketches import fnv1a64_batch
+
+    ds = _read(sf_dir, "documents", ["text"])
+    k = int(np.ceil(2.0 / phi))
+
+    def _tok_buckets(tok_arr) -> np.ndarray:
+        return (fnv1a64_batch([s.encode() for s in tok_arr]) % np.uint64(64)).astype(
+            np.int64
+        )
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        # joining with the split separator preserves the token multiset of
+        # per-doc text.split(" ") (matches the oracle's string_split)
+        toks = " ".join(texts).split(" ") if texts else []
+        vc = pd.Series(toks, dtype="object").value_counts()
+        dec = 0
+        if len(vc) > k:
+            dec = int(vc.iloc[k])
+            vc = vc.iloc[:k] - dec
+            vc = vc[vc > 0]
+        tok_arr = vc.index.to_numpy(dtype=object)
+        return pa.table(
+            {
+                "token": pa.array(list(tok_arr) + [None], pa.string()),
+                "n": pa.array(np.append(vc.to_numpy(dtype=np.int64), 0)),
+                "_bucket": pa.array(np.append(_tok_buckets(tok_arr), 0)),
+                "n_total": pa.array([0] * len(tok_arr) + [len(toks)], pa.int64()),
+                "err": pa.array([0] * len(tok_arr) + [dec], pa.int64()),
+            }
+        )
+
+    # bounded: ≤ k+1 rows per batch; materialized for its two consumers
+    # (scalar totals, candidate merge)
+    summ = ds.map_batches(
+        mg_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    tot = summ.sum(["n_total", "err"])
+    n_total = int(tot["sum(n_total)"])
+    total_err = int(tot["sum(err)"])
+    thr = phi * float(n_total)
+
+    def cand_merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.dropna(subset=["token"]).groupby("token", sort=False)["n"].sum()
+        m = m[(m + total_err) > thr]
+        return pd.DataFrame({"token": m.index})
+
+    cands = (
+        summ.groupby("_bucket")
+        .map_groups(cand_merge, batch_format="pandas")
+        .to_pandas()["token"]
+    )
+    if len(cands) == 0:
+        return pd.DataFrame(
+            {
+                "token": pd.Series([], dtype="object"),
+                "n_occurrences": pd.Series([], dtype="int64"),
+            }
+        )
+    cand_ref = ray.put(set(cands))
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        toks = pd.Series(" ".join(texts).split(" ") if texts else [], dtype="object")
+        vc = toks[toks.isin(ray.get(cand_ref))].value_counts()
+        tok_arr = vc.index.to_numpy(dtype=object)
+        return pa.table(
+            {
+                "token": pa.array(list(tok_arr), pa.string()),
+                "n": pa.array(vc.to_numpy(dtype=np.int64)),
+                "_bucket": pa.array(_tok_buckets(tok_arr)),
+            }
+        )
+
+    def exact_merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", sort=False)["n"].sum()
+        m = m[m > thr]
+        return pd.DataFrame(
+            {"token": m.index, "n_occurrences": m.to_numpy(dtype=np.int64)}
+        )
+
+    return (
+        ds.map_batches(exact_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(exact_merge, batch_format="pandas")
+    )
 
 
 def median_by_group(sf_dir: str):

@@ -49,12 +49,21 @@ def url_part_id(url: str, num_partitions: int = DEFAULT_NUM_PARTITIONS) -> int:
     return zlib.crc32(url.encode("utf-8")) % num_partitions
 
 
-def _fast_disabled() -> bool:
-    """Benchmark kill-switch for the vectorized batch kernels (A/B tool:
-    set GRAFT_NO_FAST_EXTRACT=1 before ray.init in a fresh process)."""
+def _fast_enabled() -> bool:
+    """Opt-in switch for the vectorized batch extraction kernels
+    (GRAFT_FAST_EXTRACT=1 before ray.init in a fresh process).
+
+    Default OFF: the r3 A/B at sf0.1 (fresh process per leg, min-of-3)
+    measured the batch kernels +14% at 8 workers but −8% at 32 workers —
+    their numpy prepass is memory-bandwidth-heavier per doc, and at full
+    node occupancy the shared bus is the bottleneck (scalar: 149k docs/s
+    @32, scaling efficiency 0.979; batch: 137k, 0.791). A production node
+    runs fully occupied, so scalar is the right default; enable the batch
+    path only for low-concurrency deployments. Both paths stay
+    differential-pinned byte-identical (tests/test_html_fast.py)."""
     import os
 
-    return os.environ.get("GRAFT_NO_FAST_EXTRACT", "") == "1"
+    return os.environ.get("GRAFT_FAST_EXTRACT", "") == "1"
 
 
 class ExtractDocuments:
@@ -130,7 +139,7 @@ class ExtractDocuments:
                 })
                 continue
             out["extractor"][i] = ex.name
-            if hasattr(ex, "extract_batch") and not _fast_disabled():
+            if hasattr(ex, "extract_batch") and _fast_enabled():
                 grp = batched.setdefault(id(ex), (ex, [], []))
                 grp[1].append(i)
                 grp[2].append(payload)

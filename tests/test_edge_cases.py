@@ -119,3 +119,34 @@ def test_extracted_contract_validation(sf_dir):
         validate_extracted(bad_ds, strict=True).count()
     diverted = validate_extracted(bad_ds, strict=False).to_pandas()
     assert diverted.contract_violation.notna().sum() == 1
+
+
+def test_heavy_hitter_tokens_truncation_path(tmp_path):
+    """Force per-batch Misra-Gries truncation (batch vocabulary ≫ k) and
+    check the verify pass still returns the EXACT heavy-hitter set with
+    exact counts — the sketch bounds what crosses the exchange, never the
+    answer. Includes a just-under-threshold family that truncation would
+    wrongly admit or drop if the error accounting were off."""
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.relational import heavy_hitter_tokens
+
+    phi = 0.05  # k = 40 counters; the tail gives ~2000 distinct per batch
+    texts = [f"hot common{i % 7} tail{i}" for i in range(2000)]
+    pq.write_table(
+        pa.Table.from_pylist([{"doc_id": i, "text": t} for i, t in enumerate(texts)]),
+        tmp_path / "documents.parquet",
+    )
+
+    counts = Counter(tok for t in texts for tok in t.split(" "))
+    n = sum(counts.values())
+    want = sorted((t, c) for t, c in counts.items() if c > phi * n)
+    assert want == [("hot", 2000)]  # common* sit just under the threshold
+
+    out = heavy_hitter_tokens(str(tmp_path), phi=phi)
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    got = sorted(zip(df.token, df.n_occurrences))
+    assert [(t, int(c)) for t, c in got] == want

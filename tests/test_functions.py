@@ -164,6 +164,28 @@ def test_hll_accuracy_and_mergeability():
     assert abs(m1 - 15_000) / 15_000 < 0.05
 
 
+def test_hll_add_batch_bit_identical_to_scalar():
+    """The vectorized add_batch (frexp-rank) must leave the registers
+    BIT-identical to per-value add — empties, unicode, duplicates, and
+    enough keys to exercise every rank branch."""
+    import numpy as np
+
+    from pdf_extractor_ray.functions.sketches import HyperLogLog
+
+    toks = ["", "a", "héllo", "tok" * 40] + [f"t{i}" for i in range(20_000)] + ["a", ""]
+    scalar, batch = HyperLogLog(), HyperLogLog()
+    for t in toks:
+        scalar.add(t)
+    batch.add_batch(toks)
+    assert np.array_equal(scalar.registers, batch.registers)
+    # p < 11 falls back to the scalar loop — still identical
+    s9, b9 = HyperLogLog(9), HyperLogLog(9)
+    for t in toks[:1000]:
+        s9.add(t)
+    b9.add_batch(toks[:1000])
+    assert np.array_equal(s9.registers, b9.registers)
+
+
 def test_pii_scrub_and_count():
     from pdf_extractor_ray.functions.text import count_pii, scrub_pii
 
