@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         similarity,
         textops,
+        training,
     )
 
     return {
@@ -116,6 +117,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_last_signup": enrich.asof_join_last_signup,
         "classify_three_pass": enrich.classify_three_pass,
         # ==== driver-graded prefix boundary (first 50 end here) ============
+        # --- training-data export family (new r3; oracle-paired, verified
+        #     hash-exact at both scales locally like everything below) ------
+        "token_budget_shards": training.token_budget_shards,
+        "split_assign": training.split_assign,
+        "sample_orders_per_customer": training.sample_orders_per_customer,
         # --- twice-graded remainder (still tested at both scales locally) --
         "tumbling_window_agg": relational.tumbling_window_agg,
         "part_brand_stats": relational.part_brand_stats,
@@ -518,6 +524,35 @@ def oracle_sql() -> dict[str, str]:
         "explode_tokens": (
             "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
         ),
+        # training-data export family (r3): all-integer arithmetic, and the
+        # Knuth hash ((k % 2^31)*2654435761 % 2^31) keeps every intermediate
+        # < 2^63 so BIGINT and numpy int64 agree exactly
+        "token_budget_shards": """
+            WITH t AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+                   CAST((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 5000
+                        AS BIGINT) AS shard_id
+            FROM t
+        """,
+        "split_assign": """
+            SELECT doc_id,
+              CASE WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 % 100 < 80
+                     THEN 'train'
+                   WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 % 100 < 90
+                     THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents
+        """,
+        "sample_orders_per_customer": """
+            SELECT o_custkey, o_orderkey FROM orders
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY o_custkey
+              ORDER BY ((o_orderkey % 2147483648) * 2654435761) % 2147483648,
+                       o_orderkey) <= 3
+        """,
         # the verify pass makes the MG-sketched result exact; DOUBLE cast so
         # both sides compare count > φ·N in identical float64 arithmetic
         "heavy_hitter_tokens": """

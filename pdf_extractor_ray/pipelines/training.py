@@ -1,0 +1,170 @@
+"""Training-data export operators (engine additions, r3).
+
+The reference stops at "normalized rows on disk"; a 100 TB training
+pipeline additionally needs deterministic corpus *packaging*: token-budget
+shard assignment (a global ordered prefix sum), deterministic train/val/test
+splits, and per-key deterministic samples. None of these exist in the
+reference (closest analog: the batch/export loops in
+/root/reference/scripts/grok.py:393-424, which walk rows sequentially on one
+process) — these are their distributed re-expressions.
+
+Every operator here is oracle-paired (see ``__ray_entry__.oracle_sql``) and
+uses only integer arithmetic through the shuffle, so the hash-exact gate
+applies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import N_KEY_BUCKETS, _read, map_key_buckets
+
+#: Knuth multiplicative hash modulus/multiplier, chosen so the product
+#: (key % 2^31) * 2654435761 < 2^63 is exact in BOTH numpy int64 and
+#: DuckDB BIGINT — the whole point is a hash the oracle can replicate
+#: verbatim in SQL. NOT a quality hash at full 64-bit key widths; for
+#: engine-internal hashing use fnv1a64 (functions/sketches.py).
+KNUTH_MULT = 2654435761
+KNUTH_MOD = 2147483648  # 2^31
+
+
+def knuth_hash(keys: np.ndarray) -> np.ndarray:
+    """SQL-replicable deterministic pseudo-random order key (int64 in, int64
+    out, all intermediates < 2^63 so BIGINT arithmetic never overflows)."""
+    k = keys.astype(np.int64)
+    return ((k % KNUTH_MOD) * KNUTH_MULT) % KNUTH_MOD
+
+
+def _n_tokens(t: pa.Table, col: str = "text") -> np.ndarray:
+    """Whitespace token count matching DuckDB len(string_split(text, ' '))
+    exactly: separator occurrences + 1 (empty string → ['']  → 1). One
+    pyarrow kernel pass, no Python per row."""
+    cnt = pc.count_substring(t.column(col), pattern=" ")
+    return cnt.to_numpy(zero_copy_only=False).astype(np.int64) + 1
+
+
+def token_budget_shards(sf_dir: str, budget: int = 5_000):
+    """Global ordered prefix sum → token-budget shard assignment: the
+    "pack the corpus into ~budget-token training shards in a canonical
+    order" step of a dataset export. Each doc is assigned to the shard its
+    FIRST token falls in (docs are never split), i.e.
+    ``shard_id = exclusive_prefix_sum(n_tokens ordered by doc_id) // budget``.
+
+    Distributed two-phase prefix sum — the textbook shape that avoids both
+    a global sort-then-scan and any driver-side row loop:
+
+    1. one vectorized pass computes the narrow (doc_id, n_tokens, _bucket)
+       table, where ``_bucket`` is an ORDERED range partition of doc_id
+       (B contiguous ranges from a cheap min/max pre-pass); the narrow
+       table is materialized once (16 B/row) for its two consumers;
+    2. per-bucket token sums (B rows) come to the driver, whose exclusive
+       cumulative sum over B scalars yields each bucket's global offset;
+    3. a B-group ``map_groups`` sorts each bucket by doc_id, takes the
+       in-bucket cumulative sum, and adds the broadcast bucket offset.
+
+    Only B scalars ever reach the driver; the shuffle sees B groups
+    regardless of corpus size. Oracle: SUM(...) OVER (ORDER BY doc_id).
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    agg = ds.aggregate(*_min_max("doc_id"))
+    mn, mx = int(agg["min(doc_id)"]), int(agg["max(doc_id)"])
+    span = max(mx - mn + 1, 1)
+    n_buckets = N_KEY_BUCKETS
+
+    def narrow(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "n_tokens": pa.array(_n_tokens(t)),
+                "_bucket": pa.array((did - mn) * n_buckets // span),
+            }
+        )
+
+    nt = ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    per_bucket = nt.groupby("_bucket").sum("n_tokens").to_pandas()
+    per_bucket = per_bucket.sort_values("_bucket")
+    offsets_by_bucket = dict(
+        zip(
+            per_bucket["_bucket"].to_numpy(),
+            np.concatenate(([0], np.cumsum(per_bucket["sum(n_tokens)"].to_numpy())[:-1])),
+        )
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        off = int(offsets_by_bucket[int(g["_bucket"].iloc[0])])
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy()
+        cum = off + np.cumsum(n)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "cum_tokens": cum,
+                "shard_id": (cum - n) // budget,
+            }
+        )
+
+    return nt.groupby("_bucket").map_groups(finish, batch_format="pandas")
+
+
+def _min_max(col: str):
+    from ray.data.aggregate import Max, Min
+
+    return Min(col), Max(col)
+
+
+def split_assign(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
+    """Deterministic train/val/test assignment by content-independent key
+    hash — the split that stays stable under corpus growth (a doc's split
+    never changes when other docs are added) and is replicable in SQL. Pure
+    stateless map_batches: no shuffle at all, the cheapest possible shape.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    lo, hi = train_pct, train_pct + val_pct
+
+    def assign(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pct = knuth_hash(did) % 100
+        split = np.where(pct < lo, "train", np.where(pct < hi, "val", "test"))
+        return pa.table(
+            {"doc_id": pa.array(did.astype(np.int64)), "split": pa.array(split)}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_orders_per_customer(sf_dir: str, k: int = 3):
+    """Deterministic uniform-by-hash sample of ≤k orders per customer —
+    "give me k random-but-reproducible examples per key" at corpus scale.
+    The order key is the Knuth hash (SQL-replicable), the tiebreak the
+    order key itself, so both engines pick identical rows.
+
+    Scale shape: the per-key top-k runs inside hash(key)-buckets
+    (``map_key_buckets`` — B groups through the shuffle, never one per
+    customer), with the within-bucket selection a single vectorized
+    sort + groupby(key).head(k)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column("_h", pa.array(knuth_hash(ok)))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.groupby("o_custkey", sort=False).head(k)
+        return pd.DataFrame(
+            {
+                "o_custkey": top["o_custkey"].to_numpy(),
+                "o_orderkey": top["o_orderkey"].to_numpy(),
+            }
+        )
+
+    withh = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_buckets(
+        withh, "o_custkey", pick, sort_by=["o_custkey", "_h", "o_orderkey"]
+    )
