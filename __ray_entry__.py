@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_shards": training.token_budget_shards,
         "split_assign": training.split_assign,
         "sample_orders_per_customer": training.sample_orders_per_customer,
+        # corpus-distribution scoring (new r3)
+        "unigram_logprob_score": textops.unigram_logprob_score,
         # --- twice-graded remainder (still tested at both scales locally) --
         "tumbling_window_agg": relational.tumbling_window_agg,
         "part_brand_stats": relational.part_brand_stats,
@@ -146,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_agg": relational.sliding_window_agg,
         "session_windows": relational.session_windows,
         # --- rows-only (non-SQL-expressible) -------------------------------
+        "approx_quantile_hist": relational.approx_quantile_hist,
         "approx_distinct_tokens": relational.approx_distinct_tokens,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "embedding_near_dup": similarity.embedding_near_dup,
@@ -756,5 +759,22 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (non-SQL-expressible): ann_topk_ivf (approximate probe),
         # embedding_near_dup / minhash_near_dup / ngram_jaccard_pairs (LSH),
         # simhash_fingerprints / simhash_dup_groups / fingerprint_rolling
-        # (bit-level sketches), langid_predict (heuristic model).
+        # (bit-level sketches), langid_predict (heuristic model),
+        # approx_quantile_hist (bounded-error histogram quantile — accuracy
+        # pinned vs exact np.quantile in tests/test_functions.py).
+        "unigram_logprob_score": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+            ),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+            vocab AS (
+              SELECT token, CAST(COUNT(*) AS DOUBLE) AS c FROM toks, tot
+              GROUP BY token, tot.n HAVING COUNT(*) > 0.001 * tot.n
+            )
+            SELECT t.doc_id,
+                   ROUND(AVG(COALESCE(ln(v.c / (SELECT n FROM tot)), ln(0.001))), 4)
+                     AS lm_score
+            FROM toks t LEFT JOIN vocab v USING (token)
+            GROUP BY t.doc_id
+        """,
     }

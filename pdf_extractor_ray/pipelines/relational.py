@@ -1654,3 +1654,71 @@ def session_windows(sf_dir: str, gap_minutes: int = 30):
         )
 
     return map_key_buckets(ds, "user_id", sessions_b, sort_by=["user_id", "ts"])
+
+
+def approx_quantile_hist(sf_dir: str, qs=(0.5, 0.9, 0.99), n_bins: int = 4096):
+    """Approximate quantiles by fixed-grid histogram — the deterministic,
+    mergeable alternative to an exact global sort when "p99 within a known
+    error bound" is enough (the common case for corpus length/score
+    distributions at 100 TB). Two passes, no all-to-all:
+
+    1. min/max pre-pass fixes a shared bin grid;
+    2. per-batch ``np.histogram`` partials emit only NONZERO (bin_id, count)
+       rows (≤ n_bins per batch); a 64-bucket vectorized merge reduces them
+       to ≤ n_bins total rows — the full value column never shuffles.
+
+    The reported value is the upper edge of the first bin whose CDF reaches
+    ``ceil(q·n)`` (quantile_disc's target rank), so
+    |approx − exact quantile_disc| ≤ bin width = (max−min)/n_bins, which is
+    returned alongside each estimate. Deterministic (no RNG, no sketch
+    merge-order sensitivity — counts are commutative). Rows-only entry:
+    accuracy is pinned against exact np.quantile in tests/test_functions.py."""
+    col = "l_extendedprice"
+    ds = _read(sf_dir, "lineitem", [col])
+
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    if hi <= lo:
+        hi = lo + 1.0
+    edges = np.linspace(lo, hi, n_bins + 1)
+    width = (hi - lo) / n_bins
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        counts, _ = np.histogram(v, bins=edges)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "bin_id": pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+                "_bucket": pa.array(nz.astype(np.int64) % N_KEY_BUCKETS),
+            }
+        )
+
+    def merge_bins(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("bin_id", sort=False)["n"].sum()
+        return pd.DataFrame({"bin_id": m.index.to_numpy(), "n": m.to_numpy()})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(merge_bins, batch_format="pandas")
+        .to_pandas()  # ≤ n_bins scalars — the only thing the driver sees
+        .sort_values("bin_id")
+    )
+    cdf = np.cumsum(hist["n"].to_numpy())
+    total = int(cdf[-1])
+    rows = []
+    for q in qs:
+        rank = int(np.ceil(q * total))
+        i = int(np.searchsorted(cdf, rank))
+        rows.append(
+            {
+                "q": q,
+                "approx_value": float(edges[int(hist["bin_id"].iloc[i]) + 1]),
+                "max_abs_error": width,
+            }
+        )
+    return pd.DataFrame(rows)

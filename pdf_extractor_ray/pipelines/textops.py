@@ -500,3 +500,70 @@ def media_features(sf_dir: str):
         batch_size=256,
         concurrency=(1, 4),
     ).select_columns(["doc_id", "n_bytes", "payload_sha"])
+
+
+def unigram_logprob_score(sf_dir: str, phi: float = 0.001):
+    """CCNet-style unigram LM quality score per document: mean
+    ln(p(token)) over the doc's whitespace tokens, with the LM trained on
+    the corpus itself — the standard "perplexity-ish" filter signal for
+    training-data curation (low score = far from the corpus distribution).
+
+    Scale shape: the "model" is the exact φ-heavy-hitter vocabulary
+    (``heavy_hitter_tokens`` — bounded by ~2/φ entries, Misra-Gries
+    partials + verify pass, full key space never shuffles) broadcast to a
+    stateless scoring pass; out-of-vocabulary tokens get the floor
+    probability φ. Two corpus passes + one bounded broadcast — no
+    all-to-all anywhere. Oracle-paired: DuckDB reproduces the same vocab
+    (HAVING count > φ·N), logprobs and AVG, rounded 4dp on both sides.
+
+    Reference analog: the row-scoring loops of the classifier agents
+    (/root/reference/dataextractai/agents/transaction_agents.py) replaced
+    by a broadcast-model batch stage, per the north rule."""
+    import pandas as pd
+    import ray
+
+    from .relational import heavy_hitter_tokens
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        n = pc.sum(pc.add(pc.count_substring(t.column("text"), pattern=" "), 1))
+        return pa.table({"n": pa.array([n.as_py() or 0], pa.int64())})
+
+    n_total = float(
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sum("n")
+    )
+
+    hh = heavy_hitter_tokens(sf_dir, phi=phi)
+    vocab = hh if isinstance(hh, pd.DataFrame) else hh.to_pandas()
+    logp = pd.Series(
+        np.log(vocab["n_occurrences"].to_numpy(dtype=np.float64) / n_total),
+        index=vocab["token"],
+    )
+    floor = float(np.log(phi))
+    logp_ref = ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        lp = ray.get(logp_ref)
+        texts = t.column("text").to_pylist()
+        if not texts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "lm_score": pa.array([], pa.float64())}
+            )
+        per_doc = [s.split(" ") for s in texts]
+        lens = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=len(per_doc))
+        flat = pd.Series(
+            [tok for p in per_doc for tok in p], dtype="object"
+        )
+        vals = flat.map(lp).fillna(floor).to_numpy(dtype=np.float64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = np.add.reduceat(vals, starts) if len(vals) else np.array([])
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lm_score": pa.array(np.round(sums / lens, 4)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -238,3 +238,40 @@ def test_null_safety_kernels():
         }
     )
     assert _validity_reason(v).to_pylist() == ["zero_amount"]
+
+
+def test_approx_quantile_hist_bounded_error(ray_session):
+    """The histogram quantile's reported max_abs_error must actually bound
+    the distance to the exact quantile_disc value (inverted_cdf)."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extractor_ray.pipelines.relational import approx_quantile_hist
+
+    sf = "/root/testdata/sf0.001"
+    res = approx_quantile_hist(sf)
+    v = pd.read_parquet(
+        f"{sf}/lineitem.parquet", columns=["l_extendedprice"]
+    ).l_extendedprice.to_numpy()
+    assert list(res.q) == [0.5, 0.9, 0.99]
+    for _, row in res.iterrows():
+        exact = np.quantile(v, row.q, method="inverted_cdf")
+        assert abs(row.approx_value - exact) <= row.max_abs_error + 1e-9
+    # deterministic: same result twice (counts merge commutatively)
+    res2 = approx_quantile_hist(sf)
+    assert np.array_equal(res.approx_value.to_numpy(), res2.approx_value.to_numpy())
+
+
+def test_unigram_logprob_score_semantics(ray_session):
+    """In-vocabulary-heavy docs must score higher than OOV-heavy docs, and
+    every score sits in [ln(phi), 0) — the oracle-parity suite pins the
+    exact values; this pins the model's meaning."""
+    import numpy as np
+
+    from pdf_extractor_ray.pipelines.textops import unigram_logprob_score
+
+    sf = "/root/testdata/sf0.001"
+    df = unigram_logprob_score(sf).to_pandas()
+    assert len(df) == 500
+    assert (df.lm_score < 0).all() and (df.lm_score >= np.log(0.001) - 1e-9).all()
+    assert df.lm_score.nunique() > 10  # a real signal, not a constant
