@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_orders_per_customer": training.sample_orders_per_customer,
         # corpus-distribution scoring (new r3)
         "unigram_logprob_score": textops.unigram_logprob_score,
+        "split_contamination": training.split_contamination,
         # --- twice-graded remainder (still tested at both scales locally) --
         "tumbling_window_agg": relational.tumbling_window_agg,
         "part_brand_stats": relational.part_brand_stats,
@@ -555,6 +556,25 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY o_custkey
               ORDER BY ((o_orderkey % 2147483648) * 2654435761) % 2147483648,
                        o_orderkey) <= 3
+        """,
+        # cross-split exact-content leakage audit (composes split_assign's
+        # hash arithmetic with dedup_exact's sha; n_contaminated > 0 path is
+        # pinned with constructed duplicates in tests/test_training.py
+        "split_contamination": """
+            WITH s AS (
+              SELECT doc_id, text,
+                CASE WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 % 100 < 80
+                       THEN 'train'
+                     WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 % 100 < 90
+                       THEN 'val'
+                     ELSE 'test' END AS split
+              FROM documents
+            ),
+            tr AS (SELECT DISTINCT sha256(text) AS sha FROM s WHERE split = 'train')
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN sha256(text) IN (SELECT sha FROM tr)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+            FROM s WHERE split <> 'train' GROUP BY split
         """,
         # the verify pass makes the MG-sketched result exact; DOUBLE cast so
         # both sides compare count > φ·N in identical float64 arithmetic

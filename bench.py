@@ -28,7 +28,11 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "48"))
+# 192 × sf0.1 = 960k docs: large enough that fixed startup (session spin-up,
+# graph compile, first-block latency) amortizes out of docs/sec — the r2
+# driver bench at 48× measured 81k docs/s for the same pipeline that
+# sustains 136–149k at 192× (VERDICT r2 "corpus-size-amortization gap")
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "192"))
 # fixed block count so both scaling runs split work identically
 NUM_BLOCKS = int(os.environ.get("GRAFT_BENCH_BLOCKS", "128"))
 
@@ -136,6 +140,13 @@ QUERY_PANEL = [
     "rolling_avg_per_user",
     "mode_by_group",
     "corpus_near_dup_pipeline",
+    # round-3 additions
+    "heavy_hitter_tokens",
+    "token_budget_shards",
+    "sample_orders_per_customer",
+    "split_assign",
+    "unigram_logprob_score",
+    "approx_quantile_hist",
 ]
 
 
@@ -189,9 +200,9 @@ def scaling() -> None:
     """Same headline job at 8 and 32 CPUs in fresh processes. Each level is
     measured three times (fresh process each time) and the fastest run kept —
     single-node wall time has multi-second OS noise that otherwise swamps
-    the efficiency ratio. A larger corpus (4× the default replicate →
-    ~1M docs) amortizes fixed per-run overhead out of the ratio; the short
-    32-CPU leg is the noise-sensitive one."""
+    the efficiency ratio. The ~1M-doc corpus amortizes fixed per-run
+    overhead out of the ratio; the short 32-CPU leg is the noise-sensitive
+    one."""
 
     def run_once(ncpu: int) -> dict:
         env = dict(
@@ -199,8 +210,10 @@ def scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_HEADLINE_ONLY="1",
             GRAFT_BENCH_ATTEMPTS="1",  # min-of-3 comes from the fresh processes
+            # same 960k-doc corpus as the plain run (the default REPLICATE
+            # is already the amortized size since r3)
             GRAFT_BENCH_REPLICATE=os.environ.get(
-                "GRAFT_BENCH_REPLICATE", str(REPLICATE * 4)
+                "GRAFT_BENCH_REPLICATE", str(REPLICATE)
             ),
         )
         out = subprocess.run(

@@ -168,3 +168,76 @@ def sample_orders_per_customer(sf_dir: str, k: int = 3):
     return map_key_buckets(
         withh, "o_custkey", pick, sort_by=["o_custkey", "_h", "o_orderkey"]
     )
+
+
+def split_contamination(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
+    """Cross-split leakage audit: how many val/test documents share exact
+    content (sha256) with ANY train document — the check every training
+    corpus needs after splitting, since hash-splits are by doc_id while
+    duplicates share text across ids.
+
+    Scale shape: the train-side sha set is ~80% of the corpus, so it is
+    NEVER broadcast. Instead both sides co-locate by sha-prefix bucket
+    (one shuffle, B groups); inside each bucket a vectorized ``isin``
+    marks eval docs whose sha appears among the bucket's train shas, and
+    only ≤ 2·B partial count rows leave the shuffle (driver merges ~128
+    scalars). Composes ``split_assign``'s hash arithmetic with
+    ``dedup_exact``'s sha bucketing."""
+    from ..functions.hashing import sha256_hex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    lo, hi = train_pct, train_pct + val_pct
+
+    def narrow(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pct = knuth_hash(did) % 100
+        split = np.where(pct < lo, "train", np.where(pct < hi, "val", "test"))
+        sha = [sha256_hex(v) for v in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "sha": pa.array(sha, pa.string()),
+                "split": pa.array(split),
+                "_bucket": pa.array(
+                    np.fromiter(
+                        (int(s[:8], 16) % N_KEY_BUCKETS for s in sha),
+                        dtype=np.int64,
+                        count=len(sha),
+                    )
+                ),
+            }
+        )
+
+    def audit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["split"] != "train"]
+        if ev.empty:
+            return pd.DataFrame(
+                {
+                    "split": pd.Series([], dtype=object),
+                    "n_docs": pd.Series([], dtype="int64"),
+                    "n_contaminated": pd.Series([], dtype="int64"),
+                }
+            )
+        hit = ev["sha"].isin(set(g.loc[g["split"] == "train", "sha"])).to_numpy()
+        return (
+            pd.DataFrame({"split": ev["split"].to_numpy(), "hit": hit})
+            .groupby("split", sort=False)
+            .agg(n_docs=("hit", "size"), n_contaminated=("hit", "sum"))
+            .reset_index()
+        )
+
+    parts = (
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(audit_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ 2·B tiny partial rows
+    )
+    out = (
+        parts.groupby("split", sort=False)[["n_docs", "n_contaminated"]]
+        .sum()
+        .reset_index()
+        .sort_values("split")
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_contaminated"] = out["n_contaminated"].astype(np.int64)
+    return out

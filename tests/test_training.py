@@ -76,3 +76,35 @@ def test_sample_per_customer_bounded_and_deterministic(ray_session):
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_split_contamination_detects_planted_dups(ray_session, tmp_path):
+    """sf0.001 has no exact dups (the oracle-parity pair pins the zero
+    case); here we PLANT cross-split duplicates and check they are counted
+    — and that train-train dups are NOT."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # find ids per split under the same hash arithmetic
+    ids = np.arange(3000, dtype=np.int64)
+    pct = tr.knuth_hash(ids) % 100
+    train_ids = ids[pct < 80]
+    val_ids = ids[(pct >= 80) & (pct < 90)]
+    test_ids = ids[pct >= 90]
+
+    rows = [{"doc_id": int(i), "text": f"unique text {i}"} for i in ids]
+    by_id = {r["doc_id"]: r for r in rows}
+    # 3 val docs and 2 test docs copy a train doc's text; 2 train docs
+    # duplicate each other (must not count)
+    for v, t in zip(val_ids[:3], train_ids[:3]):
+        by_id[int(v)]["text"] = by_id[int(t)]["text"]
+    for x, t in zip(test_ids[:2], train_ids[3:5]):
+        by_id[int(x)]["text"] = by_id[int(t)]["text"]
+    by_id[int(train_ids[6])]["text"] = by_id[int(train_ids[7])]["text"]
+    pq.write_table(pa.Table.from_pylist(rows), tmp_path / "documents.parquet")
+
+    out = _df(tr.split_contamination(str(tmp_path))).set_index("split")
+    assert int(out.loc["val", "n_contaminated"]) == 3
+    assert int(out.loc["test", "n_contaminated"]) == 2
+    assert int(out.loc["val", "n_docs"]) == len(val_ids)
+    assert int(out.loc["test", "n_docs"]) == len(test_ids)
