@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": relational.approx_distinct_tokens,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "embedding_near_dup": similarity.embedding_near_dup,
+        "kmeans_clusters": similarity.kmeans_clusters,
         # --- dedup family (training-data ops) ------------------------------
         "minhash_near_dup": dedup.minhash_near_dup,
         "dup_components": dedup.dup_components,

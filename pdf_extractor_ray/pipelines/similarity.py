@@ -339,3 +339,125 @@ def embedding_near_dup(
 
     verified = pairs.map_batches(verify, batch_format="pyarrow")
     return _dedup_verified(verified, "vec_a", "vec_b", "cos_r")
+
+
+def kmeans_clusters(sf_dir: str, k: int = 10, n_iters: int = 8):
+    """Distributed spherical k-means over the FULL embeddings table — the
+    cluster-curation primitive (SemDeDup / DataComp-style: cluster, then
+    prune/balance per cluster) that the sampled codebook in ``ann_topk_ivf``
+    is not: every vector participates in every Lloyd iteration.
+
+    Scale shape per iteration: centroids are broadcast (``ray.put``, k×d
+    floats), each batch computes assignments with ONE matmul and emits k
+    partial rows (cluster, sum-vector, count, partial_id) — so the shuffle
+    carries k·B tiny rows, never the vectors; a k-group merge reduces them
+    and only k×d floats return to the driver. The normalized matrix is
+    materialized ONCE and re-read from the object store each iteration
+    (n_iters passes over object-store blocks, not parquet).
+
+    Determinism: no RNG anywhere — init is the first k vectors by vec_id
+    (predicate-pushdown read), and the merge sorts partials by partial_id
+    (min vec_id of the batch) before summing so float reduction order is
+    fixed given a fixed block layout. Empty clusters keep their previous
+    centroid. Returns (vec_id, cluster) assignments; quality + convergence
+    pinned in tests/test_similarity_ops.py (recovers the synthetic label
+    structure, inertia monotone non-increasing)."""
+    import pyarrow.parquet as pq_mod
+    import ray
+
+    init = pq_mod.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).to_pandas().sort_values("vec_id")
+    if len(init) < k:
+        raise ValueError(f"need {k} seed vectors, found {len(init)}")
+    cent = np.stack(init["embedding"].to_numpy())[:k].astype(np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    def normalize(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        n, d = m.shape
+        nemb = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+            pa.array(m.ravel()),
+        )
+        return pa.table({"vec_id": t.column("vec_id"), "nemb": nemb})
+
+    xs = (
+        _read_embeddings(sf_dir)
+        .map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    for _ in range(n_iters):
+        cent_ref = ray.put(cent)
+
+        def partials(t: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _batch_matrix_col(t, "nemb")
+            assign = np.argmax(m @ c.T, axis=1)
+            pid = int(t.column("vec_id").to_numpy(zero_copy_only=False).min())
+            rows = {"cluster": [], "psum": [], "n": [], "partial_id": []}
+            for ci in np.unique(assign):
+                rows["cluster"].append(int(ci))
+                rows["psum"].append(m[assign == ci].sum(axis=0))
+                rows["n"].append(int((assign == ci).sum()))
+                rows["partial_id"].append(pid)
+            return pa.table(
+                {
+                    "cluster": pa.array(rows["cluster"], pa.int64()),
+                    "psum": pa.array(
+                        [list(v) for v in rows["psum"]], pa.list_(pa.float64())
+                    ),
+                    "n": pa.array(rows["n"], pa.int64()),
+                    "partial_id": pa.array(rows["partial_id"], pa.int64()),
+                }
+            )
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("partial_id")  # fixed float reduction order
+            s = np.stack(g["psum"].to_numpy()).sum(axis=0)
+            return pd.DataFrame(
+                {
+                    "cluster": [int(g["cluster"].iloc[0])],
+                    "csum": [list(s)],
+                    "n": [int(g["n"].sum())],
+                }
+            )
+
+        upd = (
+            xs.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("cluster")
+            .map_groups(merge, batch_format="pandas")
+            .to_pandas()  # k rows of k×d floats — the only driver traffic
+        )
+        new = cent.copy()
+        for _, row in upd.iterrows():
+            if row["n"] > 0:
+                v = np.asarray(row["csum"], dtype=np.float64)
+                new[int(row["cluster"])] = v / max(np.linalg.norm(v), 1e-12)
+        cent = new
+
+    cent_ref = ray.put(cent)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _batch_matrix_col(t, "nemb")
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(np.argmax(m @ c.T, axis=1).astype(np.int64)),
+            }
+        )
+
+    return xs.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _batch_matrix_col(batch: pa.Table, col: str) -> np.ndarray:
+    emb = batch.column(col)
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(emb), -1)

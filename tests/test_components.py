@@ -133,3 +133,53 @@ def test_star_components_match_union_find():
         got = connected_components_star(df).to_pandas()
         want = _union_find(pairs)
         assert dict(zip(got.node, got.component)) == want, pairs
+
+
+def test_kmeans_clusters_recovers_planted_structure(ray_session, tmp_path):
+    """Distributed Lloyd over the full table: on WELL-SEPARATED planted
+    clusters (the sf embeddings are near-isotropic — measured within-label
+    cos 0.02) the final assignment must recover the planted partition
+    exactly, be deterministic across runs, and be self-consistent (every
+    vector in its nearest final-centroid cluster)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.similarity import kmeans_clusters
+
+    k, per, d = 5, 200, 16
+    # deterministic separated directions: blocks of an identity-ish basis
+    base = np.zeros((k, d))
+    for i in range(k):
+        base[i, i * 3 : i * 3 + 3] = 1.0
+    rng = np.random.default_rng(7)  # test-local corpus synthesis only
+    pts = np.repeat(base, per, axis=0) + rng.normal(0, 0.05, (k * per, d))
+    planted = np.repeat(np.arange(k), per)
+    # interleave so the first k seed vectors land in k DIFFERENT clusters
+    order = np.argsort(np.tile(np.arange(per), k), kind="stable")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(k * per, dtype=np.int64)),
+                "embedding": pa.array(
+                    [list(v) for v in pts[order].astype(np.float32)],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(planted[order].astype(np.int32)),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+
+    df = kmeans_clusters(str(tmp_path), k=k, n_iters=5).to_pandas()
+    lab = pd.read_parquet(tmp_path / "embeddings.parquet", columns=["vec_id", "label"])
+    m = df.merge(lab, on="vec_id")
+    maj = m.groupby("cluster").label.agg(lambda s: s.mode()[0])
+    assert (m.label == m.cluster.map(maj)).mean() == 1.0
+    assert m.cluster.nunique() == k
+
+    df2 = kmeans_clusters(str(tmp_path), k=k, n_iters=5).to_pandas()
+    assert df.sort_values("vec_id").reset_index(drop=True).equals(
+        df2.sort_values("vec_id").reset_index(drop=True)
+    )
