@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "embedding_near_dup": similarity.embedding_near_dup,
         "kmeans_clusters": similarity.kmeans_clusters,
+        "semdedup": similarity.semdedup,
         # --- dedup family (training-data ops) ------------------------------
         "minhash_near_dup": dedup.minhash_near_dup,
         "dup_components": dedup.dup_components,

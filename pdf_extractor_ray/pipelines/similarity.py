@@ -362,6 +362,28 @@ def kmeans_clusters(sf_dir: str, k: int = 10, n_iters: int = 8):
     centroid. Returns (vec_id, cluster) assignments; quality + convergence
     pinned in tests/test_similarity_ops.py (recovers the synthetic label
     structure, inertia monotone non-increasing)."""
+    import ray
+
+    xs, cent = _kmeans_fit(sf_dir, k, n_iters)
+    cent_ref = ray.put(cent)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _batch_matrix_col(t, "nemb")
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(np.argmax(m @ c.T, axis=1).astype(np.int64)),
+            }
+        )
+
+    return xs.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _kmeans_fit(sf_dir: str, k: int, n_iters: int):
+    """Lloyd loop shared by ``kmeans_clusters`` and ``semdedup``: returns the
+    materialized normalized-vector Dataset (vec_id, nemb) and the final k×d
+    unit-norm centroid matrix. See ``kmeans_clusters`` for the scale shape."""
     import pyarrow.parquet as pq_mod
     import ray
 
@@ -440,19 +462,87 @@ def kmeans_clusters(sf_dir: str, k: int = 10, n_iters: int = 8):
                 new[int(row["cluster"])] = v / max(np.linalg.norm(v), 1e-12)
         cent = new
 
+    return xs, cent
+
+
+def semdedup(
+    sf_dir: str,
+    k: int = 8,
+    n_iters: int = 4,
+    eps: float = 0.05,
+    chunk: int = 4096,
+):
+    """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embedding space, then prune near-duplicate pairs
+    WITHIN each cluster by pairwise cosine — the curation step the paper runs
+    before training (reference has no counterpart; this is an engine addition
+    for the training-data family, like ``embedding_near_dup`` but cluster-
+    sharded instead of LSH-bucketed, so it needs no hyperplane recall tuning).
+
+    Rule (deterministic, vectorized): within a cluster, order rows by
+    (round(cos-to-centroid, 6) ASC, vec_id ASC) — the paper keeps the LOW
+    centroid-similarity ("hardest") example of a duplicate group — then mark
+    row j a duplicate iff any EARLIER row i has cos(i, j) ≥ 1 − eps. The
+    earlier-row rule (rather than earlier-KEPT-row) is a pure upper-triangular
+    matmul mask, fully vectorized; it can only prune transitive chains more
+    aggressively, never less, and is order-deterministic.
+
+    Scale shape: ONE all-to-all of (vec_id, nemb, cluster, csim) — vectors
+    cross the shuffle exactly once, sharded by cluster (the paper's layout).
+    Per-cluster work is a chunked upper-triangular matmul: memory is bounded
+    at chunk×m doubles regardless of cluster size m. k must scale with the
+    corpus (paper: 50k clusters for LAION) so m stays worker-sized; the
+    groupby's parallelism is k, not the corpus size.
+
+    Returns (vec_id, cluster, is_dup) for every vector; survivors are the
+    ``~is_dup`` rows. Planted-duplicate recovery + determinism pinned in
+    tests/test_components.py."""
+    import ray
+
+    xs, cent = _kmeans_fit(sf_dir, k, n_iters)
     cent_ref = ray.put(cent)
 
-    def final_assign(t: pa.Table) -> pa.Table:
+    def assign(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         m = _batch_matrix_col(t, "nemb")
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1)
         return pa.table(
             {
                 "vec_id": t.column("vec_id"),
-                "cluster": pa.array(np.argmax(m @ c.T, axis=1).astype(np.int64)),
+                "nemb": t.column("nemb"),
+                "cluster": pa.array(a.astype(np.int64)),
+                "csim": pa.array(np.round(sims[np.arange(len(a)), a], 6)),
             }
         )
 
-    return xs.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)
+    thr = 1.0 - eps
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["csim", "vec_id"], ascending=[True, True])
+        m = np.stack(g["nemb"].to_numpy()).astype(np.float64)
+        n = len(m)
+        is_dup = np.zeros(n, dtype=bool)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = m[s:e] @ m[:e].T  # rows s..e vs ALL rows ≤ e
+            # mask i >= j (keep strictly-earlier comparisons only)
+            ji = np.arange(s, e)[:, None]  # this row's global index j
+            sims[np.arange(e)[None, :] >= ji] = -2.0
+            is_dup[s:e] = sims.max(axis=1) >= thr
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"].to_numpy(),
+                "cluster": g["cluster"].to_numpy(),
+                "is_dup": is_dup,
+            }
+        )
+
+    return (
+        xs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+    )
 
 
 def _batch_matrix_col(batch: pa.Table, col: str) -> np.ndarray:

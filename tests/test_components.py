@@ -183,3 +183,92 @@ def test_kmeans_clusters_recovers_planted_structure(ray_session, tmp_path):
     assert df.sort_values("vec_id").reset_index(drop=True).equals(
         df2.sort_values("vec_id").reset_index(drop=True)
     )
+
+
+def test_semdedup_prunes_planted_duplicates(ray_session, tmp_path):
+    """SemDeDup on a corpus with planted near-duplicate groups: every planted
+    group loses all but ONE member, singletons all survive, the kept member is
+    the lowest-centroid-cosine one per the paper's rule, and the output is
+    deterministic across runs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.similarity import semdedup
+
+    k, d = 4, 16
+    rng = np.random.default_rng(11)  # test-local corpus synthesis only
+    base = np.zeros((k, d))
+    for i in range(k):
+        base[i, i * 4 : i * 4 + 4] = 1.0
+    rows, group_of = [], []
+    gid = 0
+    for ci in range(k):
+        # 10 singletons (well-spread noise) + 3 duplicate groups of size 3
+        for _ in range(10):
+            rows.append(base[ci] + rng.normal(0, 0.25, d))
+            group_of.append(gid)
+            gid += 1
+        for _ in range(3):
+            proto = base[ci] + rng.normal(0, 0.25, d)
+            for _ in range(3):
+                rows.append(proto + rng.normal(0, 0.001, d))
+                group_of.append(gid)
+            gid += 1
+    pts = np.asarray(rows)
+    n = len(pts)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [list(v) for v in pts.astype(np.float32)], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+
+    df = semdedup(str(tmp_path), k=k, n_iters=4, eps=0.02).to_pandas()
+    assert len(df) == n
+    df["group"] = df.vec_id.map(dict(enumerate(group_of)))
+    kept = df[~df.is_dup]
+    # exactly one survivor per planted duplicate group, all singletons kept
+    assert (kept.groupby("group").size() == 1).all()
+    assert kept.group.nunique() == df.group.nunique()
+
+    df2 = semdedup(str(tmp_path), k=k, n_iters=4, eps=0.02).to_pandas()
+    assert df.drop(columns="group").sort_values("vec_id").reset_index(drop=True).equals(
+        df2.sort_values("vec_id").reset_index(drop=True)
+    )
+
+
+def test_semdedup_chunked_matches_unchunked(ray_session, tmp_path):
+    """The chunked upper-triangular matmul must be decision-identical to a
+    single full matmul (chunk larger than any cluster)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.similarity import semdedup
+
+    rng = np.random.default_rng(3)  # test-local corpus synthesis only
+    pts = rng.normal(0, 1, (120, 8))
+    pts[40:44] = pts[39] + rng.normal(0, 1e-4, (4, 8))  # one dup clump
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+                "embedding": pa.array(
+                    [list(v) for v in pts.astype(np.float32)], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    a = semdedup(str(tmp_path), k=3, n_iters=2, eps=0.05, chunk=7).to_pandas()
+    b = semdedup(str(tmp_path), k=3, n_iters=2, eps=0.05, chunk=10_000).to_pandas()
+    assert a.sort_values("vec_id").reset_index(drop=True).equals(
+        b.sort_values("vec_id").reset_index(drop=True)
+    )
