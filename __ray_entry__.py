@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         enrich,
         normalize,
         relational,
+        search,
         similarity,
         textops,
         training,
@@ -93,6 +94,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": textops.media_features,
         # exact heavy hitters via mergeable MG summaries + verify pass (r3)
         "heavy_hitter_tokens": relational.heavy_hitter_tokens,
+        # IR / keyword-search family (r3): ranked retrieval over documents
+        "tfidf_top_terms": search.tfidf_top_terms,
+        "bm25_search": search.bm25_search,
+        "inverted_index": search.inverted_index,
         # --- twice-graded representatives (one per §2 family) --------------
         "pricing_summary": relational.pricing_summary,
         "counts_by_source": relational.counts_by_source,
@@ -113,10 +118,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_keys": relational.semi_join_keys,
         "anti_join_keys": relational.anti_join_keys,
         "fuzzy_topic_join": enrich.fuzzy_topic_join,
+        # ==== driver-graded prefix boundary (first 50 end here) ============
         "fuzzy_edit_join": enrich.fuzzy_edit_join,
         "asof_join_last_signup": enrich.asof_join_last_signup,
         "classify_three_pass": enrich.classify_three_pass,
-        # ==== driver-graded prefix boundary (first 50 end here) ============
         # --- training-data export family (new r3; oracle-paired, verified
         #     hash-exact at both scales locally like everything below) ------
         "token_budget_shards": training.token_budget_shards,
@@ -588,6 +593,50 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING COUNT(*) > 0.002 * tot.n
+        """,
+        # IR / search family (r3): tokenization = string_split(text, ' ')
+        # matching pc.split_pattern; scores ROUND(·, 6) BEFORE ranking on
+        # both sides so ordering ties resolve identically
+        "tfidf_top_terms": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+            ),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.token,
+                         ROUND(tf.tf * LN(n.n / df.df), 6) AS tfidf
+                  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+            SELECT doc_id, token, tfidf FROM (
+              SELECT s.*, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM s
+            ) t WHERE rn <= 5
+        """,
+        "bm25_search": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+            dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM d),
+            st AS (SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+            tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+                   WHERE token IN ('spark', 'window', 'join') GROUP BY 1, 2),
+            df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+            sc AS (SELECT tf.doc_id,
+                     SUM( LN((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+                   FROM tf JOIN df ON tf.token = df.token
+                        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+                   GROUP BY 1)
+            SELECT doc_id, ROUND(s, 6) AS score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "inverted_index": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+            ), dt AS (SELECT DISTINCT doc_id, token FROM tok)
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM dt GROUP BY token HAVING COUNT(*) >= 2
         """,
         "explode_struct_items": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"

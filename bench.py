@@ -147,6 +147,11 @@ QUERY_PANEL = [
     "split_assign",
     "unigram_logprob_score",
     "approx_quantile_hist",
+    "tfidf_top_terms",
+    "bm25_search",
+    "inverted_index",
+    "kmeans_clusters",
+    "semdedup",
 ]
 
 
