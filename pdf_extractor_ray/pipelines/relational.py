@@ -1722,3 +1722,131 @@ def approx_quantile_hist(sf_dir: str, qs=(0.5, 0.9, 0.99), n_bins: int = 4096):
             }
         )
     return pd.DataFrame(rows)
+
+
+def ntile_by_group(sf_dir: str, n: int = 4):
+    """NTILE(n) per partition (SQL window): tile ids over orders partitioned
+    by customer, ordered by (totalprice, orderkey). Exact SQL semantics —
+    the first ``s mod n`` tiles get the extra row.
+
+    Scale shape: ``map_key_buckets`` (customers never become Ray groups);
+    within the bucket rank r and size s come from two vectorized pandas
+    transforms and the tile id is one closed-form numpy expression — no
+    per-key Python."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("o_custkey", sort=False)
+        r = grp.cumcount().to_numpy(dtype=np.int64)
+        s = grp["o_custkey"].transform("size").to_numpy(dtype=np.int64)
+        q, rem = s // n, s % n
+        cut = (q + 1) * rem  # rows covered by the (q+1)-sized leading tiles
+        tile = np.where(
+            r < cut,
+            r // np.maximum(q + 1, 1),
+            rem + (r - cut) // np.maximum(q, 1),
+        ) + 1
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"].to_numpy(), "tile": tile.astype(np.int64)}
+        )
+
+    return map_key_buckets(
+        ds, "o_custkey", tiles, sort_by=["o_custkey", "o_totalprice", "o_orderkey"]
+    )
+
+
+def rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority): all three granularities — (s, p),
+    (s, NULL), (NULL, NULL) — from ONE pass. The finest aggregate is the
+    only thing computed from data (per-batch partials → one tiny grouped
+    merge over ≤|s|×|p| keys); the coarser levels are derived from the
+    UNROUNDED finest sums driver-side (15 rows), summed in sorted key order
+    so float reduction is deterministic; every level rounds once at the
+    end."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]
+        )
+        # select by NAME — pyarrow puts aggregate columns before the keys
+        return pa.table(
+            {
+                "o_orderstatus": g.column("o_orderstatus"),
+                "o_orderpriority": g.column("o_orderpriority"),
+                "psum": g.column("o_totalprice_sum"),
+                "pn": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .sum(["psum", "pn"])
+        .to_pandas()
+        .rename(columns={"sum(psum)": "psum", "sum(pn)": "pn"})
+        .sort_values(["o_orderstatus", "o_orderpriority"], kind="stable")
+    )
+    lvl2 = pd.DataFrame(
+        {
+            "o_orderstatus": fine["o_orderstatus"],
+            "o_orderpriority": fine["o_orderpriority"],
+            "n": fine["pn"],
+            "_sum": fine["psum"],
+        }
+    )
+    by_s = fine.groupby("o_orderstatus", sort=True).agg(
+        pn=("pn", "sum"), psum=("psum", "sum")
+    )
+    lvl1 = pd.DataFrame(
+        {
+            "o_orderstatus": by_s.index.to_numpy(),
+            "o_orderpriority": None,
+            "n": by_s["pn"].to_numpy(),
+            "_sum": by_s["psum"].to_numpy(),
+        }
+    )
+    lvl0 = pd.DataFrame(
+        {
+            "o_orderstatus": [None],
+            "o_orderpriority": [None],
+            "n": [int(fine["pn"].sum())],
+            "_sum": [float(by_s["psum"].sum())],
+        }
+    )
+    out = pd.concat([lvl2, lvl1, lvl0], ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_price"] = np.round(out.pop("_sum").to_numpy(dtype=np.float64), 2)
+    return out
+
+
+def zscore_by_group(sf_dir: str):
+    """Per-group z-score normalization (feature standardization for training
+    data): (x − μ_g)/σ_g with the small per-group stats computed ONCE and
+    broadcast into a stateless scoring pass — no corpus shuffle at all (the
+    small-side-broadcast join shape)."""
+    from ray.data.aggregate import Mean, Std
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"])
+    stats = ds.groupby("l_returnflag").aggregate(
+        Mean("l_extendedprice", alias_name="mu"),
+        Std("l_extendedprice", alias_name="sd", ddof=1),
+    ).to_pandas()  # |flags| rows — driver scalars, UNROUNDED for the z calc
+    mu = dict(zip(stats["l_returnflag"], stats["mu"]))
+    sd = dict(zip(stats["l_returnflag"], stats["sd"]))
+
+    def score(t: pa.Table) -> pa.Table:
+        f = t.column("l_returnflag").to_pandas()
+        x = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        z = (x - f.map(mu).to_numpy(dtype=np.float64)) / f.map(sd).to_numpy(
+            dtype=np.float64
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "z": pa.array(np.round(z, 4)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -257,3 +257,80 @@ def inverted_index(sf_dir: str, min_df: int = 2, n_buckets: int = 64):
         )
 
     return tf.groupby("bucket").map_groups(build, batch_format="pandas")
+
+
+def dup_ngram_spans(sf_dir: str, n: int = 4, n_buckets: int = 64):
+    """Cross-document duplicate n-token spans — the fixed-length primitive of
+    exact-substring dedup (Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better" builds the suffix array for ALL lengths;
+    fixed n makes the op a shuffle-count, no suffix array needed). Returns
+    (span, n_docs) for every n-token span appearing in more than one
+    distinct document.
+
+    Scale shape: spans are built batch-complete (a doc's token positions
+    never span batches — one vectorized object-concat over the flat token
+    buffer, doc-boundary positions masked via the list offsets) and
+    deduplicated per (doc, span) in-batch, so only distinct incidences
+    cross the ONE token-hash-bucket shuffle; the in-bucket distinct-doc
+    count is a vectorized groupby. At corpus scale, shuffle the 64-bit span
+    HASH instead of the text (collision-checked), as minhash does — the
+    string form here keeps the DuckDB oracle hash-exact."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def spans(t: pa.Table) -> pa.Table:
+        lists = split_ws(t.column("text"))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten().to_numpy(zero_copy_only=False)  # object array
+        offsets = lists.offsets.to_numpy(zero_copy_only=False)
+        offsets = offsets - offsets[0]
+        lens = np.diff(offsets)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(flat) < n:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "span": pa.array([], pa.string()),
+                }
+            )
+        joined = flat[: len(flat) - n + 1]
+        for j in range(1, n):
+            joined = joined + " " + flat[j : len(flat) - n + 1 + j]
+        # valid span starts: position within its doc ≤ len − n
+        starts = np.repeat(offsets[:-1], np.maximum(lens - n + 1, 0))
+        pos = (
+            np.arange(len(starts))
+            - np.repeat(
+                np.concatenate([[0], np.cumsum(np.maximum(lens - n + 1, 0))[:-1]]),
+                np.maximum(lens - n + 1, 0),
+            )
+        )
+        valid_idx = (starts + pos).astype(np.int64)
+        span_doc = np.repeat(ids, np.maximum(lens - n + 1, 0))
+        d = pd.DataFrame(
+            {"doc_id": span_doc, "span": joined[valid_idx]}
+        ).drop_duplicates()  # batch-complete per-(doc, span) distinct
+        return pa.table(
+            {
+                "bucket": pa.array(_token_bucket(d["span"], n_buckets)),
+                "doc_id": pa.array(d["doc_id"].to_numpy(dtype=np.int64)),
+                "span": pa.array(d["span"].to_numpy(), pa.string()),
+            }
+        )
+
+    def count_docs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("span", sort=False)["doc_id"].agg(n_docs="nunique")
+        agg = agg[agg["n_docs"] > 1]
+        return pd.DataFrame(
+            {
+                "span": agg.index.to_numpy(),
+                "n_docs": agg["n_docs"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(spans, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(count_docs, batch_format="pandas")
+    )
