@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": similarity.embedding_near_dup,
         "kmeans_clusters": similarity.kmeans_clusters,
         "semdedup": similarity.semdedup,
+        "cluster_balanced_sample": similarity.cluster_balanced_sample,
+        "dsir_weights": training.dsir_weights,
         # --- dedup family (training-data ops) ------------------------------
         "minhash_near_dup": dedup.minhash_near_dup,
         "dup_components": dedup.dup_components,

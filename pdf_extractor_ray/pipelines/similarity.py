@@ -551,3 +551,37 @@ def _batch_matrix_col(batch: pa.Table, col: str) -> np.ndarray:
         emb = emb.combine_chunks()
     flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(len(emb), -1)
+
+
+def cluster_balanced_sample(
+    sf_dir: str, k: int = 10, n_iters: int = 4, per_cluster: int = 20
+):
+    """Cluster-balanced deterministic sampling (the DataComp/SemDeDup
+    curation step after clustering): ≤ ``per_cluster`` vectors per k-means
+    cluster, chosen by splitmix64(vec_id) hash order — uniform-at-random in
+    distribution yet bit-reproducible, like ``sample_orders_per_customer``.
+
+    Scale shape: the per-cluster top-k runs inside cluster%B hash buckets
+    (``map_key_buckets`` — B groups through the shuffle even at 50k
+    clusters), within-bucket selection one vectorized sort +
+    groupby(cluster).head. Returns (vec_id, cluster)."""
+    from ..functions.sketches import splitmix64_vec
+    from .relational import map_key_buckets
+
+    assigns = kmeans_clusters(sf_dir, k=k, n_iters=n_iters)
+
+    def add_pri(t: pa.Table) -> pa.Table:
+        v = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("_pri", pa.array(splitmix64_vec(v)))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.groupby("cluster", sort=False).head(per_cluster)
+        return pd.DataFrame(
+            {
+                "vec_id": top["vec_id"].to_numpy(dtype=np.int64),
+                "cluster": top["cluster"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    withpri = assigns.map_batches(add_pri, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_buckets(withpri, "cluster", pick, sort_by=["cluster", "_pri", "vec_id"])

@@ -241,3 +241,110 @@ def split_contamination(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["n_contaminated"] = out["n_contaminated"].astype(np.int64)
     return out
+
+
+def _hashed_feats(t: pa.Table, n_feat: int):
+    """Hashed unigram+bigram bag-of-features per doc (DSIR's feature space):
+    returns (uni_ids, uni_offsets, bi_ids, bi_offsets) — two flat
+    feature-bucket arrays with per-doc segment offsets, fully vectorized
+    (fnv1a64 hashing — stable, no PYTHONHASHSEED dependence; scores are
+    additive so the segments never need interleaving)."""
+    from ..functions.sketches import fnv1a64_batch
+    from ..functions.tokens import split_ws
+
+    lists = split_ws(t.column("text"))
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    offsets = lists.offsets.to_numpy(zero_copy_only=False)
+    offsets = (offsets - offsets[0]).astype(np.int64)
+    lens = np.diff(offsets)
+    uni = fnv1a64_batch([s.encode("utf-8") for s in flat]) % np.uint64(n_feat)
+    # bigrams: adjacent pairs inside each doc (dup_ngram_spans n=2 shape)
+    n_bi = np.maximum(lens - 1, 0)
+    bi_off = np.concatenate([[0], np.cumsum(n_bi)]).astype(np.int64)
+    if len(flat) >= 2 and bi_off[-1] > 0:
+        joined = flat[:-1] + " " + flat[1:]
+        starts = np.repeat(offsets[:-1], n_bi)
+        pos = np.arange(int(n_bi.sum())) - np.repeat(bi_off[:-1], n_bi)
+        bi = fnv1a64_batch(
+            [s.encode("utf-8") for s in joined[(starts + pos).astype(np.int64)]]
+        ) % np.uint64(n_feat)
+    else:
+        bi = np.empty(0, dtype=np.uint64)
+    return uni, offsets, bi, bi_off
+
+
+def dsir_weights(sf_dir: str, n_feat: int = 8192, target_lang: str = "en"):
+    """DSIR data-selection importance weights (Xie et al. 2023,
+    arXiv:2302.03169): hashed-n-gram bag-of-features importance sampling —
+    log w(x) = Σ_b c_b(x) · log(p̂_tgt[b] / p̂_raw[b]), add-1 smoothing,
+    with the target distribution estimated from the ``target_lang`` slice
+    and the raw distribution from the rest. Returns (doc_id, log_weight)
+    rounded to 6 dp.
+
+    Scale shape: pass 1 emits ONE dense int64 count-vector row per (batch,
+    corpus) — integer partials, so the 2-group merge is order-exact; the
+    two n_feat-length vectors are the only driver traffic, and the smoothed
+    log-ratio table (n_feat floats) broadcasts into a stateless scoring
+    pass. Per-doc scores are an O(features) cumsum-segment sum — the
+    corpus never shuffles."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        uni, uo, bi, bo = _hashed_feats(t, n_feat)
+        is_tgt = pc.equal(t.column("lang"), target_lang).to_numpy(
+            zero_copy_only=False
+        )
+        uni_tgt = np.repeat(is_tgt, np.diff(uo))
+        bi_tgt = np.repeat(is_tgt, np.diff(bo))
+        feats_t = np.concatenate([uni[uni_tgt], bi[bi_tgt]]).astype(np.int64)
+        feats_r = np.concatenate([uni[~uni_tgt], bi[~bi_tgt]]).astype(np.int64)
+        tgt_counts = np.bincount(feats_t, minlength=n_feat)
+        raw_counts = np.bincount(feats_r, minlength=n_feat)
+        return pa.table(
+            {
+                "corpus": pa.array(["tgt", "raw"]),
+                "counts": pa.array(
+                    [tgt_counts.astype(np.int64), raw_counts.astype(np.int64)],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.stack(g["counts"].to_numpy()).sum(axis=0)  # ints — order-exact
+        return pd.DataFrame({"corpus": [g["corpus"].iloc[0]], "counts": [list(s)]})
+
+    totals = (
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("corpus")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    by = {r["corpus"]: np.asarray(r["counts"], dtype=np.float64) for _, r in totals.iterrows()}
+    tgt, raw = by["tgt"], by["raw"]
+    log_ratio = np.log((tgt + 1.0) / (tgt.sum() + n_feat)) - np.log(
+        (raw + 1.0) / (raw.sum() + n_feat)
+    )
+    lr_ref = ray.put(log_ratio)
+
+    def score(t: pa.Table) -> pa.Table:
+        lr = ray.get(lr_ref)
+        uni, uo, bi, bo = _hashed_feats(t, n_feat)
+
+        def seg_sum(ids, offs):
+            cum = np.concatenate([[0.0], np.cumsum(lr[ids.astype(np.int64)])])
+            return cum[offs[1:]] - cum[offs[:-1]]  # safe for empty segments
+
+        w = seg_sum(uni, uo) + seg_sum(bi, bo)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "log_weight": pa.array(np.round(w, 6)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

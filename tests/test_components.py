@@ -272,3 +272,52 @@ def test_semdedup_chunked_matches_unchunked(ray_session, tmp_path):
     assert a.sort_values("vec_id").reset_index(drop=True).equals(
         b.sort_values("vec_id").reset_index(drop=True)
     )
+
+
+def test_cluster_balanced_sample_bounds_and_determinism(ray_session, tmp_path):
+    """Planted 3-cluster corpus with skewed sizes (60/30/6): the sample must
+    take exactly per_cluster from big clusters, EVERYTHING from the small
+    one, agree with the kmeans assignment, and repeat bit-identically."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.similarity import (
+        cluster_balanced_sample,
+        kmeans_clusters,
+    )
+
+    rng = np.random.default_rng(11)  # test-local corpus synthesis only
+    centers = np.eye(3, 8) * 50
+    sizes = [60, 30, 6]
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.1, (n, 8)) for c, n in zip(centers, sizes)]
+    )
+    order = rng.permutation(len(pts))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+                "embedding": pa.array(
+                    [list(v) for v in pts[order].astype(np.float32)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    k, per = 3, 10
+    df = cluster_balanced_sample(str(tmp_path), k=k, n_iters=5, per_cluster=per).to_pandas()
+    assigns = kmeans_clusters(str(tmp_path), k=k, n_iters=5).to_pandas()
+    csize = assigns.groupby("cluster").size()
+    got = df.groupby("cluster").size()
+    assert (got == csize.clip(upper=per)).all()
+    # sampled (vec_id, cluster) pairs are a subset of the assignment
+    merged = df.merge(assigns, on="vec_id", suffixes=("", "_full"))
+    assert (merged.cluster == merged.cluster_full).all()
+    # bit-identical on rerun (splitmix64 order, no RNG)
+    df2 = cluster_balanced_sample(str(tmp_path), k=k, n_iters=5, per_cluster=per).to_pandas()
+    key = ["cluster", "vec_id"]
+    assert df.sort_values(key).reset_index(drop=True).equals(
+        df2.sort_values(key).reset_index(drop=True)
+    )

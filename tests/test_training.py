@@ -108,3 +108,71 @@ def test_split_contamination_detects_planted_dups(ray_session, tmp_path):
     assert int(out.loc["test", "n_contaminated"]) == 2
     assert int(out.loc["val", "n_docs"]) == len(val_ids)
     assert int(out.loc["test", "n_docs"]) == len(test_ids)
+
+
+def test_dsir_weights_formula_exact(ray_session, tmp_path):
+    """Pin the full DSIR scoring path against an independent per-doc Python
+    reimplementation (Counter over hashed uni+bigrams, add-1 smoothed
+    log-ratio) on a controlled corpus — exercises segment sums, the
+    tgt/raw count split, and the bigram index arithmetic."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.functions.hashing import fnv1a64
+
+    texts = [
+        ("the quick brown fox", "en"),
+        ("the quick red fox jumps", "en"),
+        ("le renard brun rapide", "fr"),
+        ("der schnelle braune fuchs", "de"),
+        ("the fox", "en"),
+        ("", "fr"),  # splits to one empty token (string_split semantics)
+        ("single", "de"),  # 1 token → no bigrams
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"doc_id": i, "text": t, "lang": lang}
+                for i, (t, lang) in enumerate(texts)
+            ]
+        ),
+        tmp_path / "documents.parquet",
+    )
+    n_feat = 64
+
+    def feats(text):
+        toks = text.split(" ")  # split_ws == DuckDB string_split: "" → [""]
+        grams = toks + [" ".join(p) for p in zip(toks, toks[1:])]
+        return [fnv1a64(g.encode()) % n_feat for g in grams]
+
+    tgt = collections.Counter()
+    raw = collections.Counter()
+    for t, lang in texts:
+        (tgt if lang == "en" else raw).update(feats(t))
+    lr = {
+        b: np.log((tgt[b] + 1) / (sum(tgt.values()) + n_feat))
+        - np.log((raw[b] + 1) / (sum(raw.values()) + n_feat))
+        for b in range(n_feat)
+    }
+    expect = [np.round(sum(lr[b] for b in feats(t)), 6) for t, _ in texts]
+
+    got = (
+        _df(tr.dsir_weights(str(tmp_path), n_feat=n_feat))
+        .sort_values("doc_id")
+        .log_weight.to_numpy()
+    )
+    assert np.allclose(got, expect, atol=1e-9)
+
+
+def test_dsir_weights_ranks_target_lang(ray_session):
+    """On the real sf corpus, target-language docs must score strictly
+    higher in aggregate than every other language, and two runs must be
+    bit-identical (integer count partials — merge order can't matter)."""
+    a = _df(tr.dsir_weights(SF)).sort_values("doc_id").reset_index(drop=True)
+    b = _df(tr.dsir_weights(SF)).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    by_lang = a.merge(docs, on="doc_id").groupby("lang").log_weight.mean()
+    assert (by_lang.drop("en") < by_lang["en"]).all()
