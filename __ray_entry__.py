@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-distribution scoring (new r3)
         "unigram_logprob_score": textops.unigram_logprob_score,
         "split_contamination": training.split_contamination,
+        "repetition_signals": textops.repetition_signals,
+        "pack_sequences": training.pack_sequences,
         # --- twice-graded remainder (still tested at both scales locally) --
         "tumbling_window_agg": relational.tumbling_window_agg,
         "part_brand_stats": relational.part_brand_stats,
@@ -167,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": similarity.semdedup,
         "cluster_balanced_sample": similarity.cluster_balanced_sample,
         "dsir_weights": training.dsir_weights,
+        "source_minhash_similarity": dedup.source_minhash_similarity,
         # --- dedup family (training-data ops) ------------------------------
         "minhash_near_dup": dedup.minhash_near_dup,
         "dup_components": dedup.dup_components,
@@ -589,6 +592,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN sha256(text) IN (SELECT sha FROM tr)
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
             FROM s WHERE split <> 'train' GROUP BY split
+        """,
+        # concat-and-chunk sequence packing: all-integer window cumsum +
+        # lateral generate_series explode (mirrors pack_sequences exactly)
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+            ), c AS (
+              SELECT doc_id, n,
+                     CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS strt
+              FROM t
+            )
+            SELECT doc_id, CAST(s AS BIGINT) AS seq_id,
+                   CAST(GREATEST(s * 256, strt) - strt AS BIGINT) AS frag_start,
+                   CAST(LEAST((s + 1) * 256, strt + n)
+                        - GREATEST(s * 256, strt) AS BIGINT) AS frag_len
+            FROM c, UNNEST(generate_series(strt // 256, (strt + n - 1) // 256)) AS u(s)
+        """,
+        # Gopher repetition signals: top-2-gram and duplicated-3-gram char
+        # fractions; both sides round half-away (the tie case is real here —
+        # see repetition_signals docstring)
+        "repetition_signals": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts, length(text) AS nch
+              FROM documents
+            ),
+            g2 AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+                     i -> ts[i] || ' ' || ts[i+1])) AS g
+              FROM toks
+            ),
+            c2 AS (
+              SELECT doc_id, MAX(cnt * gl) AS topchars FROM (
+                SELECT doc_id, g, COUNT(*) AS cnt, LENGTH(g) AS gl
+                FROM g2 GROUP BY doc_id, g
+              ) GROUP BY doc_id
+            ),
+            g3 AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+              FROM toks
+            ),
+            c3 AS (
+              SELECT doc_id, SUM(cnt * gl) AS dupchars FROM (
+                SELECT doc_id, g, COUNT(*) AS cnt, LENGTH(g) AS gl
+                FROM g3 GROUP BY doc_id, g
+              ) WHERE cnt > 1 GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   ROUND(COALESCE(c2.topchars, 0) / GREATEST(t.nch, 1), 6) AS top_gram_frac,
+                   ROUND(COALESCE(c3.dupchars, 0) / GREATEST(t.nch, 1), 6) AS dup_gram_frac
+            FROM toks t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
         """,
         # the verify pass makes the MG-sketched result exact; DOUBLE cast so
         # both sides compare count > φ·N in identical float64 arithmetic

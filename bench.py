@@ -152,6 +152,9 @@ QUERY_PANEL = [
     "inverted_index",
     "kmeans_clusters",
     "semdedup",
+    "dup_ngram_spans",
+    "dsir_weights",
+    "repetition_signals",
 ]
 
 

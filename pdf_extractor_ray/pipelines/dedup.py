@@ -1108,3 +1108,61 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9, max_candidates: int
         threshold,
     )
     return _dedup_verified(verified, "doc_a", "doc_b", "jaccard_r")
+
+
+def source_minhash_similarity(sf_dir: str, num_perm: int = 128, shingle_k: int = 3):
+    """Pairwise corpus-slice similarity via MERGEABLE MinHash sketches: one
+    signature per `source`, built as the elementwise MIN of its documents'
+    signatures (min-merge == signature of the shingle-set UNION), then
+    estimated Jaccard = fraction of agreeing slots for every source pair.
+    The corpus-overlap audit you run before mixing data sources.
+
+    Scale shape: per batch ONE partial signature row per source present
+    (vectorized reduceat sketch + per-source np.min) — the corpus never
+    shuffles; the merge sees |sources| groups; |sources| signature rows
+    (num_perm ints each) reach the driver for the closed-form pair table.
+    Estimator s.e. ≈ 1/√num_perm. Returns (source_a, source_b, est_jaccard)
+    with source_a < source_b."""
+    from ..functions.sketches import MinHasher, doc_shingle_hashes_batch
+
+    ds = _read_docs(sf_dir, ("source", "text"))
+    mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        concat, offsets = doc_shingle_hashes_batch(texts, shingle_k)
+        sigs = mh.signatures_from_concat(concat, offsets)  # (n, num_perm), < 2^31
+        src = pd.Series(t.column("source").to_pylist())
+        rows, out = [], []
+        for s, idx in src.groupby(src).groups.items():
+            rows.append(s)
+            out.append(sigs[np.asarray(idx)].min(axis=0).astype(np.int64))
+        return pa.table(
+            {
+                "source": pa.array(rows, pa.string()),
+                "sig": pa.array([o.tolist() for o in out], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.min(np.stack([np.asarray(s, dtype=np.int64) for s in g["sig"]]), axis=0)
+        return pd.DataFrame({"source": [g["source"].iloc[0]], "sig": [m.tolist()]})
+
+    final = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values("source")
+    )
+    names = final["source"].to_numpy()
+    mat = np.stack([np.asarray(s, dtype=np.int64) for s in final["sig"]])
+    ia, ib = np.triu_indices(len(names), k=1)
+    est = (mat[ia] == mat[ib]).mean(axis=1)
+    return pa.table(
+        {
+            "source_a": pa.array(names[ia], pa.string()),
+            "source_b": pa.array(names[ib], pa.string()),
+            "est_jaccard": pa.array(np.round(est, 6)),
+        }
+    )

@@ -567,3 +567,93 @@ def unigram_logprob_score(sf_dir: str, phi: float = 0.001):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_signals(sf_dir: str, n_top: int = 2, n_dup: int = 3):
+    """Gopher repetition filters (Rae et al. 2021, arXiv:2112.11446 §A1.1,
+    reference quality-rule analogue of utils.py's validity checks): per
+    document, (a) the fraction of characters covered by the single most
+    frequent ``n_top``-gram and (b) the fraction of characters covered by
+    all ``n_dup``-grams that occur more than once. Char coverage of a gram
+    = occurrences × len(gram); overlaps are counted per occurrence (the
+    fraction may exceed 1 on degenerate text — thresholds, not a measure).
+    Gopher uses n_dup of 5–10 on web pages; the default here is 3 because
+    the synthetic corpus' docs are shorter than real web text (n=5 repeats
+    in zero sf docs — the constructed-input unit test pins the long-n
+    path).
+
+    Rounding: char counts divided by a power-of-two length yield EXACT
+    .5e-6 ties, where np.round (banker's) and DuckDB ROUND (half away from
+    zero) disagree — the one op in the repo where the tie case is real, so
+    both fractions round half-away via floor(x·1e6 + 0.5) to match the
+    oracle bit-for-bit.
+
+    Scale shape: entirely batch-local — n-grams are built vectorized over
+    the flat token buffer (the ``dup_ngram_spans`` shape), counted with one
+    pandas groupby per batch, and reduced per doc; NOTHING shuffles. This
+    is the ideal 100 TB op: embarrassingly parallel, output one narrow row
+    per doc."""
+    import pandas as pd
+
+    from ..functions.tokens import split_ws
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def grams_counts(flat, offsets, lens, ids, n):
+        """Per-(doc, n-gram) occurrence counts + gram char lengths."""
+        m = np.maximum(lens - n + 1, 0)
+        if len(flat) < n or int(m.sum()) == 0:
+            return None
+        joined = flat[: len(flat) - n + 1]
+        for j in range(1, n):
+            joined = joined + " " + flat[j : len(flat) - n + 1 + j]
+        starts = np.repeat(offsets[:-1], m)
+        pos = np.arange(int(m.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(m)[:-1]]), m
+        )
+        valid_idx = (starts + pos).astype(np.int64)
+        d = pd.DataFrame(
+            {"doc_id": np.repeat(ids, m), "g": joined[valid_idx]}
+        )
+        c = d.groupby(["doc_id", "g"], sort=False).size().reset_index(name="c")
+        c["chars"] = c["c"].to_numpy() * c["g"].str.len().to_numpy()
+        return c
+
+    def signals(t: pa.Table) -> pa.Table:
+        lists = split_ws(t.column("text"))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        offsets = lists.offsets.to_numpy(zero_copy_only=False)
+        offsets = (offsets - offsets[0]).astype(np.int64)
+        lens = np.diff(offsets)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = pc.utf8_length(t.column("text")).to_numpy(zero_copy_only=False).astype(np.float64)
+
+        top = np.zeros(len(ids), dtype=np.float64)
+        ct = grams_counts(flat, offsets, lens, ids, n_top)
+        if ct is not None:
+            mx = ct.groupby("doc_id", sort=False)["chars"].max()
+            sel = pd.Series(np.arange(len(ids)), index=ids)
+            top[sel[mx.index].to_numpy()] = mx.to_numpy(dtype=np.float64)
+
+        dup = np.zeros(len(ids), dtype=np.float64)
+        cd = grams_counts(flat, offsets, lens, ids, n_dup)
+        if cd is not None:
+            cd = cd[cd["c"] > 1]
+            if len(cd):
+                sm = cd.groupby("doc_id", sort=False)["chars"].sum()
+                sel = pd.Series(np.arange(len(ids)), index=ids)
+                dup[sel[sm.index].to_numpy()] = sm.to_numpy(dtype=np.float64)
+
+        safe = np.maximum(nch, 1.0)  # empty text → both fractions 0
+        r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # half away from zero (x ≥ 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "top_gram_frac": pa.array(r6(top / safe)),
+                "dup_gram_frac": pa.array(r6(dup / safe)),
+            }
+        )
+
+    return ds.map_batches(signals, batch_format="pyarrow", zero_copy_batch=True)

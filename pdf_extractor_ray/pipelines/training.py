@@ -348,3 +348,73 @@ def dsir_weights(sf_dir: str, n_feat: int = 8192, target_lang: str = "en"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 256):
+    """Concat-and-chunk sequence packing — the canonical LM-pretraining
+    export step: documents are concatenated in doc_id order and sliced into
+    fixed ``seq_len``-token training sequences; a document that straddles a
+    boundary is split into fragments. Returns one row per (doc, sequence)
+    fragment: (doc_id, seq_id, frag_start, frag_len), where frag_start is
+    the token offset INSIDE the doc.
+
+    Scale shape: the same distributed two-phase prefix sum as
+    ``token_budget_shards`` (ordered range buckets → B driver scalars →
+    broadcast offsets); fragment explosion is a vectorized repeat/arange
+    inside the B bucket groups. Oracle: window cumsum + generate_series
+    unnest."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    agg = ds.aggregate(*_min_max("doc_id"))
+    mn, mx = int(agg["min(doc_id)"]), int(agg["max(doc_id)"])
+    span = max(mx - mn + 1, 1)
+    n_buckets = N_KEY_BUCKETS
+    L = int(seq_len)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "n_tokens": pa.array(_n_tokens(t)),
+                "_bucket": pa.array((did - mn) * n_buckets // span),
+            }
+        )
+
+    nt = ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    per_bucket = nt.groupby("_bucket").sum("n_tokens").to_pandas()
+    per_bucket = per_bucket.sort_values("_bucket")
+    offsets_by_bucket = dict(
+        zip(
+            per_bucket["_bucket"].to_numpy(),
+            np.concatenate(([0], np.cumsum(per_bucket["sum(n_tokens)"].to_numpy())[:-1])),
+        )
+    )
+
+    def explode(g: pd.DataFrame) -> pd.DataFrame:
+        off = int(offsets_by_bucket[int(g["_bucket"].iloc[0])])
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        did = g["doc_id"].to_numpy(dtype=np.int64)
+        start = off + np.concatenate([[0], np.cumsum(n)[:-1]])
+        first_seq = start // L
+        last_seq = (start + n - 1) // L  # n ≥ 1 always (whitespace count + 1)
+        n_frag = last_seq - first_seq + 1
+        seq = np.repeat(first_seq, n_frag) + (
+            np.arange(int(n_frag.sum())) - np.repeat(np.concatenate([[0], np.cumsum(n_frag)[:-1]]), n_frag)
+        )
+        d_start = np.repeat(start, n_frag)
+        d_n = np.repeat(n, n_frag)
+        lo = np.maximum(seq * L, d_start)
+        hi = np.minimum((seq + 1) * L, d_start + d_n)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(did, n_frag),
+                "seq_id": seq,
+                "frag_start": lo - d_start,
+                "frag_len": hi - lo,
+            }
+        )
+
+    return nt.groupby("_bucket").map_groups(explode, batch_format="pandas")

@@ -321,3 +321,52 @@ def test_cluster_balanced_sample_bounds_and_determinism(ray_session, tmp_path):
     assert df.sort_values(key).reset_index(drop=True).equals(
         df2.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_source_minhash_similarity_vs_bruteforce(ray_session, tmp_path):
+    """Planted-overlap corpus: est_jaccard must track the TRUE shingle-set
+    Jaccard within MinHash error (s.e. ≈ 1/√128 ≈ 0.09), order the pairs
+    correctly, and be bit-identical across runs (merge = elementwise min —
+    order-free)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.functions.sketches import shingles
+    from pdf_extractor_ray.pipelines.dedup import source_minhash_similarity
+
+    rng = np.random.default_rng(7)  # test-local corpus synthesis only
+    vocab1 = [f"tok{i}" for i in range(60)]
+    vocab2 = [f"alt{i}" for i in range(60)]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab, size=30))
+
+    rows = []
+    shared = [doc(vocab1) for _ in range(40)]
+    for t in shared:
+        rows.append({"doc_id": len(rows), "text": t, "source": "A"})
+    for t in shared:
+        rows.append({"doc_id": len(rows), "text": t, "source": "B"})
+    for _ in range(10):
+        rows.append({"doc_id": len(rows), "text": doc(vocab1), "source": "B"})
+    for _ in range(50):
+        rows.append({"doc_id": len(rows), "text": doc(vocab2), "source": "C"})
+    pq.write_table(pa.Table.from_pylist(rows), tmp_path / "documents.parquet")
+
+    df = source_minhash_similarity(str(tmp_path), num_perm=128).to_pandas()
+    df = df.set_index(["source_a", "source_b"])["est_jaccard"]
+
+    # brute-force true Jaccard over unioned 3-shingle sets
+    sets = {}
+    for r in rows:
+        sets.setdefault(r["source"], set()).update(shingles(r["text"], 3).tolist())
+    for a, b in [("A", "B"), ("A", "C"), ("B", "C")]:
+        true = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert abs(df[(a, b)] - true) < 0.15, (a, b, df[(a, b)], true)
+    assert df[("A", "B")] > 0.5 > df[("A", "C")]
+    assert df[("A", "C")] < 0.1 and df[("B", "C")] < 0.1
+
+    df2 = source_minhash_similarity(str(tmp_path), num_perm=128).to_pandas()
+    assert df.reset_index().equals(df2)
