@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_balanced_sample": similarity.cluster_balanced_sample,
         "dsir_weights": training.dsir_weights,
         "source_minhash_similarity": dedup.source_minhash_similarity,
+        "pca_project": similarity.pca_project,
         # --- dedup family (training-data ops) ------------------------------
         "minhash_near_dup": dedup.minhash_near_dup,
         "dup_components": dedup.dup_components,

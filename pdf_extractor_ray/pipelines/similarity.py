@@ -585,3 +585,64 @@ def cluster_balanced_sample(
 
     withpri = assigns.map_batches(add_pri, batch_format="pyarrow", zero_copy_batch=True)
     return map_key_buckets(withpri, "cluster", pick, sort_by=["cluster", "_pri", "vec_id"])
+
+
+def pca_project(sf_dir: str, d_out: int = 8):
+    """Distributed PCA projection of the embeddings table — the dimension
+    reduction step before clustering/ANN at scale (cheap matmuls, smaller
+    index). One pass computes MERGEABLE second-moment partials (per batch:
+    count, sum vector, d×d outer-product sum — the textbook streaming
+    covariance shape); the driver eigendecomposes the d×d covariance and
+    broadcasts the top ``d_out`` components into a stateless projection
+    pass. Returns (vec_id, proj list<double> rounded 6dp).
+
+    Determinism: partials are summed in sorted partial_id (min vec_id)
+    order, so float reduction order is fixed given a fixed block layout
+    (the ``kmeans_clusters`` convention); eigenvector sign is canonicalized
+    (largest-|entry| coordinate made positive). Driver traffic is
+    n_blocks × (d² + d + 2) floats — independent of row count."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)  # (n, d) float64
+        pid = int(t.column("vec_id").to_numpy(zero_copy_only=False).min())
+        return pa.table(
+            {
+                "partial_id": pa.array([pid], pa.int64()),
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "s": pa.array([m.sum(axis=0).tolist()], pa.list_(pa.float64())),
+                "ss": pa.array([(m.T @ m).ravel().tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("partial_id")
+    )
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack([np.asarray(v) for v in parts["s"]]), axis=0)
+    ss = np.sum(np.stack([np.asarray(v) for v in parts["ss"]]), axis=0)
+    d = len(s)
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending
+    comps = v[:, ::-1][:, :d_out]  # (d, d_out), top eigenvalues first
+    flip = np.sign(comps[np.argmax(np.abs(comps), axis=0), np.arange(d_out)])
+    comps = comps * np.where(flip == 0, 1.0, flip)
+    state = ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        mu, c = ray.get(state)
+        m = _batch_matrix(t)
+        p = np.round((m - mu) @ c, 6)
+        k = p.shape[1]
+        proj = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (p.shape[0] + 1) * k, k, dtype=np.int32)),
+            pa.array(p.ravel()),
+        )
+        return pa.table({"vec_id": t.column("vec_id"), "proj": proj})
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

@@ -370,3 +370,50 @@ def test_source_minhash_similarity_vs_bruteforce(ray_session, tmp_path):
 
     df2 = source_minhash_similarity(str(tmp_path), num_perm=128).to_pandas()
     assert df.reset_index().equals(df2)
+
+
+def test_pca_project_matches_local_and_captures_structure(ray_session, tmp_path):
+    """Planted 2-dominant-direction data: the distributed moment-partial PCA
+    must match a local numpy PCA on the same data (same covariance up to
+    summation order), capture the planted variance in the first two
+    coordinates, and be deterministic across runs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.similarity import pca_project
+
+    rng = np.random.default_rng(3)  # test-local corpus synthesis only
+    n, d = 400, 16
+    base = rng.normal(0, 0.05, (n, d))
+    dir1 = np.zeros(d); dir1[0] = 1.0
+    dir2 = np.zeros(d); dir2[3] = 1.0
+    pts = base + np.outer(rng.normal(0, 5, n), dir1) + np.outer(rng.normal(0, 2, n), dir2)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array([list(v) for v in pts.astype(np.float32)], pa.list_(pa.float32())),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    got = pca_project(str(tmp_path), d_out=2).to_pandas().sort_values("vec_id")
+    proj = np.stack([np.asarray(v) for v in got["proj"]])
+
+    # local reference on the float32-roundtripped data
+    m = pts.astype(np.float32).astype(np.float64)
+    cov = (m.T @ m) / n - np.outer(m.mean(axis=0), m.mean(axis=0))
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :2]
+    flip = np.sign(comps[np.argmax(np.abs(comps), axis=0), np.arange(2)])
+    ref = np.round((m - m.mean(axis=0)) @ (comps * flip), 6)
+    assert np.allclose(proj, ref, atol=1e-4)
+
+    # the two planted directions dominate: projected variance ≈ total planted
+    var_kept = proj.var(axis=0).sum()
+    var_total = m.var(axis=0).sum()
+    assert var_kept / var_total > 0.98
+
+    again = pca_project(str(tmp_path), d_out=2).to_pandas().sort_values("vec_id")
+    assert got.reset_index(drop=True).equals(again.reset_index(drop=True))
