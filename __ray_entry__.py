@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_contamination": training.split_contamination,
         "repetition_signals": textops.repetition_signals,
         "pack_sequences": training.pack_sequences,
+        "exact_quantile": relational.exact_quantile,
         # --- twice-graded remainder (still tested at both scales locally) --
         "tumbling_window_agg": relational.tumbling_window_agg,
         "part_brand_stats": relational.part_brand_stats,
@@ -593,6 +594,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN sha256(text) IN (SELECT sha FROM tr)
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
             FROM s WHERE split <> 'train' GROUP BY split
+        """,
+        # exact distributed selection (histogram narrowing) ==
+        # quantile_disc: rank = max(ceil(q*n), 1), element of the column
+        "exact_quantile": """
+            SELECT CAST(0.5 AS DOUBLE) AS q,
+                   quantile_disc(l_extendedprice, 0.5) AS val FROM lineitem
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE),
+                   quantile_disc(l_extendedprice, 0.9) FROM lineitem
+            UNION ALL
+            SELECT CAST(0.99 AS DOUBLE),
+                   quantile_disc(l_extendedprice, 0.99) FROM lineitem
         """,
         # concat-and-chunk sequence packing: all-integer window cumsum +
         # lateral generate_series explode (mirrors pack_sequences exactly)

@@ -155,6 +155,7 @@ QUERY_PANEL = [
     "dup_ngram_spans",
     "dsir_weights",
     "repetition_signals",
+    "exact_quantile",
 ]
 
 

@@ -417,3 +417,36 @@ def test_pca_project_matches_local_and_captures_structure(ray_session, tmp_path)
 
     again = pca_project(str(tmp_path), d_out=2).to_pandas().sort_values("vec_id")
     assert got.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+
+def test_exact_quantile_edge_cases(ray_session, tmp_path):
+    """Constructed distributions the sf tables can't exercise: heavy
+    duplicates, a two-value column, extreme q, and a range smaller than
+    n_bins — each must match quantile_disc rank semantics exactly
+    (rank = max(ceil(q*n), 1), result is an element of the column)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.relational import exact_quantile
+
+    rng = np.random.default_rng(5)  # test-local corpus synthesis only
+    cases = [
+        np.round(rng.uniform(1, 100000, 5000), 2),          # wide range (3 passes)
+        np.repeat([10.00, 20.00], [4999, 1]),               # extreme skew
+        np.full(1000, 42.42),                               # single value
+        np.round(rng.choice([1.01, 1.02, 1.03], 777), 2),   # range << n_bins
+    ]
+    qs = (0.001, 0.5, 0.9, 0.99, 1.0)
+    con = duckdb.connect()
+    for i, vals in enumerate(cases):
+        p = tmp_path / f"c{i}"
+        p.mkdir()
+        pq.write_table(pa.table({"l_extendedprice": pa.array(vals, pa.float64())}), p / "lineitem.parquet")
+        got = exact_quantile(str(p), qs=qs).to_pandas().set_index("q")["val"]
+        for q in qs:
+            want = con.sql(
+                f"SELECT quantile_disc(l_extendedprice, {q}) FROM read_parquet('{p}/lineitem.parquet')"
+            ).fetchone()[0]
+            assert got[q] == want, (i, q, got[q], want)
