@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": textops.repetition_signals,
         "pack_sequences": training.pack_sequences,
         "exact_quantile": relational.exact_quantile,
+        "funnel_conversion": relational.funnel_conversion,
+        "retention_cohorts": relational.retention_cohorts,
         # --- twice-graded remainder (still tested at both scales locally) --
         "tumbling_window_agg": relational.tumbling_window_agg,
         "part_brand_stats": relational.part_brand_stats,
@@ -594,6 +596,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN sha256(text) IN (SELECT sha FROM tr)
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
             FROM s WHERE split <> 'train' GROUP BY split
+        """,
+        # ordered funnel: earliest-qualifying-event chain, strict >
+        "funnel_conversion": """
+            WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                  JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+                  WHERE e.event_type = 'click' GROUP BY e.user_id),
+            p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                  JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+                  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT 'view' AS step,
+                   CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+            UNION ALL SELECT 'view>click',
+                   CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+            UNION ALL SELECT 'view>click>purchase',
+                   CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+        """,
+        # integer epoch-weeks on both sides (the tumbling-window convention)
+        "retention_cohorts": """
+            WITH uw AS (
+              SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+              FROM events
+            ),
+            f AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY user_id)
+            SELECT CAST(f.cohort AS BIGINT) AS cohort_week,
+                   CAST(uw.week - f.cohort AS BIGINT) AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM uw JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         # exact distributed selection (histogram narrowing) ==
         # quantile_disc: rank = max(ceil(q*n), 1), element of the column

@@ -156,6 +156,8 @@ QUERY_PANEL = [
     "dsir_weights",
     "repetition_signals",
     "exact_quantile",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 

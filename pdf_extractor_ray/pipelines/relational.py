@@ -1941,3 +1941,138 @@ def exact_quantile(sf_dir: str, qs=(0.5, 0.9, 0.99), n_bins: int = 1024):
             "val": pa.array([lo / 100.0 for lo, _, _ in state.values()], pa.float64()),
         }
     )
+
+
+def funnel_conversion(sf_dir: str, steps=("view", "click", "purchase")):
+    """Ordered funnel analysis (the product-analytics staple): how many
+    users performed step 1, then step 2 STRICTLY AFTER their first step 1,
+    then step 3 strictly after that — earliest-qualifying-event semantics
+    at every step. Returns (step, n_users) with cumulative step labels.
+
+    Scale shape: non-funnel events are pruned BEFORE the shuffle (row
+    filter in the map — at web scale most events are neither view, click
+    nor purchase); one user-hash bucket shuffle co-locates each user's
+    funnel events (``map_key_buckets``); inside the bucket the step chain
+    is |steps| vectorized merge+groupby-min rounds over ALL users at once;
+    each bucket emits |steps| count partials and a |steps|-key grouped sum
+    finishes."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    step_set = pa.array(list(steps))
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("event_type"), value_set=step_set))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        reached = []
+        cur = None  # Series: user_id -> ts of reaching the previous step
+        for i, s in enumerate(steps):
+            sel = g[g["event_type"] == s]
+            if i == 0:
+                cur = sel.groupby("user_id")["ts"].min()
+            else:
+                m = sel.merge(cur.rename("prev").reset_index(), on="user_id")
+                m = m[m["ts"] > m["prev"]]
+                cur = m.groupby("user_id")["ts"].min()
+            reached.append(len(cur))
+        return pd.DataFrame(
+            {"step_idx": np.arange(len(steps), dtype=np.int64),
+             "n": np.asarray(reached, dtype=np.int64)}
+        )
+
+    partials = map_key_buckets(
+        ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        per_bucket,
+        sort_by=["user_id", "ts"],
+    )
+    totals = partials.groupby("step_idx").sum("n")
+
+    labels = [">".join(steps[: i + 1]) for i in range(len(steps))]
+
+    def render(t: pa.Table) -> pa.Table:
+        idx = t.column("step_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "step": pa.array([labels[i] for i in idx], pa.string()),
+                "n_users": pa.array(
+                    t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    return totals.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+
+
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+def retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users grouped by the epoch-week of their
+    FIRST event; for every later week in which they were active, one
+    (cohort_week, week_offset, n_users) cell — the standard growth-
+    analytics rollup. Weeks are integer epoch_us // WEEK_US on both sides
+    (the proven int64-epoch tumbling-window convention — no calendar/week-
+    start ambiguity vs the oracle).
+
+    Scale shape: per batch the events reduce to DISTINCT (user, week)
+    BEFORE the shuffle (per-user activity is heavily repeated within a
+    week); one user-hash bucket shuffle co-locates a user's distinct weeks;
+    within the bucket cohort = transform('min') and the cell partials are a
+    vectorized groupby count; a final grouped sum over the tiny
+    (cohort × offset) key space finishes."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def distinct_weeks(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (
+            t.column("ts").cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64) // WEEK_US
+        )
+        d = pd.DataFrame({"user_id": u, "week": w}).drop_duplicates()
+        return pa.table(
+            {
+                "user_id": pa.array(d["user_id"].to_numpy(dtype=np.int64)),
+                "week": pa.array(d["week"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "week"])  # across-batch dups
+        cohort = g.groupby("user_id")["week"].transform("min")
+        cells = (
+            pd.DataFrame(
+                {
+                    "cohort_week": cohort.to_numpy(),
+                    "week_offset": g["week"].to_numpy() - cohort.to_numpy(),
+                }
+            )
+            .groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        cells["n"] = cells["n"].astype(np.int64)
+        return cells
+
+    partials = map_key_buckets(
+        ds.map_batches(distinct_weeks, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        per_bucket,
+    )
+    totals = partials.groupby(["cohort_week", "week_offset"]).sum("n")
+
+    def render(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": t.column("cohort_week"),
+                "week_offset": t.column("week_offset"),
+                "n_users": pa.array(
+                    t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    return totals.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)

@@ -450,3 +450,44 @@ def test_exact_quantile_edge_cases(ray_session, tmp_path):
                 f"SELECT quantile_disc(l_extendedprice, {q}) FROM read_parquet('{p}/lineitem.parquet')"
             ).fetchone()[0]
             assert got[q] == want, (i, q, got[q], want)
+
+
+def test_funnel_conversion_ordering_semantics(ray_session, tmp_path):
+    """Constructed event orderings the sf corpus can't pin: a click BEFORE
+    the first view must not count, equal timestamps must not count
+    (strict >), and a later qualifying event must rescue the user."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.relational import funnel_conversion
+
+    T = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = []
+
+    def ev(u, t, typ):
+        rows.append({"user_id": u, "ts": t, "event_type": typ})
+
+    # u1: perfect funnel
+    ev(1, T, "view"); ev(1, T + s, "click"); ev(1, T + 2 * s, "purchase")
+    # u2: click before view only -> stops at view
+    ev(2, T + s, "view"); ev(2, T, "click")
+    # u3: click at SAME ts as first view (strict >) -> stops at view
+    ev(3, T, "view"); ev(3, T, "click")
+    # u4: early click ignored, later click counts; purchase between view and
+    # click (before click) must NOT count
+    ev(4, T, "click"); ev(4, T + s, "view"); ev(4, T + 2 * s, "purchase"); ev(4, T + 3 * s, "click")
+    # u5: no funnel events at all
+    ev(5, T, "error")
+    pq.write_table(
+        pa.Table.from_pylist(rows).set_column(
+            1, "ts", pa.Table.from_pylist(rows).column("ts").cast(pa.timestamp("us"))
+        ),
+        tmp_path / "events.parquet",
+    )
+    df = funnel_conversion(str(tmp_path)).to_pandas().set_index("step")["n_users"]
+    assert df["view"] == 4           # u1-u4
+    assert df["view>click"] == 2     # u1, u4
+    assert df["view>click>purchase"] == 1  # u1 only
