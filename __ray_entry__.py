@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extractor_ray.pipelines import (
         dedup,
         enrich,
+        graph,
         normalize,
         relational,
         search,
@@ -174,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": training.dsir_weights,
         "source_minhash_similarity": dedup.source_minhash_similarity,
         "pca_project": similarity.pca_project,
+        "pagerank": graph.pagerank,
         # --- dedup family (training-data ops) ------------------------------
         "minhash_near_dup": dedup.minhash_near_dup,
         "dup_components": dedup.dup_components,
