@@ -380,12 +380,10 @@ def kmeans_clusters(sf_dir: str, k: int = 10, n_iters: int = 8):
     return xs.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _kmeans_fit(sf_dir: str, k: int, n_iters: int):
-    """Lloyd loop shared by ``kmeans_clusters`` and ``semdedup``: returns the
-    materialized normalized-vector Dataset (vec_id, nemb) and the final k×d
-    unit-norm centroid matrix. See ``kmeans_clusters`` for the scale shape."""
+def _kmeans_seed(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init: the first k vectors by vec_id (predicate-pushdown
+    read), unit-normalized."""
     import pyarrow.parquet as pq_mod
-    import ray
 
     init = pq_mod.read_table(
         f"{sf_dir}/embeddings.parquet",
@@ -396,6 +394,12 @@ def _kmeans_fit(sf_dir: str, k: int, n_iters: int):
         raise ValueError(f"need {k} seed vectors, found {len(init)}")
     cent = np.stack(init["embedding"].to_numpy())[:k].astype(np.float64)
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def _normalized_xs(sf_dir: str):
+    """Materialized (vec_id, nemb) unit-vector table — re-read from the
+    object store by every Lloyd iteration / assignment pass."""
 
     def normalize(t: pa.Table) -> pa.Table:
         m = _batch_matrix(t)
@@ -407,61 +411,75 @@ def _kmeans_fit(sf_dir: str, k: int, n_iters: int):
         )
         return pa.table({"vec_id": t.column("vec_id"), "nemb": nemb})
 
-    xs = (
+    return (
         _read_embeddings(sf_dir)
         .map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
 
-    for _ in range(n_iters):
-        cent_ref = ray.put(cent)
 
-        def partials(t: pa.Table) -> pa.Table:
-            c = ray.get(cent_ref)
-            m = _batch_matrix_col(t, "nemb")
-            assign = np.argmax(m @ c.T, axis=1)
-            pid = int(t.column("vec_id").to_numpy(zero_copy_only=False).min())
-            rows = {"cluster": [], "psum": [], "n": [], "partial_id": []}
-            for ci in np.unique(assign):
-                rows["cluster"].append(int(ci))
-                rows["psum"].append(m[assign == ci].sum(axis=0))
-                rows["n"].append(int((assign == ci).sum()))
-                rows["partial_id"].append(pid)
-            return pa.table(
-                {
-                    "cluster": pa.array(rows["cluster"], pa.int64()),
-                    "psum": pa.array(
-                        [list(v) for v in rows["psum"]], pa.list_(pa.float64())
-                    ),
-                    "n": pa.array(rows["n"], pa.int64()),
-                    "partial_id": pa.array(rows["partial_id"], pa.int64()),
-                }
-            )
+def _lloyd_round(xs, cent: np.ndarray) -> np.ndarray:
+    """One Lloyd iteration (see ``kmeans_clusters`` for the scale shape);
+    extracted so the checkpointed variant shares the bit-identical step."""
+    import ray
 
-        def merge(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values("partial_id")  # fixed float reduction order
-            s = np.stack(g["psum"].to_numpy()).sum(axis=0)
-            return pd.DataFrame(
-                {
-                    "cluster": [int(g["cluster"].iloc[0])],
-                    "csum": [list(s)],
-                    "n": [int(g["n"].sum())],
-                }
-            )
+    cent_ref = ray.put(cent)
 
-        upd = (
-            xs.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("cluster")
-            .map_groups(merge, batch_format="pandas")
-            .to_pandas()  # k rows of k×d floats — the only driver traffic
+    def partials(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _batch_matrix_col(t, "nemb")
+        assign = np.argmax(m @ c.T, axis=1)
+        pid = int(t.column("vec_id").to_numpy(zero_copy_only=False).min())
+        rows = {"cluster": [], "psum": [], "n": [], "partial_id": []}
+        for ci in np.unique(assign):
+            rows["cluster"].append(int(ci))
+            rows["psum"].append(m[assign == ci].sum(axis=0))
+            rows["n"].append(int((assign == ci).sum()))
+            rows["partial_id"].append(pid)
+        return pa.table(
+            {
+                "cluster": pa.array(rows["cluster"], pa.int64()),
+                "psum": pa.array(
+                    [list(v) for v in rows["psum"]], pa.list_(pa.float64())
+                ),
+                "n": pa.array(rows["n"], pa.int64()),
+                "partial_id": pa.array(rows["partial_id"], pa.int64()),
+            }
         )
-        new = cent.copy()
-        for _, row in upd.iterrows():
-            if row["n"] > 0:
-                v = np.asarray(row["csum"], dtype=np.float64)
-                new[int(row["cluster"])] = v / max(np.linalg.norm(v), 1e-12)
-        cent = new
 
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("partial_id")  # fixed float reduction order
+        s = np.stack(g["psum"].to_numpy()).sum(axis=0)
+        return pd.DataFrame(
+            {
+                "cluster": [int(g["cluster"].iloc[0])],
+                "csum": [list(s)],
+                "n": [int(g["n"].sum())],
+            }
+        )
+
+    upd = (
+        xs.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # k rows of k×d floats — the only driver traffic
+    )
+    new = cent.copy()
+    for _, row in upd.iterrows():
+        if row["n"] > 0:
+            v = np.asarray(row["csum"], dtype=np.float64)
+            new[int(row["cluster"])] = v / max(np.linalg.norm(v), 1e-12)
+    return new
+
+
+def _kmeans_fit(sf_dir: str, k: int, n_iters: int):
+    """Lloyd loop shared by ``kmeans_clusters`` and ``semdedup``: returns the
+    materialized normalized-vector Dataset (vec_id, nemb) and the final k×d
+    unit-norm centroid matrix. See ``kmeans_clusters`` for the scale shape."""
+    cent = _kmeans_seed(sf_dir, k)
+    xs = _normalized_xs(sf_dir)
+    for _ in range(n_iters):
+        cent = _lloyd_round(xs, cent)
     return xs, cent
 
 
@@ -646,3 +664,81 @@ def pca_project(sf_dir: str, d_out: int = 8):
         return pa.table({"vec_id": t.column("vec_id"), "proj": proj})
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_clusters_resumable(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    k: int = 10,
+    n_iters: int = 8,
+    fail_after_iters: int | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """``kmeans_clusters`` with a checkpoint after every Lloyd iteration —
+    the resume story for ITERATIVE algorithms (the pass-level
+    ``classify_*_resumable`` pattern, one level finer): the per-iteration
+    state is just the k×d centroid matrix, so each snapshot is k rows and a
+    crash loses at most one iteration of work over the full corpus. Resume
+    validity is fingerprinted on (sf_dir, k, n_iters, logic version) per
+    ADVICE r2. Float64 centroids round-trip parquet exactly, so the resumed
+    run is BIT-IDENTICAL to an uninterrupted ``kmeans_clusters`` (pinned in
+    tests/test_components.py).
+
+    Returns {"iters_run", "iters_skipped", "assignments" (Dataset)}."""
+    import uuid as _uuid
+
+    import ray
+
+    from ..state.lineage import PassCheckpointer
+
+    cp = PassCheckpointer(
+        out_dir, fingerprint=f"{sf_dir}|kmeans-v1|k={k}|n_iters={n_iters}"
+    )
+    rid = run_id or _uuid.uuid4().hex[:8]
+    cent = _kmeans_seed(sf_dir, k)
+    xs = None
+    ran = skipped = 0
+    for i in range(n_iters):
+        name = f"iter-{i:03d}"
+        if cp.done(name):
+            import pyarrow.parquet as pq_mod
+
+            snap = pq_mod.read_table(cp.data_dir(name)).to_pandas().sort_values("cluster")
+            cent = np.stack([np.asarray(v, dtype=np.float64) for v in snap["centroid"]])
+            skipped += 1
+            continue
+        if fail_after_iters is not None and ran >= fail_after_iters:
+            raise RuntimeError(f"simulated crash before {name}")
+        if xs is None:
+            xs = _normalized_xs(sf_dir)
+        cent = _lloyd_round(xs, cent)
+        import ray.data as rd
+
+        snap_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "centroid": pa.array([c.tolist() for c in cent], pa.list_(pa.float64())),
+                }
+            )
+        )
+        cp.write_pass(name, snap_ds, rid)
+        ran += 1
+
+    if xs is None:
+        xs = _normalized_xs(sf_dir)
+    cent_ref = ray.put(cent)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _batch_matrix_col(t, "nemb")
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(np.argmax(m @ c.T, axis=1).astype(np.int64)),
+            }
+        )
+
+    assigns = xs.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)
+    return {"iters_run": ran, "iters_skipped": skipped, "assignments": assigns}

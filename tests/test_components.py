@@ -491,3 +491,39 @@ def test_funnel_conversion_ordering_semantics(ray_session, tmp_path):
     assert df["view"] == 4           # u1-u4
     assert df["view>click"] == 2     # u1, u4
     assert df["view>click>purchase"] == 1  # u1 only
+
+
+def test_kmeans_resumable_crash_and_bit_identity(ray_session, tmp_path):
+    """Kill the Lloyd loop between iteration checkpoints, resume, and
+    require the final assignments to be BIT-identical to an uninterrupted
+    kmeans_clusters; a third run must skip every iteration (no recompute),
+    and a different sf_dir fingerprint must invalidate the snapshots."""
+    import pytest
+
+    from pdf_extractor_ray.pipelines.similarity import (
+        kmeans_clusters,
+        kmeans_clusters_resumable,
+    )
+
+    SF_EMB = "/root/testdata/sf0.001"
+    out = str(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        kmeans_clusters_resumable(SF_EMB, out, k=4, n_iters=6, fail_after_iters=3)
+
+    res = kmeans_clusters_resumable(SF_EMB, out, k=4, n_iters=6)
+    assert res["iters_skipped"] == 3 and res["iters_run"] == 3
+    got = res["assignments"].to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ref = (
+        kmeans_clusters(SF_EMB, k=4, n_iters=6)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(ref)
+
+    res2 = kmeans_clusters_resumable(SF_EMB, out, k=4, n_iters=6)
+    assert res2["iters_run"] == 0 and res2["iters_skipped"] == 6
+
+    # fingerprint invalidation: same out_dir, different n_iters → no reuse
+    res3 = kmeans_clusters_resumable(SF_EMB, out, k=4, n_iters=7)
+    assert res3["iters_skipped"] == 0 and res3["iters_run"] == 7
