@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantile": relational.exact_quantile,
         "funnel_conversion": relational.funnel_conversion,
         "retention_cohorts": relational.retention_cohorts,
+        "event_time_join": relational.event_time_join,
         # --- twice-graded remainder (still tested at both scales locally) --
         "tumbling_window_agg": relational.tumbling_window_agg,
         "part_brand_stats": relational.part_brand_stats,
@@ -598,6 +599,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN sha256(text) IN (SELECT sha FROM tr)
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
             FROM s WHERE split <> 'train' GROUP BY split
+        """,
+        # stream-stream temporal self-join; integer-us deltas both sides
+        "event_time_join": """
+            SELECT v.user_id,
+                   v.event_id AS view_id,
+                   p.event_id AS purchase_id,
+                   CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+                     AS delta_s
+            FROM (SELECT * FROM events WHERE event_type = 'view') v
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON p.user_id = v.user_id
+             AND epoch_us(p.ts) - epoch_us(v.ts) > 0
+             AND epoch_us(p.ts) - epoch_us(v.ts) <= 86400000000
         """,
         # ordered funnel: earliest-qualifying-event chain, strict >
         "funnel_conversion": """

@@ -2076,3 +2076,61 @@ def retention_cohorts(sf_dir: str):
         )
 
     return totals.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def event_time_join(sf_dir: str, window_s: int = 86400):
+    """Stream-stream temporal self-join — the windowed-join primitive
+    (events×events): every (view, purchase) pair of the SAME user with
+    0 < ts_purchase − ts_view ≤ window. Returns (user_id, view_id,
+    purchase_id, delta_s) — the attribution join a clickstream pipeline
+    runs continuously.
+
+    Scale shape: both sides are row-filtered to their event type BEFORE the
+    one user-hash bucket shuffle; within the bucket the pair space is a
+    per-user merge of the two typed subsets filtered to the window —
+    vectorized, and output is bounded by the window span per user rather
+    than the full per-user cross product. delta is integer microseconds
+    both sides (the int64-epoch convention)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    W_US = int(window_s) * 1_000_000
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"), value_set=pa.array(["view", "purchase"]))
+        t = t.filter(keep)
+        us = (
+            t.column("ts").cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "t_us": pa.array(us),
+                "is_view": pc.equal(t.column("event_type"), "view"),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[g["is_view"]][["user_id", "event_id", "t_us"]]
+        p = g[~g["is_view"]][["user_id", "event_id", "t_us"]]
+        m = v.merge(p, on="user_id", suffixes=("_v", "_p"))
+        d = m["t_us_p"].to_numpy() - m["t_us_v"].to_numpy()
+        m = m[(d > 0) & (d <= W_US)]
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"].to_numpy(dtype=np.int64),
+                "view_id": m["event_id_v"].to_numpy(dtype=np.int64),
+                "purchase_id": m["event_id_p"].to_numpy(dtype=np.int64),
+                "delta_s": (
+                    (m["t_us_p"].to_numpy() - m["t_us_v"].to_numpy()) // 1_000_000
+                ).astype(np.int64),
+            }
+        )
+
+    return map_key_buckets(
+        ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        pairs,
+    )
