@@ -158,6 +158,7 @@ QUERY_PANEL = [
     "exact_quantile",
     "funnel_conversion",
     "retention_cohorts",
+    "event_time_join",
 ]
 
 
