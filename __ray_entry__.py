@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         enrich,
         graph,
+        incremental,
         normalize,
         relational,
         search,
@@ -86,6 +87,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_agg_by_source": relational.string_agg_by_source,
         "rank_in_group": relational.rank_in_group,
         "corr_by_group": relational.corr_by_group,
+        # higher-moment / information-theoretic aggregates + basket mining (r3)
+        "moment_stats_by_group": relational.moment_stats_by_group,
+        "entropy_by_group": relational.entropy_by_group,
+        "copurchase_pairs": relational.copurchase_pairs,
+        # graph analytics over the part co-occurrence graph (r3)
+        "degree_distribution": graph.degree_distribution,
+        "triangle_count": graph.triangle_count,
+        # shared-mutable-index showcase: incremental ingest vs a sharded
+        # actor-held sha index (r3)
+        "incremental_ingest_dedup": incremental.incremental_ingest_dedup,
         "year_splice": relational.year_splice,
         "regex_tokenize_bpeish": relational.regex_tokenize_bpeish,
         "skew_salt_plan": relational.skew_salt_plan,
@@ -114,13 +125,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validity_split_problems": relational.validity_split_problems,
         "projection_map": relational.projection_map,
         "sign_normalize": relational.sign_normalize,
+        # ==== driver-graded prefix boundary (first 50 end here) ============
         "date_parse_cascade": relational.date_parse_cascade,
         "amount_from_split_cols": relational.amount_from_split_cols,
         "row_hash": relational.row_hash,
         "union_all_sources": relational.union_all_sources,
         "sort_topk": relational.sort_topk,
         "dedup_exact": relational.dedup_exact,
-        # ==== driver-graded prefix boundary (first 50 end here) ============
         "broadcast_join_enrich": relational.broadcast_join_enrich,
         "semi_join_keys": relational.semi_join_keys,
         "anti_join_keys": relational.anti_join_keys,
@@ -887,6 +898,69 @@ def oracle_sql() -> dict[str, str]:
               ROUND((n * sxy - sx * sy) /
                     sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr_r
             FROM m
+        """,
+        "moment_stats_by_group": """
+            SELECT l_returnflag,
+              ROUND(skewness(l_quantity), 4) AS skew_qty,
+              ROUND(kurtosis(l_quantity), 4) AS kurt_qty,
+              ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+              ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "entropy_by_group": """
+            SELECT source, ROUND(entropy(lang), 4) AS lang_entropy
+            FROM documents GROUP BY source
+        """,
+        "copurchase_pairs": """
+            WITH pairs AS (
+              SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+            SELECT pa AS part_a, pb AS part_b,
+              CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM pairs GROUP BY pa, pb
+            ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+        """,
+        "degree_distribution": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            d AS (
+              SELECT node, COUNT(*) AS degree FROM (
+                SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e)
+              GROUP BY node)
+            SELECT CAST(degree AS BIGINT) AS degree,
+              CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM d GROUP BY degree ORDER BY degree
+        """,
+        "triangle_count": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            n AS (
+              SELECT COUNT(DISTINCT node) AS c FROM (
+                SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e)),
+            t AS (
+              SELECT COUNT(*) AS c
+              FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+                        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+            SELECT CAST(n.c AS BIGINT) AS n_nodes,
+              CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+              CAST(t.c AS BIGINT) AS n_triangles
+            FROM n, t
+        """,
+        "incremental_ingest_dedup": """
+            WITH day2 AS (
+              SELECT * FROM documents WHERE doc_id % 3 = 0),
+            w AS (
+              SELECT text, MIN(doc_id) AS doc_id FROM day2
+              WHERE text NOT IN (
+                SELECT text FROM documents WHERE doc_id % 3 <> 0)
+              GROUP BY text)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM day2 d JOIN w ON d.doc_id = w.doc_id
         """,
         "year_splice": """
             SELECT event_id, CAST(EXTRACT(month FROM ts) AS BIGINT) AS month,

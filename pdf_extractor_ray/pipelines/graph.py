@@ -289,3 +289,191 @@ def pagerank(sf_dir: str, n_iters: int = 10, damping: float = DAMPING):
         .groupby("_bucket")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def _part_cooccurrence_edges(sf_dir: str):
+    """Derived unipartite graph over parts: an edge {a, b} (a < b) iff the
+    two parts co-occur in at least one order. Pair generation is the
+    shifted-lag kernel inside orderkey-hash buckets (sort by (order, part);
+    for lag d emit (part[i], part[i+d]) where order matches — vectorized,
+    basket-bounded); global distinct is one pair-hash bucket pass. Edges
+    leave as a single packed int64 key (a<<32 | b)."""
+    from .relational import map_key_buckets
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        ok = g["l_orderkey"].to_numpy(dtype=np.int64)
+        pk = g["l_partkey"].to_numpy(dtype=np.int64)
+        packed = []
+        max_lag = int(np.bincount(np.unique(ok, return_inverse=True)[1]).max()) if len(ok) else 0
+        for d in range(1, max_lag):
+            same = ok[:-d] == ok[d:]
+            packed.append((pk[:-d][same] << 32) | pk[d:][same])
+        allp = np.unique(np.concatenate(packed)) if packed else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({"ekey": allp})
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"ekey": np.unique(g["ekey"].to_numpy(dtype=np.int64))})
+
+    pairs = map_key_buckets(ds, "l_orderkey", pairs_in_bucket, sort_by=["l_orderkey", "l_partkey"])
+    return map_key_buckets(pairs, "ekey", distinct)
+
+
+def degree_distribution(sf_dir: str):
+    """Degree histogram of the part co-occurrence graph: how many nodes have
+    each degree. Scale shape: per-batch endpoint-count partials → one
+    node-hash bucket merge (per-node degree finished vectorized inside the
+    bucket, emitting per-bucket (degree, n_nodes) partials) → the final
+    merge groups by DEGREE, whose cardinality is bounded by the max basket
+    fan-out, not the node count."""
+    from ray.data.aggregate import Sum
+
+    from .relational import map_key_buckets
+
+    edges = _part_cooccurrence_edges(sf_dir)
+
+    def endpoint_partials(t: pa.Table) -> pa.Table:
+        ek = t.column("ekey").to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([ek >> 32, ek & 0xFFFFFFFF])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u), "deg": pa.array(c.astype(np.int64))})
+
+    def degree_hist_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("node", sort=False)["deg"].sum().to_numpy(dtype=np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pd.DataFrame({"degree": u, "n_nodes": c.astype(np.int64)})
+
+    parts = edges.map_batches(
+        endpoint_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hist = map_key_buckets(parts, "node", degree_hist_in_bucket)
+    return (
+        hist.groupby("degree")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+        .sort("degree")
+    )
+
+
+def triangle_count(sf_dir: str):
+    """Exact triangle count of the part co-occurrence graph — the classic
+    distributed node-iterator: orient every edge from the (degree, id)-
+    smaller endpoint to the larger (each triangle then closes at exactly
+    one node), generate wedges (pairs of out-neighbors) per source node,
+    and count wedges whose closing pair is itself an edge.
+
+    Scale shape: degrees come from the same bucket-merged endpoint partials
+    as ``degree_distribution`` and are broadcast once via ``ray.put`` — the
+    node set is dimension-sized (|parts|), NOT corpus-sized; orientation +
+    wedge generation is the shifted-lag kernel in src-hash buckets (out-
+    degrees are bounded by ~sqrt(2|E|) under this orientation, the standard
+    guarantee); the closing test is a BUCKET CO-GROUP of wedge partials
+    with edge rows on the packed pair key — the edge set is never
+    broadcast and never becomes per-key Ray groups. Driver sees one scalar
+    per key bucket. Returns one row (n_nodes, n_edges, n_triangles)."""
+    import ray
+
+    from .relational import N_KEY_BUCKETS, map_key_buckets
+
+    B = N_KEY_BUCKETS
+    edges = _part_cooccurrence_edges(sf_dir).materialize()
+
+    def endpoint_partials(t: pa.Table) -> pa.Table:
+        ek = t.column("ekey").to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([ek >> 32, ek & 0xFFFFFFFF])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u), "deg": pa.array(c.astype(np.int64))})
+
+    def merge_deg(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("node", sort=False)["deg"].sum().reset_index()
+        return pd.DataFrame(
+            {"node": s["node"].to_numpy(dtype=np.int64), "deg": s["deg"].to_numpy(dtype=np.int64)}
+        )
+
+    deg_df = (
+        map_key_buckets(
+            edges.map_batches(endpoint_partials, batch_format="pyarrow", zero_copy_batch=True),
+            "node",
+            merge_deg,
+        )
+        .to_pandas()
+        .sort_values("node")
+    )
+    n_nodes = len(deg_df)
+    n_edges = edges.count()
+    deg_ref = ray.put(
+        (deg_df["node"].to_numpy(dtype=np.int64), deg_df["deg"].to_numpy(dtype=np.int64))
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        nodes, degs = ray.get(deg_ref)
+        ek = t.column("ekey").to_numpy(zero_copy_only=False)
+        a, b = ek >> 32, ek & 0xFFFFFFFF
+        da = degs[np.searchsorted(nodes, a)]
+        db = degs[np.searchsorted(nodes, b)]
+        # orient from (deg, id)-smaller to larger
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+
+    def wedges_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["src"].to_numpy(dtype=np.int64)
+        d = g["dst"].to_numpy(dtype=np.int64)
+        # sort by (src, dst id) so lag pairs have w_lo < w_hi by id — the
+        # edge packing's (a < b) convention
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        packed = []
+        max_lag = int(np.bincount(np.unique(s, return_inverse=True)[1]).max()) if len(s) else 0
+        for lag in range(1, max_lag):
+            same = s[:-lag] == s[lag:]
+            packed.append((d[:-lag][same] << 32) | d[lag:][same])
+        allw = np.concatenate(packed) if packed else np.empty(0, dtype=np.int64)
+        u, c = np.unique(allw, return_counts=True)
+        return pd.DataFrame({"ekey": u, "n": c.astype(np.int64)})
+
+    wedges = map_key_buckets(oriented, "src", wedges_in_bucket)
+
+    # closing test: co-group wedge partials with edge rows on ekey % B
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        k = t.column("ekey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"_bucket": pa.array(k % B), "ekey": t.column("ekey"), "n": t.column("n")}
+        )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        k = t.column("ekey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_bucket": pa.array(k % B),
+                "ekey": t.column("ekey"),
+                "n": pa.array(np.zeros(len(k), dtype=np.int64)),
+            }
+        )
+
+    both = wedges.map_batches(tag_wedge, batch_format="pyarrow", zero_copy_batch=True).union(
+        edges.map_batches(tag_edge, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def close_count(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["n"].to_numpy() == 0
+        ekeys = g["ekey"].to_numpy(dtype=np.int64)
+        closed = np.isin(ekeys[~is_edge], ekeys[is_edge])
+        return pd.DataFrame({"tri": [int(g["n"].to_numpy()[~is_edge][closed].sum())]})
+
+    tri = int(
+        both.groupby("_bucket")
+        .map_groups(close_count, batch_format="pandas")
+        .sum("tri")
+    )
+    return pd.DataFrame(
+        {
+            "n_nodes": np.array([n_nodes], dtype=np.int64),
+            "n_edges": np.array([n_edges], dtype=np.int64),
+            "n_triangles": np.array([tri], dtype=np.int64),
+        }
+    )

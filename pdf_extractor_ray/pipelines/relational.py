@@ -2134,3 +2134,195 @@ def event_time_join(sf_dir: str, window_s: int = 86400):
         "user_id",
         pairs,
     )
+
+
+def moment_stats_by_group(sf_dir: str):
+    """Higher-moment statistics per group — skewness, excess kurtosis,
+    sample covariance and regression slope — via MERGEABLE RAW POWER SUMS:
+    each batch emits one partial row per key (n, Σx..Σx⁴, Σd, Σxd, Σp, Σxp),
+    a small groupby merges, and the closed forms finish driver-side-free.
+    Same algebraic-statistic shape as ``corr_by_group``; the whole value
+    column never shuffles. Formulas match DuckDB's bias-corrected
+    ``skewness``/``kurtosis`` (adjusted Fisher–Pearson G1; sample excess G2)
+    and ``covar_samp``/``regr_slope`` — verified numerically, and the
+    4-decimal rounding on both sides absorbs summation-order noise.
+
+    Precision note: x = l_quantity ∈ [1, 50] so Σx⁴ stays exactly
+    representable in doubles at any realistic group size; never feed raw
+    power sums a column with 1e5-magnitude values (center first instead).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    SUMS = ("n", "sx", "sx2", "sx3", "sx4", "sd", "sxd", "sp", "sxp")
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("l_quantity")
+        d = t.column("l_discount")
+        p = t.column("l_extendedprice")
+        x2 = pc.multiply(x, x)
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sx": x,
+                "sx2": x2,
+                "sx3": pc.multiply(x2, x),
+                "sx4": pc.multiply(x2, x2),
+                "sd": d,
+                "sxd": pc.multiply(x, d),
+                "sp": p,
+                "sxp": pc.multiply(x, p),
+            }
+        )
+        return (
+            tt.group_by("l_returnflag")
+            .aggregate([(c, "sum") for c in SUMS])
+            .rename_columns(["l_returnflag", *SUMS])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(c, alias_name=c) for c in SUMS])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        col = lambda c: t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+        n = col("n")
+        mu = col("sx") / n
+        m2 = col("sx2") / n - mu**2
+        m3 = col("sx3") / n - 3 * mu * col("sx2") / n + 2 * mu**3
+        m4 = (
+            col("sx4") / n
+            - 4 * mu * col("sx3") / n
+            + 6 * mu**2 * col("sx2") / n
+            - 3 * mu**4
+        )
+        g1 = m3 / m2**1.5
+        skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+        g2 = m4 / m2**2 - 3.0
+        kurt = ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+        covar_qd = (col("sxd") - col("sx") * col("sd") / n) / (n - 1)
+        slope = (n * col("sxp") - col("sx") * col("sp")) / (n * col("sx2") - col("sx") ** 2)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "skew_qty": pa.array(np.round(skew, 4)),
+                "kurt_qty": pa.array(np.round(kurt, 4)),
+                "covar_qty_disc": pa.array(np.round(covar_qd, 6)),
+                "slope_price_qty": pa.array(np.round(slope, 4)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def entropy_by_group(sf_dir: str):
+    """Shannon entropy (log2, over value counts — DuckDB ``entropy``
+    semantics) of the language distribution per source. Scale shape: the
+    corpus reduces to (source, lang) COUNT partials inside each batch, the
+    merged count table is #sources × #langs (dimension-sized), and the
+    entropy finish runs vectorized on that tiny table in one final batch —
+    the full text/lang column never shuffles."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.append_column("n", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+            .group_by(["source", "lang"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["source", "lang", "n"])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # dimension-sized table (sources × langs): single-batch vectorized
+        tot = df.groupby("source")["n"].transform("sum").to_numpy(dtype=np.float64)
+        p = df["n"].to_numpy(dtype=np.float64) / tot
+        df = df.assign(_h=-p * np.log2(p))
+        out = df.groupby("source", as_index=False)["_h"].sum()
+        return pd.DataFrame(
+            {
+                "source": out["source"],
+                "lang_entropy": np.round(out["_h"].to_numpy(), 4),
+            }
+        )
+
+    return counts.repartition(1).map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def copurchase_pairs(sf_dir: str, k: int = 20):
+    """Market-basket co-occurrence mining: top-k part pairs appearing in the
+    most orders. Scale shape: (orderkey, partkey) rows take ONE orderkey-hash
+    bucket shuffle; inside each bucket the per-order pair explode is the
+    shifted-lag kernel (sort by (order, part), then for lag d=1..max
+    basket-1 emit (part[i], part[i+d]) where order[i]==order[i+d]) —
+    vectorized, no per-order Python. Pairs are packed into one int64
+    (a<<32 | b, a<b by construction) so the count shuffle moves a single
+    integer key; the final top-k sorts only the AGGREGATED pair table."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        ok = g["l_orderkey"].to_numpy(dtype=np.int64)
+        pk = g["l_partkey"].to_numpy(dtype=np.int64)
+        packed = []
+        max_lag = 0
+        if len(ok):
+            seg = np.bincount(np.unique(ok, return_inverse=True)[1])
+            max_lag = int(seg.max())
+        for d in range(1, max_lag):
+            same = ok[:-d] == ok[d:]
+            a, b = pk[:-d][same], pk[d:][same]
+            packed.append((a << 32) | b)
+        if not packed:
+            return pd.DataFrame({"pair": np.empty(0, dtype=np.int64), "n_orders": np.empty(0, dtype=np.int64)})
+        allp = np.concatenate(packed)
+        u, c = np.unique(allp, return_counts=True)
+        return pd.DataFrame({"pair": u, "n_orders": c.astype(np.int64)})
+
+    parts = map_key_buckets(
+        ds, "l_orderkey", pairs_in_bucket, sort_by=["l_orderkey", "l_partkey"]
+    )
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket-level merge: one Ray group per pair-hash BUCKET, not per
+        # pair (the ~0.4 ms/group native-aggregate tax, NOTES)
+        s = g.groupby("pair", sort=False)["n_orders"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "pair": s["pair"].to_numpy(dtype=np.int64),
+                "n_orders": s["n_orders"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    agg = map_key_buckets(parts, "pair", merge_counts)
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t.column("pair").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part_a": pa.array(pk >> 32),
+                "part_b": pa.array(pk & 0xFFFFFFFF),
+                "n_orders": t.column("n_orders"),
+            }
+        )
+
+    # tie-break (n_orders desc, pair asc) on the AGGREGATED table only
+    return (
+        agg.sort(["n_orders", "pair"], descending=[True, False])
+        .limit(k)
+        .map_batches(unpack, batch_format="pyarrow")
+    )

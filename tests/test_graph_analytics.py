@@ -1,0 +1,96 @@
+"""Graph-analytics + basket-mining + incremental-index ops: semantics pinned
+on constructed inputs where the expected answer is hand-checkable (the
+oracle-parity suite pins them against DuckDB on the real tables at both
+scales; these tests pin the kernels' edge cases)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf_extractor_ray.pipelines.graph import degree_distribution, triangle_count
+from pdf_extractor_ray.pipelines.incremental import incremental_ingest_dedup
+from pdf_extractor_ray.pipelines.relational import copurchase_pairs
+
+
+def _write_lineitem(tmp_path, baskets: dict[int, list[int]]):
+    ok, pk = [], []
+    for o, parts in baskets.items():
+        for p in parts:
+            ok.append(o)
+            pk.append(p)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_partkey": pa.array(pk, pa.int64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_triangle_count_k4(ray_session, tmp_path):
+    """Baskets {1,2,3}, {2,3,4}, {1,4} yield the complete graph K4
+    (edge 2-3 arrives twice — the distinct pass must collapse it):
+    C(4,3) = 4 triangles."""
+    sf = _write_lineitem(tmp_path, {1: [1, 2, 3], 2: [2, 3, 4], 3: [1, 4]})
+    got = triangle_count(sf)
+    assert got.iloc[0].to_dict() == {"n_nodes": 4, "n_edges": 6, "n_triangles": 4}
+
+
+def test_triangle_count_no_triangles(ray_session, tmp_path):
+    """A path graph (1-2, 2-3) and a single-item basket: zero triangles,
+    and the singleton contributes no node."""
+    sf = _write_lineitem(tmp_path, {1: [1, 2], 2: [2, 3], 3: [9]})
+    got = triangle_count(sf)
+    assert got.iloc[0].to_dict() == {"n_nodes": 3, "n_edges": 2, "n_triangles": 0}
+
+
+def test_degree_distribution_k4(ray_session, tmp_path):
+    sf = _write_lineitem(tmp_path, {1: [1, 2, 3], 2: [2, 3, 4], 3: [1, 4]})
+    got = degree_distribution(sf).to_pandas()
+    assert got.to_dict("records") == [{"degree": 3, "n_nodes": 4}]
+
+
+def test_copurchase_pairs_counts_orders_not_rows(ray_session, tmp_path):
+    """(2,3) co-occurs in two orders → count 2; a duplicated (order, part)
+    row must NOT inflate any count; a single-item order contributes no
+    pair. Tie-break below the top pair is (part_a, part_b) ascending."""
+    sf = _write_lineitem(
+        tmp_path,
+        {1: [1, 2, 3, 3], 2: [2, 3, 4], 3: [1, 4], 4: [7]},
+    )
+    got = copurchase_pairs(sf, k=10).to_pandas()
+    assert got.iloc[0].to_dict() == {"part_a": 2, "part_b": 3, "n_orders": 2}
+    assert (got["n_orders"].iloc[1:] == 1).all()
+    rest = list(zip(got["part_a"].iloc[1:], got["part_b"].iloc[1:]))
+    assert rest == sorted(rest)
+    assert len(got) == 6  # K4 edges; the singleton order added none
+
+
+def test_incremental_ingest_dedup_min_winner(ray_session, tmp_path):
+    """Day-2 (doc_id % 3 == 0) rows dedup against day-1 content AND within
+    day 2 by min doc_id — the index's min-merge must be arrival-order
+    independent, so the winner set is exactly {min doc_id per new text}."""
+    docs = {
+        1: "seen-yesterday",  # day 1
+        3: "seen-yesterday",  # day 2, suppressed by day-1 content
+        6: "fresh-b",  # day 2 winner
+        9: "fresh-b",  # day 2 dup of 6
+        12: "fresh-c",  # day 2 winner
+        5: "day1-only",  # day 1
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "text": pa.array(list(docs.values()), pa.string()),
+                "source": pa.array(["s"] * len(docs), pa.string()),
+                "n_chars": pa.array([len(v) for v in docs.values()], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = incremental_ingest_dedup(str(tmp_path)).to_pandas()
+    assert sorted(got["doc_id"]) == [6, 12]
