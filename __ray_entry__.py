@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shared-mutable-index showcase: incremental ingest vs a sharded
         # actor-held sha index (r3)
         "incremental_ingest_dedup": incremental.incremental_ingest_dedup,
+        # time-series regularization + Markov transitions (r3)
+        "resample_ffill_hourly": relational.resample_ffill_hourly,
+        "event_transition_matrix": relational.event_transition_matrix,
         "year_splice": relational.year_splice,
         "regex_tokenize_bpeish": relational.regex_tokenize_bpeish,
         "skew_salt_plan": relational.skew_salt_plan,
@@ -123,9 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "amount_threshold_filter": relational.amount_threshold_filter,
         "keyword_include_filter": relational.keyword_include_filter,
         "validity_split_problems": relational.validity_split_problems,
+        # ==== driver-graded prefix boundary (first 50 end here) ============
         "projection_map": relational.projection_map,
         "sign_normalize": relational.sign_normalize,
-        # ==== driver-graded prefix boundary (first 50 end here) ============
         "date_parse_cascade": relational.date_parse_cascade,
         "amount_from_split_cols": relational.amount_from_split_cols,
         "row_hash": relational.row_hash,
@@ -950,6 +953,33 @@ def oracle_sql() -> dict[str, str]:
               CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
               CAST(t.c AS BIGINT) AS n_triangles
             FROM n, t
+        """,
+        "resample_ffill_hourly": """
+            WITH ev AS (
+              SELECT user_id,
+                CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+                event_id, value
+              FROM events),
+            ph AS (
+              SELECT user_id, hr, arg_max(value, event_id) AS v
+              FROM ev GROUP BY user_id, hr),
+            b AS (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM ev GROUP BY user_id),
+            grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS hr FROM b)
+            SELECT g.user_id, g.hr AS hour_id,
+              last_value(ph.v IGNORE NULLS)
+                OVER (PARTITION BY g.user_id ORDER BY g.hr) AS value_ff
+            FROM grid g LEFT JOIN ph ON ph.user_id = g.user_id AND ph.hr = g.hr
+        """,
+        "event_transition_matrix": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                LAG(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+              FROM events)
+            SELECT prev_type AS from_type, event_type AS to_type,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
         """,
         "incremental_ingest_dedup": """
             WITH day2 AS (

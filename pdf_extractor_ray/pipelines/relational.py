@@ -2326,3 +2326,120 @@ def copurchase_pairs(sf_dir: str, k: int = 20):
         .limit(k)
         .map_batches(unpack, batch_format="pyarrow")
     )
+
+
+def resample_ffill_hourly(sf_dir: str):
+    """Time-series regularization — resample each user's event stream onto
+    an hourly grid (that user's first..last active hour) and forward-fill
+    the last observed value into silent hours. The per-hour representative
+    is the event with MAX event_id in that hour (a total order, so ties in
+    ts cannot make the answer depend on arrival order).
+
+    Scale shape: each batch pre-reduces to per-(user, hour) argmax partials
+    BEFORE the one user-hash bucket shuffle (shuffle volume is active
+    user-hours, not events); inside the bucket the grid explode is a
+    vectorized repeat/arange and the fill is pandas groupby-ffill (C
+    kernel). Output is bounded by span-hours × users. Hour ids stay int64
+    epoch-hours end to end (the int64-key convention; render timestamps
+    downstream if needed)."""
+    HOUR_US = 3_600_000_000
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = (
+            t.column("ts").cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        df = pd.DataFrame(
+            {
+                "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+                "hr": us // HOUR_US,
+                "event_id": t.column("event_id").to_numpy(zero_copy_only=False),
+                "value": t.column("value").to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df.sort_values(["user_id", "hr", "event_id"]).drop_duplicates(
+            ["user_id", "hr"], keep="last"
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        # merge cross-batch partials: max event_id per (user, hour) wins
+        ph = g.drop_duplicates(["user_id", "hr"], keep="last")
+        bounds = ph.groupby("user_id", sort=True)["hr"].agg(["min", "max"])
+        counts = (bounds["max"] - bounds["min"] + 1).to_numpy(dtype=np.int64)
+        total = int(counts.sum())
+        starts = np.zeros(len(counts), dtype=np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        hrs = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(starts, counts)
+            + np.repeat(bounds["min"].to_numpy(dtype=np.int64), counts)
+        )
+        grid = pd.DataFrame(
+            {
+                "user_id": np.repeat(bounds.index.to_numpy(dtype=np.int64), counts),
+                "hr": hrs,
+            }
+        )
+        m = grid.merge(ph[["user_id", "hr", "value"]], on=["user_id", "hr"], how="left")
+        m["value"] = m.groupby("user_id", sort=False)["value"].ffill()
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"].to_numpy(dtype=np.int64),
+                "hour_id": m["hr"].to_numpy(dtype=np.int64),
+                "value_ff": m["value"].to_numpy(),  # exact copies — no rounding needed
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_buckets(parts, "user_id", fill, sort_by=["user_id", "hr", "event_id"])
+
+
+def event_transition_matrix(sf_dir: str):
+    """First-order Markov transition counts over each user's ordered event
+    stream: for every consecutive (prev → next) event-type pair (ordered by
+    (ts, event_id) within the user — the deterministic LAG convention),
+    count occurrences globally. Scale shape: one user-hash bucket shuffle;
+    inside the bucket the lag pairing is a vectorized shift masked on user
+    boundaries, reduced to per-bucket (from, to) partials; the final merge
+    groups by the |types|² transition key — fixed cardinality."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = (
+            t.column("ts").cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "t_us": pa.array(us),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({"from_type": [], "to_type": [], "n": []}).astype(
+                {"from_type": str, "to_type": str, "n": np.int64}
+            )
+        same = uid[:-1] == uid[1:]
+        pairs = pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+        s = pairs.groupby(["from_type", "to_type"], sort=False).size().reset_index(name="n")
+        s["n"] = s["n"].astype(np.int64)
+        return s
+
+    parts = map_key_buckets(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        transitions,
+        sort_by=["user_id", "t_us", "event_id"],
+    )
+    return parts.groupby(["from_type", "to_type"]).aggregate(Sum("n", alias_name="n"))

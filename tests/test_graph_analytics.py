@@ -94,3 +94,72 @@ def test_incremental_ingest_dedup_min_winner(ray_session, tmp_path):
     )
     got = incremental_ingest_dedup(str(tmp_path)).to_pandas()
     assert sorted(got["doc_id"]) == [6, 12]
+
+
+def test_resample_ffill_constructed(ray_session, tmp_path):
+    """User 1: events in hours 10 and 13 (two events in hour 10 — the MAX
+    event_id's value must win) → grid 10..13 with hours 11-12 forward-filled.
+    User 2: single event → single grid row."""
+    H = 3_600_000_000  # us per hour
+    ts = pa.array([10 * H + 5, 10 * H + 9, 13 * H + 1, 20 * H], pa.int64()).cast(
+        pa.timestamp("us")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([7, 3, 9, 1], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": ts,
+                "value": pa.array([111.0, 222.0, 333.0, 5.5], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    from pdf_extractor_ray.pipelines.relational import resample_ffill_hourly
+
+    got = (
+        resample_ffill_hourly(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "hour_id"])
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("records") == [
+        {"user_id": 1, "hour_id": 10, "value_ff": 111.0},  # event_id 7 > 3
+        {"user_id": 1, "hour_id": 11, "value_ff": 111.0},  # filled
+        {"user_id": 1, "hour_id": 12, "value_ff": 111.0},  # filled
+        {"user_id": 1, "hour_id": 13, "value_ff": 333.0},
+        {"user_id": 2, "hour_id": 20, "value_ff": 5.5},
+    ]
+
+
+def test_event_transition_matrix_constructed(ray_session, tmp_path):
+    """Chains are per-user and ordered by (ts, event_id): user 1 a→b→a,
+    user 2 b→b; no cross-user transition. Equal-ts events order by
+    event_id."""
+    H = 3_600_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "ts": pa.array([H, 2 * H, 2 * H, H, 9 * H], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": pa.array(["a", "b", "a", "b", "b"], pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    from pdf_extractor_ray.pipelines.relational import event_transition_matrix
+
+    got = (
+        event_transition_matrix(str(tmp_path))
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("records") == [
+        {"from_type": "a", "to_type": "b", "n": 1},
+        {"from_type": "b", "to_type": "a", "n": 1},
+        {"from_type": "b", "to_type": "b", "n": 1},
+    ]
