@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-series regularization + Markov transitions (r3)
         "resample_ffill_hourly": relational.resample_ffill_hourly,
         "event_transition_matrix": relational.event_transition_matrix,
+        # outer-join completeness + percent_rank window (r3)
+        "left_join_null_fill": relational.left_join_null_fill,
+        "percent_rank_in_group": relational.percent_rank_in_group,
         "year_splice": relational.year_splice,
         "regex_tokenize_bpeish": relational.regex_tokenize_bpeish,
         "skew_salt_plan": relational.skew_salt_plan,
@@ -124,9 +127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_enrich": relational.supplier_enrich,
         "pii_scrub": relational.pii_scrub,
         "amount_threshold_filter": relational.amount_threshold_filter,
+        # ==== driver-graded prefix boundary (first 50 end here) ============
         "keyword_include_filter": relational.keyword_include_filter,
         "validity_split_problems": relational.validity_split_problems,
-        # ==== driver-graded prefix boundary (first 50 end here) ============
         "projection_map": relational.projection_map,
         "sign_normalize": relational.sign_normalize,
         "date_parse_cascade": relational.date_parse_cascade,
@@ -182,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only (non-SQL-expressible) -------------------------------
         "approx_quantile_hist": relational.approx_quantile_hist,
         "approx_distinct_tokens": relational.approx_distinct_tokens,
+        "approx_distinct_tokens_by_source": relational.approx_distinct_tokens_by_source,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "embedding_near_dup": similarity.embedding_near_dup,
         "kmeans_clusters": similarity.kmeans_clusters,
@@ -969,6 +973,19 @@ def oracle_sql() -> dict[str, str]:
               last_value(ph.v IGNORE NULLS)
                 OVER (PARTITION BY g.user_id ORDER BY g.hr) AS value_ff
             FROM grid g LEFT JOIN ph ON ph.user_id = g.user_id AND ph.hr = g.hr
+        """,
+        "left_join_null_fill": """
+            SELECT c.c_custkey, c.c_mktsegment,
+              CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) o
+            ON o.o_custkey = c.c_custkey
+        """,
+        "percent_rank_in_group": """
+            SELECT o_orderkey, o_orderpriority,
+              PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey) AS pct_rank
+            FROM orders
         """,
         "event_transition_matrix": """
             WITH o AS (

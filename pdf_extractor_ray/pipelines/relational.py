@@ -2443,3 +2443,141 @@ def event_transition_matrix(sf_dir: str):
         sort_by=["user_id", "t_us", "event_id"],
     )
     return parts.groupby(["from_type", "to_type"]).aggregate(Sum("n", alias_name="n"))
+
+
+def approx_distinct_tokens_by_source(sf_dir: str, p: int = 12):
+    """PER-GROUP approximate distinct counting — mergeable HLL sketches keyed
+    by group: each batch emits one (source, registers) row per group it saw
+    (constant bytes per block per group); sketches merge by elementwise
+    register max inside source-hash buckets via ``np.maximum.reduceat`` over
+    key-sorted register matrices — vectorized, no per-group Python in the
+    merge. Rows-only for the driver (no SQL approximate counterpart);
+    accuracy vs exact COUNT(DISTINCT) is asserted in tests (±~1.6% at
+    p=12)."""
+    from ..functions.sketches import HyperLogLog, fnv1a64_batch
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    m = 1 << p
+
+    def sketch(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"source": t.column("source").to_pylist(), "text": t.column("text").to_pylist()}
+        )
+        rows_src, rows_reg = [], []
+        for src, g in df.groupby("source", sort=False):
+            h = HyperLogLog(p)
+            h.add_batch(" ".join(g["text"]).split(" "))
+            rows_src.append(src)
+            rows_reg.append(h.to_bytes())
+        return pa.table(
+            {
+                "source": pa.array(rows_src, type=pa.string()),
+                "registers": pa.array(rows_reg, type=pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        kh = fnv1a64_batch([s.encode() for s in t.column("source").to_pylist()])
+        return t.append_column("_khash", pa.array(kh.astype(np.int64)))
+
+    def merge_estimate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("source", kind="mergesort")
+        regs = np.frombuffer(b"".join(g["registers"]), dtype=np.uint8).reshape(-1, m)
+        src = g["source"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        merged = np.maximum.reduceat(regs, starts, axis=0)
+        out_src = src[starts]
+        ests = []
+        for i in range(len(starts)):
+            h = HyperLogLog(p)
+            h.registers = merged[i]
+            ests.append(int(round(h.estimate())))
+        return pd.DataFrame({"source": out_src, "approx_distinct": np.array(ests, dtype=np.int64)})
+
+    return map_key_buckets(
+        parts.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True),
+        "_khash",
+        merge_estimate,
+    )
+
+
+def left_join_null_fill(sf_dir: str):
+    """Dimension-driven LEFT OUTER join: every customer with its order
+    count, zero-filled for customers that never ordered — the outer-join
+    completeness primitive (broadcast/semi/anti/as-of joins cover the other
+    shapes). Scale shape: the fact side pre-reduces to per-batch (custkey,
+    n) partials; both sides then co-group in custkey-hash buckets (kind
+    tag + union — the PageRank join layout) and the in-bucket merge is one
+    vectorized pandas left-merge with fillna(0)."""
+    B = N_KEY_BUCKETS
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def order_partials(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        u, c = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "_bucket": pa.array(u % B),
+                "key": pa.array(u),
+                "seg": pa.array([None] * len(u), type=pa.string()),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(k % B),
+                "key": pa.array(k),
+                "seg": t.column("c_mktsegment"),
+                "n": pa.array(np.full(len(k), -1, dtype=np.int64)),
+            }
+        )
+
+    both = orders.map_batches(
+        order_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).union(cust.map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["n"] < 0][["key", "seg"]]
+        fact = g[g["n"] >= 0].groupby("key", sort=False)["n"].sum()
+        n = dim["key"].map(fact).fillna(0).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "c_custkey": dim["key"].to_numpy(dtype=np.int64),
+                "c_mktsegment": dim["seg"].to_numpy(),
+                "n_orders": n,
+            }
+        )
+
+    return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+def percent_rank_in_group(sf_dir: str):
+    """PERCENT_RANK per partition — (rank-1)/(n-1) over orders partitioned
+    by priority, ordered by (totalprice, orderkey) so there are no rank
+    ties and the ratio is computed identically (one double division) on
+    both sides — no rounding needed. Partition cardinality is the PRIORITY
+    vocabulary (bounded), so per-partition groups are safe here; for
+    high-cardinality partitions use the bucketed-window helper instead
+    (``ntile_by_group`` is the worked example)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def pr(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        n = len(g)
+        ranks = np.arange(n, dtype=np.float64)
+        pct = ranks / (n - 1) if n > 1 else np.zeros(n)
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(dtype=np.int64),
+                "o_orderpriority": g["o_orderpriority"].to_numpy(),
+                "pct_rank": pct,
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(pr, batch_format="pandas")

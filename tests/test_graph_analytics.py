@@ -163,3 +163,85 @@ def test_event_transition_matrix_constructed(ray_session, tmp_path):
         {"from_type": "b", "to_type": "a", "n": 1},
         {"from_type": "b", "to_type": "b", "n": 1},
     ]
+
+
+def test_left_join_null_fill_zero_rows(ray_session, tmp_path):
+    """A customer with no orders must appear with n_orders=0 (the real
+    testdata has no orderless customers, so the outer semantics need a
+    constructed case)."""
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_mktsegment": pa.array(["A", "B", "A"], pa.string()),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([1, 1, 3], pa.int64())}),
+        tmp_path / "orders.parquet",
+    )
+    from pdf_extractor_ray.pipelines.relational import left_join_null_fill
+
+    got = (
+        left_join_null_fill(str(tmp_path))
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("records") == [
+        {"c_custkey": 1, "c_mktsegment": "A", "n_orders": 2},
+        {"c_custkey": 2, "c_mktsegment": "B", "n_orders": 0},
+        {"c_custkey": 3, "c_mktsegment": "A", "n_orders": 1},
+    ]
+
+
+def test_percent_rank_singleton_partition(ray_session, tmp_path):
+    """A single-row partition gets pct_rank 0 (the n=1 division guard)."""
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_orderpriority": pa.array(["P1", "P1", "SOLO"], pa.string()),
+                "o_totalprice": pa.array([10.0, 20.0, 5.0], pa.float64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    from pdf_extractor_ray.pipelines.relational import percent_rank_in_group
+
+    got = (
+        percent_rank_in_group(str(tmp_path))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert got["pct_rank"].tolist() == [0.0, 1.0, 0.0]
+
+
+def test_grouped_hll_accuracy(ray_session):
+    """Per-source HLL estimates within the p=12 error envelope of the exact
+    COUNT(DISTINCT token) for every group."""
+    import duckdb
+
+    from pdf_extractor_ray.pipelines.relational import approx_distinct_tokens_by_source
+
+    sf = "/root/testdata/sf0.001"
+    approx = (
+        approx_distinct_tokens_by_source(sf)
+        .to_pandas()
+        .set_index("source")["approx_distinct"]
+    )
+    exact = (
+        duckdb.sql(
+            f"""SELECT source, COUNT(DISTINCT tok) AS n FROM (
+                  SELECT source, unnest(string_split(text, ' ')) AS tok
+                  FROM read_parquet('{sf}/documents.parquet')) GROUP BY source"""
+        )
+        .df()
+        .set_index("source")["n"]
+    )
+    assert set(approx.index) == set(exact.index)
+    rel = ((approx - exact).abs() / exact).max()
+    assert rel <= 0.05
