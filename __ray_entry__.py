@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # outer-join completeness + percent_rank window (r3)
         "left_join_null_fill": relational.left_join_null_fill,
         "percent_rank_in_group": relational.percent_rank_in_group,
+        # CUBE grouping sets + collocation mining (r3)
+        "cube_counts": relational.cube_counts,
+        "bigram_pmi_topk": relational.bigram_pmi_topk,
         "year_splice": relational.year_splice,
         "regex_tokenize_bpeish": relational.regex_tokenize_bpeish,
         "skew_salt_plan": relational.skew_salt_plan,
@@ -125,9 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "counts_by_source": relational.counts_by_source,
         "supplier_enrich": relational.supplier_enrich,
+        # ==== driver-graded prefix boundary (first 50 end here) ============
         "pii_scrub": relational.pii_scrub,
         "amount_threshold_filter": relational.amount_threshold_filter,
-        # ==== driver-graded prefix boundary (first 50 end here) ============
         "keyword_include_filter": relational.keyword_include_filter,
         "validity_split_problems": relational.validity_split_problems,
         "projection_map": relational.projection_map,
@@ -973,6 +976,36 @@ def oracle_sql() -> dict[str, str]:
               last_value(ph.v IGNORE NULLS)
                 OVER (PARTITION BY g.user_id ORDER BY g.hr) AS value_ff
             FROM grid g LEFT JOIN ph ON ph.user_id = g.user_id AND ph.hr = g.hr
+        """,
+        "cube_counts": """
+            SELECT o_orderstatus, o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "bigram_pmi_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(string_split(text, ' ')) AS tok,
+                unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+              FROM documents),
+            bg AS (
+              SELECT doc_id, tok AS w2,
+                LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+              FROM toks),
+            bc AS (
+              SELECT w1, w2, COUNT(*) AS c FROM bg
+              WHERE w1 IS NOT NULL GROUP BY w1, w2),
+            uc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+            tot AS (
+              SELECT CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) AS n,
+                     CAST((SELECT SUM(c) FROM bc) AS DOUBLE) AS m)
+            SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS n_pair,
+              ROUND(log2((CAST(b.c AS DOUBLE) / m) /
+                ((CAST(u1.c AS DOUBLE) / n) * (CAST(u2.c AS DOUBLE) / n))), 4) AS pmi
+            FROM bc b, tot, uc u1, uc u2
+            WHERE u1.tok = b.w1 AND u2.tok = b.w2 AND b.c >= 5
+            ORDER BY pmi DESC, w1, w2 LIMIT 30
         """,
         "left_join_null_fill": """
             SELECT c.c_custkey, c.c_mktsegment,

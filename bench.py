@@ -159,6 +159,12 @@ QUERY_PANEL = [
     "funnel_conversion",
     "retention_cohorts",
     "event_time_join",
+    "moment_stats_by_group",
+    "copurchase_pairs",
+    "triangle_count",
+    "resample_ffill_hourly",
+    "event_transition_matrix",
+    "incremental_ingest_dedup",
 ]
 
 

@@ -2581,3 +2581,183 @@ def percent_rank_in_group(sf_dir: str):
         )
 
     return ds.groupby("o_orderpriority").map_groups(pr, batch_format="pandas")
+
+
+def cube_counts(sf_dir: str):
+    """GROUP BY CUBE(status, priority) — all four grouping sets from the
+    same ONE finest-level pass as ``rollup_counts`` (per-batch partials →
+    tiny |s|×|p| merge); the (NULL, p), (s, NULL) and (NULL, NULL) levels
+    are derived driver-side from the UNROUNDED finest sums in sorted key
+    order, and every level rounds once at the end."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g.column("o_orderstatus"),
+                "o_orderpriority": g.column("o_orderpriority"),
+                "psum": g.column("o_totalprice_sum"),
+                "pn": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .sum(["psum", "pn"])
+        .to_pandas()
+        .rename(columns={"sum(psum)": "psum", "sum(pn)": "pn"})
+        .sort_values(["o_orderstatus", "o_orderpriority"], kind="stable")
+    )
+
+    def level(df, s_col, p_col):
+        return pd.DataFrame(
+            {
+                "o_orderstatus": s_col,
+                "o_orderpriority": p_col,
+                "n": df["pn"].to_numpy(),
+                "_sum": df["psum"].to_numpy(),
+            }
+        )
+
+    by_s = (
+        fine.groupby("o_orderstatus", sort=True)
+        .agg(pn=("pn", "sum"), psum=("psum", "sum"))
+        .reset_index()
+    )
+    by_p = (
+        fine.groupby("o_orderpriority", sort=True)
+        .agg(pn=("pn", "sum"), psum=("psum", "sum"))
+        .reset_index()
+    )
+    lvl_sp = level(fine, fine["o_orderstatus"].to_numpy(), fine["o_orderpriority"].to_numpy())
+    lvl_s = level(by_s, by_s["o_orderstatus"].to_numpy(), None)
+    lvl_p = level(by_p, None, by_p["o_orderpriority"].to_numpy())
+    lvl_0 = pd.DataFrame(
+        {
+            "o_orderstatus": [None],
+            "o_orderpriority": [None],
+            "n": [int(fine["pn"].sum())],
+            "_sum": [float(by_s["psum"].sum())],
+        }
+    )
+    out = pd.concat([lvl_sp, lvl_s, lvl_p, lvl_0], ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_price"] = np.round(out.pop("_sum").to_numpy(dtype=np.float64), 2)
+    return out
+
+
+def bigram_pmi_topk(sf_dir: str, min_count: int = 5, k: int = 30):
+    """Collocation mining — top-k adjacent-token bigrams by pointwise mutual
+    information, the classic corpus-curation statistic (phrase detection,
+    tokenizer-merge candidates). PMI = log2((C(ab)/M) / ((C(a)/N)(C(b)/N)))
+    over bigrams with C(ab) ≥ min_count.
+
+    Scale shape: each batch emits distinct-bigram and distinct-unigram
+    COUNT partials (token instances never shuffle); both merge in
+    token-hash buckets; the unigram table is VOCABULARY-sized and
+    broadcast once into the PMI finish (the ``unigram_logprob_score``
+    convention — at open-web scale, restrict to the heavy-hitter vocab
+    first). The final top-k sorts only the filtered bigram table."""
+    import ray
+
+    from ..functions.sketches import fnv1a64_batch
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        toks_per_doc = [s.split(" ") for s in texts]
+        uni: dict[str, int] = {}
+        big: dict[tuple[str, str], int] = {}
+        for toks in toks_per_doc:
+            for w in toks:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(toks[:-1], toks[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        w1 = [a for a, _ in big] + list(uni)
+        w2 = [b for _, b in big] + [None] * len(uni)
+        n = [*big.values(), *uni.values()]
+        return pa.table(
+            {
+                "w1": pa.array(w1, type=pa.string()),
+                "w2": pa.array(w2, type=pa.string()),
+                "n": pa.array(np.asarray(n, dtype=np.int64)),
+            }
+        )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        kh = fnv1a64_batch([s.encode() for s in t.column("w1").to_pylist()])
+        return t.append_column("_khash", pa.array(kh.astype(np.int64)))
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["w1", "w2"], sort=False, dropna=False)["n"].sum().reset_index()
+        s["n"] = s["n"].astype(np.int64)
+        return s
+
+    counts = map_key_buckets(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+            add_key, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "_khash",
+        merge_counts,
+    ).materialize()
+
+    # vocabulary-sized unigram side: to driver once, broadcast into the finish
+    uni_df = (
+        counts.map_batches(
+            lambda t: t.filter(pc.is_null(t.column("w2"))).select(["w1", "n"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+        .set_index("w1")["n"]
+    )
+    n_tok = float(uni_df.sum())
+    uni_ref = ray.put((uni_df.to_dict(), n_tok))
+
+    # total bigram instances: one scalar
+    m_big = float(
+        counts.map_batches(
+            lambda t: pa.table(
+                {"n": pa.array([pc.sum(t.filter(pc.is_valid(t.column("w2"))).column("n")).as_py() or 0], type=pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("n")
+    )
+
+    def pmi_finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("w2")))
+        t = t.filter(pc.greater_equal(t.column("n"), min_count))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], type=pa.string()),
+                    "w2": pa.array([], type=pa.string()),
+                    "n_pair": pa.array([], type=pa.int64()),
+                    "pmi": pa.array([], type=pa.float64()),
+                }
+            )
+        uni, n_t = ray.get(uni_ref)
+        c = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = np.array([uni[w] for w in t.column("w1").to_pylist()], dtype=np.float64)
+        cb = np.array([uni[w] for w in t.column("w2").to_pylist()], dtype=np.float64)
+        pmi = np.log2((c / m_big) / ((ca / n_t) * (cb / n_t)))
+        return pa.table(
+            {
+                "w1": t.column("w1"),
+                "w2": t.column("w2"),
+                "n_pair": t.column("n"),
+                "pmi": pa.array(np.round(pmi, 4)),
+            }
+        )
+
+    return (
+        counts.map_batches(pmi_finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -245,3 +245,27 @@ def test_grouped_hll_accuracy(ray_session):
     assert set(approx.index) == set(exact.index)
     rel = ((approx - exact).abs() / exact).max()
     assert rel <= 0.05
+
+
+def test_bigram_pmi_hand_computed(ray_session, tmp_path):
+    """Corpus 'x y x y' ⊕ 'z z': N=6 tokens, M=4 bigrams; PMI(x,y) =
+    log2((2/4)/((2/6)(2/6))) = log2(4.5); the min_count gate must drop
+    pairs below the threshold."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["x y x y", "z z"], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    from pdf_extractor_ray.pipelines.relational import bigram_pmi_topk
+
+    got = bigram_pmi_topk(str(tmp_path), min_count=1, k=10).to_pandas()
+    xy = got[(got["w1"] == "x") & (got["w2"] == "y")].iloc[0]
+    assert xy["n_pair"] == 2
+    assert xy["pmi"] == round(np.log2((2 / 4) / ((2 / 6) * (2 / 6))), 4)
+    assert len(got) == 3  # (x,y), (y,x), (z,z) — nothing else
+    got2 = bigram_pmi_topk(str(tmp_path), min_count=2, k=10).to_pandas()
+    assert set(zip(got2["w1"], got2["w2"])) == {("x", "y")}
