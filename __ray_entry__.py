@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CUBE grouping sets + collocation mining (r3)
         "cube_counts": relational.cube_counts,
         "bigram_pmi_topk": relational.bigram_pmi_topk,
+        # change-data-capture diff between corpus snapshots (r3)
+        "snapshot_diff": relational.snapshot_diff,
         "year_splice": relational.year_splice,
         "regex_tokenize_bpeish": relational.regex_tokenize_bpeish,
         "skew_salt_plan": relational.skew_salt_plan,
@@ -1006,6 +1008,23 @@ def oracle_sql() -> dict[str, str]:
             FROM bc b, tot, uc u1, uc u2
             WHERE u1.tok = b.w1 AND u2.tok = b.w2 AND b.c >= 5
             ORDER BY pmi DESC, w1, w2 LIMIT 30
+        """,
+        "snapshot_diff": """
+            WITH a AS (SELECT doc_id, n_chars FROM documents),
+            b AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, n_chars
+              FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT CAST(COALESCE(a.doc_id, b.doc_id) AS BIGINT) AS doc_id,
+              CASE WHEN a.doc_id IS NULL THEN 'added'
+                   WHEN b.doc_id IS NULL THEN 'removed'
+                   ELSE 'changed' END AS change
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.n_chars <> b.n_chars
         """,
         "left_join_null_fill": """
             SELECT c.c_custkey, c.c_mktsegment,

@@ -2761,3 +2761,74 @@ def bigram_pmi_topk(sf_dir: str, min_count: int = 5, k: int = 30):
         .sort(["pmi", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def snapshot_diff(sf_dir: str):
+    """Change-data-capture between two corpus snapshots: emit (doc_id,
+    change) for every row added, removed, or content-changed from snapshot
+    A to snapshot B — the incremental-crawl diff primitive. Snapshot B is
+    DERIVED deterministically from A (doc_id % 7 == 0 rows deleted;
+    doc_id % 5 == 0 rows get n_chars+1, i.e. changed; doc_id % 11 == 0
+    rows re-appear as new ids +10_000_000, i.e. added) so both sides build
+    the identical pair of snapshots.
+
+    Scale shape: a FULL OUTER join as a kind-tagged union co-grouped in
+    doc_id-hash buckets (the PageRank/left-join layout); the in-bucket
+    classify is one vectorized pandas outer-merge. Unchanged rows are
+    dropped inside the bucket, so output is change-volume-sized."""
+    B = N_KEY_BUCKETS
+    ADD_OFF = 10_000_000
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def side_a(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(k % B),
+                "doc_id": pa.array(k),
+                "n_chars": pa.array(n),
+                "is_b": pa.array(np.zeros(len(k), dtype=np.int8)),
+            }
+        )
+
+    def side_b(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = k % 7 != 0  # deletions
+        k2, n2 = k[keep], n[keep].copy()
+        n2[k2 % 5 == 0] += 1  # content changes
+        adds = k[k % 11 == 0] + ADD_OFF  # new docs
+        kb = np.concatenate([k2, adds])
+        nb = np.concatenate([n2, n[k % 11 == 0]])
+        return pa.table(
+            {
+                "_bucket": pa.array(kb % B),
+                "doc_id": pa.array(kb),
+                "n_chars": pa.array(nb),
+                "is_b": pa.array(np.ones(len(kb), dtype=np.int8)),
+            }
+        )
+
+    both = docs.map_batches(side_a, batch_format="pyarrow", zero_copy_batch=True).union(
+        docs.map_batches(side_b, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["is_b"] == 0][["doc_id", "n_chars"]]
+        b = g[g["is_b"] == 1][["doc_id", "n_chars"]]
+        m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"))
+        na = m["n_chars_a"].to_numpy(dtype=np.float64, na_value=np.nan)
+        nb = m["n_chars_b"].to_numpy(dtype=np.float64, na_value=np.nan)
+        change = np.where(
+            np.isnan(na), "added", np.where(np.isnan(nb), "removed", "changed")
+        )
+        keep = np.isnan(na) | np.isnan(nb) | (na != nb)
+        return pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].to_numpy(dtype=np.int64)[keep],
+                "change": change[keep],
+            }
+        )
+
+    return both.groupby("_bucket").map_groups(classify, batch_format="pandas")
