@@ -108,6 +108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi_topk": relational.bigram_pmi_topk,
         # change-data-capture diff between corpus snapshots (r3)
         "snapshot_diff": relational.snapshot_diff,
+        # general shuffle-hash join / interval union / global ranking (r3)
+        "shuffle_join_detail": relational.shuffle_join_detail,
+        "interval_islands": relational.interval_islands,
+        "global_row_number": relational.global_row_number,
         "year_splice": relational.year_splice,
         "regex_tokenize_bpeish": relational.regex_tokenize_bpeish,
         "skew_salt_plan": relational.skew_salt_plan,
@@ -1008,6 +1012,38 @@ def oracle_sql() -> dict[str, str]:
             FROM bc b, tot, uc u1, uc u2
             WHERE u1.tok = b.w1 AND u2.tok = b.w2 AND b.c >= 5
             ORDER BY pmi DESC, w1, w2 LIMIT 30
+        """,
+        "shuffle_join_detail": """
+            SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+              l.l_extendedprice, o.o_custkey, o.o_orderpriority
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+        "interval_islands": """
+            WITH e AS (
+              SELECT user_id, event_id, ts AS s,
+                     ts + INTERVAL 300 SECOND AS en
+              FROM events),
+            o AS (
+              SELECT user_id, event_id, s, en,
+                MAX(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM e),
+            g AS (
+              SELECT user_id, s, en,
+                SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY s, event_id) AS isl
+              FROM o),
+            i AS (
+              SELECT user_id, isl, MIN(s) AS s0, MAX(en) AS e1
+              FROM g GROUP BY user_id, isl)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+              CAST(SUM(date_diff('second', s0, e1)) AS BIGINT) AS covered_s
+            FROM i GROUP BY user_id
+        """,
+        "global_row_number": """
+            SELECT o_orderkey,
+              CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+            FROM orders
         """,
         "snapshot_diff": """
             WITH a AS (SELECT doc_id, n_chars FROM documents),

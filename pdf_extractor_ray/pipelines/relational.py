@@ -2832,3 +2832,184 @@ def snapshot_diff(sf_dir: str):
         )
 
     return both.groupby("_bucket").map_groups(classify, batch_format="pandas")
+
+
+def shuffle_join_detail(sf_dir: str):
+    """Row-level large×large inner equi-join (lineitem ⋈ orders on
+    orderkey) — the general shuffle-hash join the broadcast / semi / anti /
+    as-of / range shapes don't cover: BOTH sides are too big to broadcast
+    and the output is row-level (not an aggregate), so each side is tagged,
+    bucketed by key-hash, and co-grouped once; the in-bucket probe is one
+    vectorized pandas inner-merge. Output is fact-sized — it streams out of
+    the bucket stage without ever materializing on the driver.
+
+    Scale shape: ONE all-to-all on the shared int64 key layout
+    (``left_join_null_fill`` / PageRank); dim-side rows carry their payload
+    through the same shuffle, so no second pass. Skewed keys salt-split as
+    in ``skew_salt_plan``."""
+    B = N_KEY_BUCKETS
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def fact_rows(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(k % B),
+                "key": pa.array(k),
+                "ln": t.column("l_linenumber").cast(pa.int64()),
+                "eprice": t.column("l_extendedprice"),
+                "ck": pa.array(np.full(len(k), -1, dtype=np.int64)),
+                "prio": pa.array([None] * len(k), type=pa.string()),
+            }
+        )
+
+    def dim_rows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(k % B),
+                "key": pa.array(k),
+                "ln": pa.array(np.full(len(k), -1, dtype=np.int64)),
+                "eprice": pa.array(np.full(len(k), np.nan)),
+                "ck": t.column("o_custkey").cast(pa.int64()),
+                "prio": t.column("o_orderpriority"),
+            }
+        )
+
+    both = li.map_batches(fact_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(dim_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        fact = g[g["ln"] >= 0][["key", "ln", "eprice"]]
+        dim = g[g["ln"] < 0][["key", "ck", "prio"]]
+        m = fact.merge(dim, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "l_orderkey": m["key"].to_numpy(dtype=np.int64),
+                "l_linenumber": m["ln"].to_numpy(dtype=np.int64),
+                "l_extendedprice": m["eprice"].to_numpy(),
+                "o_custkey": m["ck"].to_numpy(dtype=np.int64),
+                "o_orderpriority": m["prio"].to_numpy(),
+            }
+        )
+
+    return both.groupby("_bucket").map_groups(probe, batch_format="pandas")
+
+
+def interval_islands(sf_dir: str, gap_s: int = 300):
+    """Gaps-and-islands: merge each user's overlapping activity intervals
+    ([ts, ts+gap_s] per event) into maximal islands and report per-user
+    island count + covered seconds — the interval-union primitive behind
+    session stitching and coverage audits. Touching intervals
+    (s == prev_max_end) merge; a strictly later start opens a new island.
+
+    Scale shape: ``map_key_buckets`` (user-hash buckets, one in-bucket sort
+    by (user, ts, event_id)); islands form via a segment-wise grouped
+    cummax + shift — all pandas C kernels — and the per-user rollup
+    finishes inside the bucket, so output is user-count-sized and no
+    second shuffle is needed. Arithmetic is integer microseconds end to
+    end, so both sides divide exactly."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap_us = gap_s * 1_000_000
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        s = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        en = s + gap_us
+        d = pd.DataFrame({"u": u, "s": s, "e": en})
+        prev_max = d.groupby("u", sort=False)["e"].cummax().shift(1).to_numpy()
+        first = np.empty(len(d), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        isl = np.cumsum(first | (s > prev_max))
+        spans = (
+            d.assign(isl=isl)
+            .groupby("isl", sort=False)
+            .agg(u=("u", "first"), s0=("s", "min"), e1=("e", "max"))
+        )
+        # date_diff('second', ...) counts SECOND-BOUNDARY crossings, not the
+        # floored duration: floor(e1_s) - floor(s0_s), per island.
+        out = (
+            spans.assign(dur=spans["e1"] // 1_000_000 - spans["s0"] // 1_000_000)
+            .groupby("u", sort=False)["dur"]
+            .agg(n_islands="size", covered_s="sum")
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["u"].to_numpy(dtype=np.int64),
+                "n_islands": out["n_islands"].to_numpy(dtype=np.int64),
+                "covered_s": out["covered_s"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return map_key_buckets(ds, "user_id", islands, sort_by=["user_id", "ts", "event_id"])
+
+
+def global_row_number(sf_dir: str, n_buckets: int = N_KEY_BUCKETS):
+    """Global ROW_NUMBER over the whole table (orders by totalprice DESC,
+    orderkey ASC) — distributed ranking WITHOUT materializing a global
+    sort: (1) one streamed pass for global [lo, hi] scalars, (2) one pass
+    of per-batch counts into order-preserving value-range buckets (B
+    integers to the driver → prefix offsets), (3) bucket co-group, sort
+    WITHIN the bucket, rank = bucket offset + local position. Ties share a
+    price so they land in the same bucket and break on orderkey; the
+    bucket function is pure float64 arithmetic on the same values both
+    passes, so assignment is deterministic.
+
+    Scale shape: two column-pruned scans + one all-to-all on ≤B groups;
+    per-bucket sorts are the only O(n log n) work and run fully parallel.
+    Skewed value ranges only unbalance bucket sizes, never correctness."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([p.min()]), "hi": pa.array([p.max()])})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    span = (hi - lo) or 1.0
+
+    def bucket_of(p: np.ndarray) -> np.ndarray:
+        b = ((hi - p) / span * n_buckets).astype(np.int64)
+        return np.clip(b, 0, n_buckets - 1)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        c = np.bincount(bucket_of(p), minlength=n_buckets)
+        return pa.table(
+            {
+                "_bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    counts = (
+        parts.groupby("_bucket")["n"].sum().reindex(range(n_buckets), fill_value=0).to_numpy()
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return t.append_column("_bucket", pa.array(bucket_of(p)))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_bucket"].iloc[0])
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        )
+        rn = offsets[b] + np.arange(1, len(g) + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"].to_numpy(dtype=np.int64), "rn": rn}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
