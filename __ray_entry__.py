@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_join_detail": relational.shuffle_join_detail,
         "interval_islands": relational.interval_islands,
         "global_row_number": relational.global_row_number,
+        # temperature-based source mixing (r3)
+        "source_mixture_sample": training.source_mixture_sample,
         "year_splice": relational.year_splice,
         "regex_tokenize_bpeish": relational.regex_tokenize_bpeish,
         "skew_salt_plan": relational.skew_salt_plan,
@@ -201,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": similarity.semdedup,
         "cluster_balanced_sample": similarity.cluster_balanced_sample,
         "dsir_weights": training.dsir_weights,
+        "bpe_train_merges": training.bpe_train_merges,
         "source_minhash_similarity": dedup.source_minhash_similarity,
         "pca_project": similarity.pca_project,
         "pagerank": graph.pagerank,
@@ -1044,6 +1047,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
               CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
             FROM orders
+        """,
+        "source_mixture_sample": """
+            WITH h AS (
+              SELECT doc_id, source,
+                ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hh
+              FROM documents),
+            r AS (
+              SELECT doc_id, source,
+                ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk,
+                COUNT(*) OVER (PARTITION BY source) AS n
+              FROM h)
+            SELECT doc_id, source FROM r
+            WHERE rk <= LEAST(n, CAST(FLOOR(4 * SQRT(CAST(n AS DOUBLE))) AS BIGINT))
         """,
         "snapshot_diff": """
             WITH a AS (SELECT doc_id, n_chars FROM documents),

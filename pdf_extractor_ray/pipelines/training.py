@@ -418,3 +418,143 @@ def pack_sequences(sf_dir: str, seq_len: int = 256):
         )
 
     return nt.groupby("_bucket").map_groups(explode, batch_format="pandas")
+
+
+def source_mixture_sample(sf_dir: str, mult: int = 4):
+    """Temperature-based source mixing (the multilingual/multi-source
+    pretraining rebalance, T5/XLM-R style α=0.5): per source keep
+    q_s = min(n_s, ⌊mult·√n_s⌋) documents — sub-linear in source size, so
+    dominant sources are downweighted — chosen deterministically as the
+    q_s smallest (knuth_hash(doc_id), doc_id) within the source.
+
+    Float-safety for the hash-exact gate: √ is IEEE correctly-rounded in
+    BOTH numpy and DuckDB and there is NO cross-source float sum (per-source
+    quota only), so the ⌊·⌋ boundary is computed on bit-identical doubles.
+    A normalized mixture (q_s ∝ n_s^α / Σ n_t^α) would put a non-associative
+    float SUM on the oracle path — the per-source form carries the same
+    temperature semantics without it.
+
+    Scale shape: one pass; all rows of a source land in one source-hash
+    bucket, so counts, ranks and the quota cut all finish in-bucket —
+    no separate count pass and no second shuffle."""
+    from ..functions.sketches import fnv1a64_batch
+
+    B = N_KEY_BUCKETS
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t.column("source").to_pylist()
+        sk = (fnv1a64_batch([s.encode() for s in src]) % np.uint64(B)).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(sk),
+                "doc_id": pa.array(did),
+                "source": t.column("source"),
+                "_h": pa.array(knuth_hash(did)),
+            }
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "_h", "doc_id"], kind="mergesort")
+        n = g.groupby("source", sort=False)["doc_id"].transform("size").to_numpy()
+        rk = g.groupby("source", sort=False).cumcount().to_numpy()
+        q = np.minimum(n, np.floor(mult * np.sqrt(n.astype(np.float64))).astype(np.int64))
+        keep = rk < q
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64)[keep],
+                "source": g["source"].to_numpy()[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def _word_counts_topv(ds, top_v: int):
+    """Distributed exact word counts truncated to the top_v most frequent
+    words (count desc, word asc): per-batch value_counts partials →
+    token-hash bucket merge (the heavy-hitter exchange layout — one row
+    per distinct-word-per-batch crosses, never token instances) → a
+    vocab-sized sort-limit."""
+    from ..functions.sketches import fnv1a64_batch
+
+    B = N_KEY_BUCKETS
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        toks = " ".join(texts).split(" ") if texts else []
+        vc = pd.Series(toks, dtype="object").value_counts()
+        words = vc.index.to_numpy(dtype=object)
+        bk = (fnv1a64_batch([w.encode() for w in words]) % np.uint64(B)).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(bk),
+                "word": pa.array(list(words), pa.string()),
+                "n": pa.array(vc.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("word", sort=False)["n"].sum().reset_index()
+        return out[["word", "n"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["n", "word"], descending=[True, False])
+        .limit(top_v)
+        .to_pandas()
+    )
+
+
+def bpe_merges_from_vocab(vocab: "pd.DataFrame", n_merges: int) -> "pd.DataFrame":
+    """Classic frequency-weighted BPE merge induction over a (word, n)
+    vocabulary (Sennrich et al. 2016, arXiv:1508.07909): words start as
+    character sequences; each round counts adjacent symbol pairs weighted
+    by word frequency, merges the (count desc, pair asc) argmax everywhere,
+    and records it. Deterministic: ties break lexicographically.
+
+    Driver-side BY DESIGN: like k-means centroids, the merge loop's state
+    is the truncated VOCABULARY (bounded, data-size-independent), not the
+    corpus — the distributed work is the word-count pass that builds it."""
+    words: list[list[str]] = [list(w) for w in vocab["word"]]
+    freqs = vocab["n"].to_numpy(dtype=np.int64)
+    merges = []
+    for rank in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in zip(words, freqs):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + int(f)
+        if not pairs:
+            break
+        top_n = max(pairs.values())
+        best_pair = min(p for p, c in pairs.items() if c == top_n)
+        merged = best_pair[0] + best_pair[1]
+        for syms in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == best_pair[0] and syms[i + 1] == best_pair[1]:
+                    syms[i : i + 2] = [merged]
+                else:
+                    i += 1
+        merges.append((rank, best_pair[0], best_pair[1], top_n))
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"])
+
+
+def bpe_train_merges(sf_dir: str, n_merges: int = 20, top_v: int = 5_000):
+    """Train BPE tokenizer merges on the corpus: distributed word-count
+    pass (see ``_word_counts_topv``) feeding the driver-side merge loop
+    over the bounded vocabulary (``bpe_merges_from_vocab``). Rows-only —
+    the merge loop is iterative with evolving state, not SQL-expressible;
+    pinned by a constructed known-answer test
+    (tests/test_training.py::test_bpe_known_answer)."""
+    ds = _read(sf_dir, "documents", ["text"])
+    vocab = _word_counts_topv(ds, top_v)
+    return bpe_merges_from_vocab(vocab, n_merges)

@@ -248,3 +248,46 @@ def test_repetition_signals_constructed(ray_session, tmp_path):
     assert df.dup_gram_frac[2] == half6(dup / nch2)
     # doc 3: "w w" occurs 5x * 3 chars = 15/11 > 1 (documented overshoot)
     assert df.top_gram_frac[3] == half6(15 / 11) > 1
+
+
+def test_bpe_known_answer():
+    """Hand-computed BPE merges (Sennrich example vocabulary): frequency-
+    weighted pair counts with lexicographic-ascending tie-breaks."""
+    vocab = pd.DataFrame(
+        {"word": ["low", "lower", "newest", "widest"], "n": [5, 2, 6, 3]}
+    )
+    m = tr.bpe_merges_from_vocab(vocab, n_merges=5)
+    assert list(zip(m["left"], m["right"])) == [
+        ("e", "s"),   # 9, tie with (s,t) → lexicographic min
+        ("es", "t"),  # 9
+        ("l", "o"),   # 7, tie with (o,w) → lexicographic min
+        ("lo", "w"),  # 7
+        ("e", "w"),   # 6, tie with (n,e)? no — ('e','w') < ('n','e') < ('w','est')
+    ]
+    assert list(m["pair_count"]) == [9, 9, 7, 7, 6]
+    assert list(m["rank"]) == [0, 1, 2, 3, 4]
+
+
+def test_bpe_train_merges_deterministic(ray_session):
+    a = _df(tr.bpe_train_merges(SF, n_merges=8, top_v=500))
+    b = _df(tr.bpe_train_merges(SF, n_merges=8, top_v=500))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 8
+
+
+def test_source_mixture_sublinear(ray_session):
+    """Bigger sources keep a smaller FRACTION (the temperature semantics)."""
+    kept = _df(tr.source_mixture_sample(SF)).groupby("source").size()
+    import duckdb
+
+    tot = (
+        duckdb.sql(
+            f"SELECT source, COUNT(*) n FROM read_parquet('{SF}/documents.parquet') GROUP BY source"
+        )
+        .df()
+        .set_index("source")["n"]
+    )
+    frac = (kept / tot).dropna()
+    # fraction must decrease (weakly) as source size increases
+    ordered = frac[tot.sort_values().index.intersection(frac.index)]
+    assert (np.diff(ordered.to_numpy()) <= 1e-12).all() or len(ordered) < 2
