@@ -165,6 +165,12 @@ QUERY_PANEL = [
     "resample_ffill_hourly",
     "event_transition_matrix",
     "incremental_ingest_dedup",
+    "snapshot_diff",
+    "shuffle_join_detail",
+    "interval_islands",
+    "global_row_number",
+    "source_mixture_sample",
+    "bpe_train_merges",
 ]
 
 

@@ -1,0 +1,106 @@
+"""Constructed edge cases for the r3 relational additions: gaps-and-islands
+boundary semantics, the general shuffle-hash join's inner semantics, and
+global ranking's degenerate value range."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf_extractor_ray.pipelines.relational import (
+    global_row_number,
+    interval_islands,
+    shuffle_join_detail,
+)
+
+
+def _df(res) -> pd.DataFrame:
+    return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+
+def _write_events(tmp_path, rows: list[tuple[int, int, int]]):
+    """rows = (event_id, user_id, ts_us)."""
+    eid, uid, ts = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(list(ts), pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_islands_touching_intervals_merge(ray_session, tmp_path):
+    """End == next start merges (s > prev_max opens, s == prev_max doesn't):
+    events at t and t+300s form ONE island covering 600 s."""
+    t0 = 1_000_000_000_000_000
+    sf = _write_events(tmp_path, [(1, 7, t0), (2, 7, t0 + 300_000_000)])
+    got = _df(interval_islands(sf))
+    assert got.to_dict("records") == [{"user_id": 7, "n_islands": 1, "covered_s": 600}]
+
+
+def test_islands_strictly_later_start_splits(ray_session, tmp_path):
+    t0 = 1_000_000_000_000_000
+    sf = _write_events(tmp_path, [(1, 7, t0), (2, 7, t0 + 300_000_001)])
+    got = _df(interval_islands(sf))
+    assert got.to_dict("records") == [{"user_id": 7, "n_islands": 2, "covered_s": 600}]
+
+
+def test_islands_boundary_crossing_seconds(ray_session, tmp_path):
+    """covered_s counts second-BOUNDARY crossings (DuckDB date_diff), not the
+    floored duration: island [1.9 s, 400.2 s] covers 399, not 398."""
+    sf = _write_events(tmp_path, [(1, 7, 1_900_000), (2, 7, 100_200_000)])
+    got = _df(interval_islands(sf))
+    assert got.to_dict("records") == [{"user_id": 7, "n_islands": 1, "covered_s": 399}]
+
+
+def test_shuffle_join_inner_drops_both_dangles(ray_session, tmp_path):
+    """Inner semantics: lineitem rows without an order AND orders without
+    lineitems both vanish; a 2-line order yields 2 joined rows."""
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 99], pa.int64()),
+                "l_linenumber": pa.array([1, 2, 1], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 20.0, 5.0]),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([77, 88], pa.int64()),
+                "o_orderpriority": pa.array(["1-URGENT", "5-LOW"]),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    got = _df(shuffle_join_detail(str(tmp_path))).sort_values("l_linenumber")
+    assert len(got) == 2
+    assert set(got["l_orderkey"]) == {1} and set(got["o_custkey"]) == {77}
+
+
+def test_global_row_number_degenerate_equal_prices(ray_session, tmp_path):
+    """All-equal prices: span collapses to the 1.0 fallback, every row lands
+    in bucket 0, and ranks are a permutation-free 1..n by orderkey."""
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([5, 3, 9, 1], pa.int64()),
+                "o_totalprice": pa.array([42.0] * 4),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    got = _df(global_row_number(str(tmp_path))).sort_values("rn")
+    assert list(got["o_orderkey"]) == [1, 3, 5, 9]
+    assert list(got["rn"]) == [1, 2, 3, 4]
+    assert got["rn"].dtype == np.int64
