@@ -112,6 +112,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_join_detail": relational.shuffle_join_detail,
         "interval_islands": relational.interval_islands,
         "global_row_number": relational.global_row_number,
+        # set ops, dense rank, 3-way star join, robust spread, unpivot (r3)
+        "intersect_custkeys": relational.intersect_custkeys,
+        "except_custkeys": relational.except_custkeys,
+        "dense_rank_in_group": relational.dense_rank_in_group,
+        "star_join_revenue": relational.star_join_revenue,
+        "mad_by_group": relational.mad_by_group,
+        "unpivot_measures": relational.unpivot_measures,
         # temperature-based source mixing (r3)
         "source_mixture_sample": training.source_mixture_sample,
         "year_splice": relational.year_splice,
@@ -1047,6 +1054,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
               CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
             FROM orders
+        """,
+        "intersect_custkeys": """
+            SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        """,
+        "except_custkeys": """
+            SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        """,
+        "dense_rank_in_group": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+              l_suppkey,
+              CAST(DENSE_RANK() OVER (
+                PARTITION BY l_suppkey ORDER BY l_quantity) AS BIGINT) AS drank
+            FROM lineitem
+        """,
+        "star_join_revenue": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "mad_by_group": """
+            SELECT l_returnflag, mad(l_extendedprice) AS mad_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "unpivot_measures": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+              'l_quantity' AS measure, CAST(l_quantity AS DOUBLE) AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+              'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+              'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
         """,
         "source_mixture_sample": """
             WITH h AS (

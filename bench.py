@@ -171,6 +171,9 @@ QUERY_PANEL = [
     "global_row_number",
     "source_mixture_sample",
     "bpe_train_merges",
+    "star_join_revenue",
+    "dense_rank_in_group",
+    "unpivot_measures",
 ]
 
 

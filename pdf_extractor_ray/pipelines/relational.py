@@ -3013,3 +3013,228 @@ def global_row_number(sf_dir: str, n_buckets: int = N_KEY_BUCKETS):
         .groupby("_bucket")
         .map_groups(rank_bucket, batch_format="pandas")
     )
+
+
+def dense_rank_in_group(sf_dir: str):
+    """DENSE_RANK per partition (ties share a rank AND consume one slot —
+    the gap-free cousin of ``rank_in_group``): lineitem ranked by quantity
+    within supplier, where integer quantities make ties the common case.
+
+    Scale shape: ``map_key_buckets`` — suppliers never become Ray groups;
+    the in-bucket rank is pandas' C ``rank(method="dense")`` applied
+    segment-wise. Rank depends only on VALUES (not tie order), so no
+    tiebreak column is needed for hash parity."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"]
+    )
+
+    def drank(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("l_suppkey", sort=False)["l_quantity"].rank(method="dense")
+        return pd.DataFrame(
+            {
+                "l_orderkey": g["l_orderkey"].to_numpy(dtype=np.int64),
+                "l_linenumber": g["l_linenumber"].to_numpy(dtype=np.int64),
+                "l_suppkey": g["l_suppkey"].to_numpy(dtype=np.int64),
+                "drank": r.to_numpy().astype(np.int64),
+            }
+        )
+
+    return map_key_buckets(ds, "l_suppkey", drank, sort_by=["l_suppkey", "l_quantity"])
+
+
+def _distinct_set_op(sf_dir: str, op: str):
+    """Shared body for INTERSECT / EXCEPT (distinct set semantics): active
+    order custkeys vs high-balance customer keys. Each side deduplicates
+    per batch (np.unique partial — the combiner), then kind-tagged rows
+    co-group in key-hash buckets and the set op finishes vectorized inside
+    the bucket. ONE all-to-all; only distinct-per-batch int64 keys shuffle."""
+    B = N_KEY_BUCKETS
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        k = np.unique(t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "_bucket": pa.array(k % B),
+                "key": pa.array(k),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+            }
+        )
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        k = np.unique(k[bal > 5000.0])
+        return pa.table(
+            {
+                "_bucket": pa.array(k % B),
+                "key": pa.array(k),
+                "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            }
+        )
+
+    both = orders.map_batches(left_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+        cust.map_batches(right_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        key = g["key"].to_numpy(dtype=np.int64)
+        left = np.unique(key[side == 0])
+        right = key[side == 1]  # already distinct per batch; isin handles dups
+        keep = np.isin(left, right) if op == "intersect" else ~np.isin(left, right)
+        return pd.DataFrame({"custkey": left[keep]})
+
+    return both.groupby("_bucket").map_groups(finish, batch_format="pandas")
+
+
+def intersect_custkeys(sf_dir: str):
+    """INTERSECT (distinct): custkeys that both placed an order and hold a
+    high-balance account (§2.5 set-op family). See ``_distinct_set_op``."""
+    return _distinct_set_op(sf_dir, "intersect")
+
+
+def except_custkeys(sf_dir: str):
+    """EXCEPT (distinct): custkeys with orders but NO high-balance account.
+    See ``_distinct_set_op``."""
+    return _distinct_set_op(sf_dir, "except")
+
+
+def star_join_revenue(sf_dir: str, cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H Q3-shape 3-way star join: customer (segment filter, broadcast
+    semi) ⋈ orders (date filter) ⋈ lineitem (date filter), revenue per
+    order, global top-k — the canonical composed join+agg+rank pipeline.
+
+    Scale shape: the segment key set broadcasts once (``semi_join_keys``
+    layout — the only dimension that crosses stages); orders and lineitem
+    are date-PRUNED inside their first map_batches, then co-grouped ONCE in
+    orderkey-hash buckets (``shuffle_join_detail`` layout). Each orderkey is
+    complete inside its bucket, so revenue aggregates AND the per-bucket
+    top-k finish in-bucket; only B·k candidate rows reach the final tiny
+    sort-limit. Dates shuffle as int64 epoch-µs and render ISO at the end
+    (NOTES.md int64-key rule)."""
+    import ray
+
+    B = N_KEY_BUCKETS
+    cut_us = np.datetime64(cutoff, "us").astype(np.int64)
+    keys_ref = ray.put(_building_custkeys(sf_dir))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def dim_rows(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        ck = pc.is_in(t.column("o_custkey"), value_set=pa.array(keys)).to_numpy(zero_copy_only=False)
+        m = ck & (d < cut_us)
+        k_ = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        return pa.table(
+            {
+                "_bucket": pa.array(k_ % B),
+                "key": pa.array(k_),
+                "odate": pa.array(d[m]),
+                "rev": pa.array(np.full(m.sum(), np.nan)),
+            }
+        )
+
+    def fact_rows(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        m = d > cut_us
+        k_ = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        return pa.table(
+            {
+                "_bucket": pa.array(k_ % B),
+                "key": pa.array(k_),
+                "odate": pa.array(np.full(len(k_), -1, dtype=np.int64)),
+                "rev": pa.array(ep * (1.0 - dc)),
+            }
+        )
+
+    both = orders.map_batches(dim_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+        li.map_batches(fact_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["odate"] >= 0][["key", "odate"]]
+        fact = g[g["odate"] < 0][["key", "rev"]]
+        m = fact.merge(dim, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame(
+                {"l_orderkey": pd.Series(dtype=np.int64),
+                 "o_orderdate": pd.Series(dtype=object),
+                 "revenue": pd.Series(dtype=np.float64)}
+            )
+        agg = m.groupby(["key", "odate"], sort=False)["rev"].sum().reset_index()
+        agg["rev"] = np.round(agg["rev"].to_numpy(), 4)
+        agg = agg.sort_values(["rev", "key"], ascending=[False, True]).head(k)
+        iso = agg["odate"].to_numpy(dtype=np.int64).astype("datetime64[us]")
+        return pd.DataFrame(
+            {
+                "l_orderkey": agg["key"].to_numpy(dtype=np.int64),
+                "o_orderdate": np.datetime_as_string(iso, unit="D"),
+                "revenue": agg["rev"].to_numpy(),
+            }
+        )
+
+    cand = both.groupby("_bucket").map_groups(topk_bucket, batch_format="pandas")
+    # B·k candidate rows — a driver-side finish, not another all-to-all
+    df = cand.to_pandas()
+    return (
+        df.sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def mad_by_group(sf_dir: str):
+    """Median absolute deviation per group (robust spread; §2.5 family):
+    MAD = median(|x − median(x)|). Both medians are exact elements or exact
+    midpoints, and subtraction/abs are correctly rounded, so the doubles
+    hash-match DuckDB's ``mad()`` with no rounding step. Three returnflag
+    groups — the small-cardinality grouped shape (``median_by_group``); for
+    global/huge groups the scale path is the ``exact_quantile`` histogram
+    narrowing, twice."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["l_extendedprice"].to_numpy()
+        med = np.median(v)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "mad_price": [float(np.median(np.abs(v - med)))],
+            }
+        )
+
+    return ds.groupby("l_returnflag").map_groups(mad, batch_format="pandas")
+
+
+def unpivot_measures(sf_dir: str):
+    """UNPIVOT / melt (wide→long, the inverse of ``pivot_event_counts``):
+    each lineitem row becomes one (measure, value) row per measure column.
+    Stateless per-batch Arrow concat — zero shuffle, output streams at 3×
+    input row count; the schema-fixed measure names never leave the
+    closure."""
+    measures = ["l_quantity", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", *measures])
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ok = t.column("l_orderkey").cast(pa.int64())
+        ln = t.column("l_linenumber").cast(pa.int64())
+        parts = [
+            pa.table(
+                {
+                    "l_orderkey": ok,
+                    "l_linenumber": ln,
+                    "measure": pa.array([m] * n, type=pa.string()),
+                    "value": t.column(m).cast(pa.float64()),
+                }
+            )
+            for m in measures
+        ]
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)

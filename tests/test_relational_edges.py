@@ -104,3 +104,71 @@ def test_global_row_number_degenerate_equal_prices(ray_session, tmp_path):
     assert list(got["o_orderkey"]) == [1, 3, 5, 9]
     assert list(got["rn"]) == [1, 2, 3, 4]
     assert got["rn"].dtype == np.int64
+
+
+def test_dense_rank_ties_share_rank_no_gaps(ray_session, tmp_path):
+    """Ties share a rank and the next distinct value takes rank+1 (no gap —
+    the DENSE_RANK vs RANK distinction)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray.pipelines.relational import dense_rank_in_group
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "l_linenumber": pa.array([1, 1, 1, 1], pa.int64()),
+                "l_suppkey": pa.array([9, 9, 9, 9], pa.int64()),
+                "l_quantity": pa.array([5.0, 5.0, 7.0, 7.0]),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    got = _df(dense_rank_in_group(str(tmp_path))).sort_values("l_orderkey")
+    assert got["drank"].tolist() == [1, 1, 2, 2]
+
+
+def test_set_ops_distinct_semantics(ray_session, tmp_path):
+    """INTERSECT/EXCEPT emit DISTINCT keys: duplicate order custkeys collapse,
+    and the balance filter gates the right side."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray.pipelines.relational import except_custkeys, intersect_custkeys
+
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                  "o_custkey": pa.array([1, 1, 2, 3], pa.int64())}),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 4], pa.int64()),
+                "c_acctbal": pa.array([6000.0, 100.0, 9000.0]),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    assert sorted(_df(intersect_custkeys(str(tmp_path)))["custkey"]) == [1]
+    assert sorted(_df(except_custkeys(str(tmp_path)))["custkey"]) == [2, 3]
+
+
+def test_mad_even_and_odd_counts(ray_session, tmp_path):
+    """MAD midpoint semantics: even count averages the two middle deviations;
+    odd count picks the exact element."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray.pipelines.relational import mad_by_group
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(["A", "A", "B", "B", "B"]),
+                "l_extendedprice": pa.array([1.0, 3.0, 1.0, 2.0, 10.0]),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    got = _df(mad_by_group(str(tmp_path))).set_index("l_returnflag")["mad_price"]
+    assert got["A"] == 1.0  # med 2, devs [1, 1] -> 1
+    assert got["B"] == 1.0  # med 2, devs [1, 0, 8] -> 1
