@@ -119,6 +119,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "star_join_revenue": relational.star_join_revenue,
         "mad_by_group": relational.mad_by_group,
         "unpivot_measures": relational.unpivot_measures,
+        # corpus-level paragraph dedup + canonical-URL collapse (r3)
+        "paragraph_dedup": textops.paragraph_dedup,
+        "url_canonical_dedup": textops.url_canonical_dedup,
+        # quantile-stratified sampling (r3)
+        "stratified_sample_by_decile": training.stratified_sample_by_decile,
         # temperature-based source mixing (r3)
         "source_mixture_sample": training.source_mixture_sample,
         "year_splice": relational.year_splice,
@@ -211,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_balanced_sample": similarity.cluster_balanced_sample,
         "dsir_weights": training.dsir_weights,
         "bpe_train_merges": training.bpe_train_merges,
+        "logreg_quality_train": training.logreg_quality_train,
         "source_minhash_similarity": dedup.source_minhash_similarity,
         "pca_project": similarity.pca_project,
         "pagerank": graph.pagerank,
@@ -229,12 +235,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _host_case_sql() -> str:
-    """SQL reproduction of corpus.host_for_doc (pure arithmetic)."""
+def _host_case_sql(var: str = "doc_id") -> str:
+    """SQL reproduction of corpus.host_for_doc (pure arithmetic) over any
+    integer expression ``var``."""
     from pdf_extractor_ray.corpus import HOST_CUTS, HOSTS
 
     whens = " ".join(
-        f"WHEN (doc_id * 37) % 100 < {cut} THEN '{host}'"
+        f"WHEN (({var}) * 37) % 100 < {cut} THEN '{host}'"
         for host, cut in zip(HOSTS, HOST_CUTS)
     )
     return f"CASE {whens} END"
@@ -1054,6 +1061,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
               CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
             FROM orders
+        """,
+        "paragraph_dedup": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            ex AS (SELECT doc_id, w,
+              unnest(range(0, CAST(ceil(len(w) / 20.0) AS BIGINT))) AS ci FROM d),
+            ch AS (SELECT doc_id, ci,
+              CASE WHEN doc_id % 5 = 0 AND ci = 0
+                   THEN 'subscribe to our newsletter for daily updates'
+                   ELSE array_to_string(list_slice(w, ci * 20 + 1, ci * 20 + 20), ' ')
+              END AS para
+              FROM ex),
+            rk AS (SELECT doc_id, ci, para,
+              ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, ci) AS rn
+              FROM ch)
+            SELECT doc_id, string_agg(para, ' ' ORDER BY ci) AS text_dedup
+            FROM rk WHERE rn = 1 GROUP BY doc_id
+        """,
+        "url_canonical_dedup": f"""
+            WITH g AS (
+              SELECT doc_id, doc_id - doc_id % 3 AS gid FROM documents),
+            h AS (
+              SELECT doc_id, gid, {_host_case_sql('gid')} AS host FROM g),
+            b AS (
+              SELECT doc_id,
+                'https://' || host || '/doc/' ||
+                  lpad(CAST(gid AS VARCHAR), 8, '0') AS base,
+                'https://' || upper(host) || '/doc/' ||
+                  lpad(CAST(gid AS VARCHAR), 8, '0') AS base_uc
+              FROM h),
+            m AS (
+              SELECT doc_id, CASE doc_id % 4
+                WHEN 0 THEN base
+                WHEN 1 THEN base || '?utm_source=feed&utm_medium=rss'
+                WHEN 2 THEN base_uc
+                ELSE base || '/#top' END AS u FROM b),
+            s AS (
+              SELECT doc_id, split_part(split_part(u, '#', 1), '?', 1) AS u2 FROM m),
+            c AS (
+              SELECT doc_id, 'https://' || lower(split_part(u2, '/', 3)) ||
+                rtrim(substr(u2, 9 + length(split_part(u2, '/', 3))), '/')
+                AS canonical_url
+              FROM s)
+            SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+              MIN(doc_id) AS first_doc
+            FROM c GROUP BY canonical_url
+        """,
+        "stratified_sample_by_decile": """
+            WITH t AS (
+              SELECT doc_id, n_chars,
+                NTILE(10) OVER (ORDER BY n_chars, doc_id) AS tile,
+                ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hh
+              FROM documents),
+            r AS (
+              SELECT tile, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY tile ORDER BY hh, doc_id) AS rk
+              FROM t)
+            SELECT CAST(tile AS BIGINT) AS tile, doc_id FROM r WHERE rk <= 20
         """,
         "intersect_custkeys": """
             SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders

@@ -174,6 +174,10 @@ QUERY_PANEL = [
     "star_join_revenue",
     "dense_rank_in_group",
     "unpivot_measures",
+    "paragraph_dedup",
+    "url_canonical_dedup",
+    "stratified_sample_by_decile",
+    "logreg_quality_train",
 ]
 
 

@@ -657,3 +657,142 @@ def repetition_signals(sf_dir: str, n_top: int = 2, n_dup: int = 3):
         )
 
     return ds.map_batches(signals, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: injected-boilerplate paragraph for the paragraph-dedup derivation (both
+#: sides of the oracle derive the same corpus, like snapshot_diff's snapshot B)
+BOILERPLATE_PARA = "subscribe to our newsletter for daily updates"
+PARA_WORDS = 20
+
+
+def paragraph_dedup(sf_dir: str, n_buckets: int = 64):
+    """RefinedWeb-style corpus-level PARAGRAPH dedup: split every document
+    into paragraphs, keep only the globally FIRST occurrence of each
+    paragraph (ordered by (doc_id, position)), and reassemble each
+    document's surviving text in original order — the boilerplate-removal
+    pass that document-level exact dedup cannot do. Paragraphs here are
+    20-word chunks, with a deterministic boilerplate injection (every 5th
+    doc's first chunk) so both oracle sides derive identical duplicates.
+
+    Scale shape: explode → ONE paragraph-hash bucket co-group (global
+    first-occurrence = vectorized sort + drop_duplicates inside the
+    bucket) → ONE doc-hash bucket co-group for ordered reassembly. Only
+    surviving paragraphs cross the second shuffle. The per-doc split/join
+    is inherent string work (same class as extraction's inner loop)."""
+    from ..functions.hashing import token_hashes
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t.column("text").to_pylist()
+        out_id: list[int] = []
+        out_ci: list[int] = []
+        out_para: list[str] = []
+        for d, tx in zip(ids, texts):
+            words = tx.split(" ")
+            for ci in range((len(words) + PARA_WORDS - 1) // PARA_WORDS or 1):
+                para = " ".join(words[ci * PARA_WORDS : (ci + 1) * PARA_WORDS])
+                if d % 5 == 0 and ci == 0:
+                    para = BOILERPLATE_PARA
+                out_id.append(int(d))
+                out_ci.append(ci)
+                out_para.append(para)
+        b = (token_hashes(out_para) % n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(b),
+                "doc_id": pa.array(np.asarray(out_id, dtype=np.int64)),
+                "ci": pa.array(np.asarray(out_ci, dtype=np.int64)),
+                "para": pa.array(out_para, type=pa.string()),
+            }
+        )
+
+    import pandas as pd
+
+    def survivors(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["para", "doc_id", "ci"], kind="mergesort")
+        keep = g.drop_duplicates("para")[["doc_id", "ci", "para"]]
+        keep["_b2"] = keep["doc_id"].to_numpy() % n_buckets
+        return keep
+
+    def reassemble(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["doc_id", "ci"], kind="mergesort")
+        out = g.groupby("doc_id", sort=False)["para"].agg(" ".join).reset_index()
+        return out.rename(columns={"para": "text_dedup"})
+
+    return (
+        docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(survivors, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
+def canonicalize_urls(u: pa.Array) -> pa.Array:
+    """Vectorized URL canonicalization kernel (crawl-dedup policy): strip
+    fragment, strip the whole query (aggressive policy — utm-only stripping
+    is a policy knob, not a different shape), lowercase scheme+host, strip
+    trailing slashes. Assumes scheme://host/path form (crawl frontier
+    URLs); pure pyarrow.compute, zero Python per row."""
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    u = pc.list_element(pc.split_pattern(u, "#", max_splits=1), 0)
+    u = pc.list_element(pc.split_pattern(u, "?", max_splits=1), 0)
+    parts = pc.split_pattern(u, "/", max_splits=3)
+    scheme = pc.utf8_lower(pc.list_element(parts, 0))  # 'https:'
+    host = pc.utf8_lower(pc.list_element(parts, 2))
+    rest = pc.utf8_rtrim(pc.list_element(parts, 3), "/")
+    return pc.binary_join_element_wise(scheme, "", host, rest, "/")
+
+
+def url_canonical_dedup(sf_dir: str, n_buckets: int = 64):
+    """Canonical-URL exact dedup (the crawl-frontier / re-crawl collapse
+    step): messy URL variants (tracking params, host case, trailing slash +
+    fragment) are derived deterministically from doc_id arithmetic — three
+    doc_ids share each canonical target — then the vectorized
+    ``canonicalize_urls`` kernel normalizes them and duplicates collapse to
+    (canonical_url, n_variants, first_doc).
+
+    Scale shape: stateless canonicalization pass, then ONE canonical-hash
+    bucket co-group with the count+min finishing vectorized in-bucket."""
+    from ..functions.hashing import token_hashes
+
+    docs = _read_docs(sf_dir, ["doc_id"])
+
+    def mess_and_canon(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = d - d % 3
+        hosts = corpus.hosts_for_docs(g).astype("U64")
+        gs = np.char.zfill(g.astype("U16"), 8)
+        base = np.char.add(np.char.add(np.char.add("https://", hosts), "/doc/"), gs)
+        m = d % 4
+        messy = base.astype(object)
+        messy[m == 1] = np.char.add(base[m == 1], "?utm_source=feed&utm_medium=rss")
+        uc = np.char.add(
+            np.char.add(np.char.add("https://", np.char.upper(hosts[m == 2])), "/doc/"),
+            gs[m == 2],
+        )
+        messy[m == 2] = uc
+        messy[m == 3] = np.char.add(base[m == 3], "/#top")
+        cu = canonicalize_urls(pa.array(list(messy), type=pa.string()))
+        b = (token_hashes(cu.to_pylist()) % n_buckets).astype(np.int64)
+        return pa.table({"_bucket": pa.array(b), "canonical_url": cu, "doc_id": pa.array(d)})
+
+    import pandas as pd
+
+    def collapse(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (
+            g.groupby("canonical_url", sort=False)["doc_id"]
+            .agg(n_variants="size", first_doc="min")
+            .reset_index()
+        )
+        out["n_variants"] = out["n_variants"].astype(np.int64)
+        return out
+
+    return (
+        docs.map_batches(mess_and_canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(collapse, batch_format="pandas")
+    )

@@ -558,3 +558,193 @@ def bpe_train_merges(sf_dir: str, n_merges: int = 20, top_v: int = 5_000):
     ds = _read(sf_dir, "documents", ["text"])
     vocab = _word_counts_topv(ds, top_v)
     return bpe_merges_from_vocab(vocab, n_merges)
+
+
+def stratified_sample_by_decile(sf_dir: str, tiles: int = 10, k: int = 20, n_buckets: int = 64):
+    """Quantile-stratified deterministic sampling: rank every document by
+    (n_chars, doc_id), cut into NTILE(tiles) strata, and keep the k
+    hash-smallest docs per stratum — the curriculum/eval-set builder that
+    samples uniformly across the quality distribution instead of from its
+    head.
+
+    Scale shape: the ``global_row_number`` machinery (scalar [lo,hi] pass →
+    order-preserving value-range bucket counts → prefix offsets → in-bucket
+    rank); the NTILE id is CLOSED-FORM from the global rank (first N%tiles
+    strata get one extra row — DuckDB semantics), and per-stratum selection
+    is a per-bucket partial top-k (each bucket emits ≤k rows per stratum it
+    intersects), so the final merge sees ≤B·k·tiles rows, never the table."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(v.min())]), "hi": pa.array([int(v.max())])})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    span = float(hi - lo) or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        b = ((v - lo) / span * n_buckets).astype(np.int64)
+        return np.clip(b, 0, n_buckets - 1)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        v = t.column("n_chars").to_numpy(zero_copy_only=False)
+        c = np.bincount(bucket_of(v), minlength=n_buckets)
+        return pa.table(
+            {"_bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+             "n": pa.array(c.astype(np.int64))}
+        )
+
+    parts = ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    counts = parts.groupby("_bucket")["n"].sum().reindex(range(n_buckets), fill_value=0).to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    n_total = int(counts.sum())
+    q, rem = divmod(n_total, tiles)
+
+    def tile_of(rn: np.ndarray) -> np.ndarray:
+        # DuckDB NTILE: the first rem tiles get q+1 rows
+        r0 = rn - 1
+        head = r0 < rem * (q + 1)
+        t_ = np.where(head, r0 // (q + 1), rem + (r0 - rem * (q + 1)) // max(q, 1))
+        return (t_ + 1).astype(np.int64)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return t.append_column("_bucket", pa.array(bucket_of(v)))
+
+    def rank_tile_topk(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_bucket"].iloc[0])
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        rn = offsets[b] + np.arange(1, len(g) + 1, dtype=np.int64)
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        hh = ((d % 2_147_483_648) * KNUTH_MULT) % 2_147_483_648
+        cand = pd.DataFrame({"tile": tile_of(rn), "doc_id": d, "hh": hh})
+        # per-stratum partial top-k INSIDE the bucket — the final merge
+        # never sees more than k rows per (bucket, stratum)
+        cand = cand.sort_values(["tile", "hh", "doc_id"], kind="mergesort")
+        return cand.groupby("tile", sort=False).head(k)
+
+    cand = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(rank_tile_topk, batch_format="pandas")
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hh", "doc_id"], kind="mergesort").head(k)
+        return pd.DataFrame(
+            {"tile": g["tile"].to_numpy(dtype=np.int64), "doc_id": g["doc_id"].to_numpy(dtype=np.int64)}
+        )
+
+    return cand.groupby("tile").map_groups(final_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# distributed quality-classifier training (full-batch gradient descent)
+# ---------------------------------------------------------------------------
+
+LOGREG_DIM = 5
+
+#: planted linear quality rule the classifier must recover (the logistic
+#: analog of the k-means planted-structure test): label = 1 iff
+#: X @ LOGREG_PLANTED_W > 0. The synthetic corpus has no text↔lang
+#: correlation, so a "real" label (e.g. lang=='en') is pure noise — the
+#: planted rule makes convergence of the TRAINING machinery measurable.
+LOGREG_PLANTED_W = np.array([0.05, 1.0, 2.0, -1.5, 0.5])
+
+
+def _logreg_features(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_id, X[n,5], y) from a documents batch: bias, then length /
+    stopword-ratio / punctuation-density / chars-per-token signals
+    STANDARDIZED with fixed corpus-independent constants (a deployment
+    would compute μ/σ in one extra streamed pass; fixed constants keep the
+    pipeline one-pass and deterministic — gradient descent on raw
+    ~0.05-std features needs 5× the iterations, measured). Label = the
+    planted linear rule over the scaled features (~53% positive)."""
+    from ..functions.quality import quality_features
+
+    f = quality_features(t)
+    n_tok = np.maximum(f.column("n_tokens").to_numpy(zero_copy_only=False), 1)
+    n_chars = np.maximum(f.column("n_chars_q").to_numpy(zero_copy_only=False), 1)
+    n_stop = f.column("n_stop").to_numpy(zero_copy_only=False)
+    n_punct = f.column("n_punct").to_numpy(zero_copy_only=False)
+    X = np.column_stack(
+        [
+            np.ones(len(n_tok)),
+            (np.log1p(n_tok) / 10.0 - 0.39) * 17.0,
+            (n_stop / n_tok - 0.13) * 20.0,
+            n_punct / n_chars,
+            (n_chars / (n_tok * 10.0) - 0.547) * 50.0,
+        ]
+    )
+    y = (X @ LOGREG_PLANTED_W > 0).astype(np.float64)
+    d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    return d, X, y
+
+
+def logreg_quality_train(sf_dir: str, iters: int = 40, lr: float = 2.0):
+    """Distributed quality-classifier TRAINING (fastText-style pipeline
+    stage, linear model): full-batch logistic regression by gradient
+    descent. One streaming pass builds the tiny (doc_id, X, y) feature
+    table (9 doubles/doc — this is what iterations re-scan, never the
+    text); each GD step is a map_batches pass emitting ONE partial-gradient
+    row per batch, summed on the driver in doc_id-sorted order so the step
+    is deterministic regardless of task completion order. Model state is d
+    floats — broadcast per step, like k-means centroids.
+
+    Returns per-doc (doc_id, label, prob, pred) from a final scoring pass.
+    Rows-only (iterative model fitting is not SQL-expressible); pinned by
+    accuracy + determinism + local-reimplementation tests."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        d, X, y = _logreg_features(t)
+        cols = {"doc_id": pa.array(d)}
+        for j in range(LOGREG_DIM):
+            cols[f"x{j}"] = pa.array(X[:, j])
+        cols["y"] = pa.array(y)
+        return pa.table(cols)
+
+    fds = ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_total = fds.count()
+    w = np.zeros(LOGREG_DIM)
+
+    xcols = [f"x{j}" for j in range(LOGREG_DIM)]
+
+    for _ in range(iters):
+        w_ref = ray.put(w)
+
+        def grad_partial(t: pa.Table) -> pa.Table:
+            wv = ray.get(w_ref)
+            X = np.column_stack([t.column(c).to_numpy(zero_copy_only=False) for c in xcols])
+            y = t.column("y").to_numpy(zero_copy_only=False)
+            p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+            g = X.T @ (p - y)
+            row = {"_key": pa.array([int(t.column("doc_id").to_numpy(zero_copy_only=False).min())])}
+            for j in range(LOGREG_DIM):
+                row[f"g{j}"] = pa.array([g[j]])
+            return pa.table(row)
+
+        parts = fds.map_batches(grad_partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        parts = parts.sort_values("_key", kind="mergesort")
+        g = parts[[f"g{j}" for j in range(LOGREG_DIM)]].to_numpy().sum(axis=0)
+        w = w - lr * g / n_total
+
+    w_ref = ray.put(w)
+
+    def score(t: pa.Table) -> pa.Table:
+        wv = ray.get(w_ref)
+        X = np.column_stack([t.column(c).to_numpy(zero_copy_only=False) for c in xcols])
+        p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "label": pc.cast(pc.equal(t.column("y"), 1.0), pa.int64()),
+                "prob": pa.array(np.round(p, 6)),
+                "pred": pa.array((p >= 0.5).astype(np.int64)),
+            }
+        )
+
+    return fds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -172,3 +172,53 @@ def test_mad_even_and_odd_counts(ray_session, tmp_path):
     got = _df(mad_by_group(str(tmp_path))).set_index("l_returnflag")["mad_price"]
     assert got["A"] == 1.0  # med 2, devs [1, 1] -> 1
     assert got["B"] == 1.0  # med 2, devs [1, 0, 8] -> 1
+
+
+def test_paragraph_dedup_first_occurrence_wins(ray_session, tmp_path):
+    """Cross-doc duplicate paragraphs survive only at their globally first
+    (doc_id, position); boilerplate injection dedups across docs 0 and 5;
+    reassembly preserves original chunk order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray.pipelines.textops import BOILERPLATE_PARA, paragraph_dedup
+
+    w = lambda s, n: " ".join([s] * n)  # noqa: E731 — n distinct-word chunk filler
+    # doc 0: boilerplate (injected, ci=0) + unique tail chunk
+    # doc 1: chunkA + chunkB
+    # doc 5: boilerplate (injected, loses it) + chunkA duplicate (loses it) + unique
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 5], pa.int64()),
+                "text": pa.array(
+                    [
+                        w("zero", 20) + " " + w("tail", 20),
+                        w("alpha", 20) + " " + w("beta", 20),
+                        w("five", 20) + " " + w("alpha", 20) + " " + w("gamma", 20),
+                    ]
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = _df(paragraph_dedup(str(tmp_path))).set_index("doc_id")["text_dedup"]
+    assert got[0] == BOILERPLATE_PARA + " " + w("tail", 20)
+    assert got[1] == w("alpha", 20) + " " + w("beta", 20)
+    assert got[5] == w("gamma", 20)  # boilerplate AND alpha chunk deduped away
+
+
+def test_canonicalize_urls_kernel():
+    import pyarrow as pa
+
+    from pdf_extractor_ray.pipelines.textops import canonicalize_urls
+
+    got = canonicalize_urls(
+        pa.array(
+            [
+                "https://Host.Example.COM/a/b?utm_source=x&q=1#frag",
+                "HTTPS://host.example.com/a/b/",
+                "https://host.example.com/a/b",
+            ]
+        )
+    ).to_pylist()
+    assert got == ["https://host.example.com/a/b"] * 3

@@ -291,3 +291,27 @@ def test_source_mixture_sublinear(ray_session):
     # fraction must decrease (weakly) as source size increases
     ordered = frac[tot.sort_values().index.intersection(frac.index)]
     assert (np.diff(ordered.to_numpy()) <= 1e-12).all() or len(ordered) < 2
+
+
+def test_stratified_sample_exact_k_per_tile(ray_session):
+    got = _df(tr.stratified_sample_by_decile(SF))
+    per = got.groupby("tile").size()
+    assert sorted(per.index) == list(range(1, 11))
+    assert (per == 20).all()
+    assert got["doc_id"].is_unique
+
+
+def test_logreg_recovers_planted_rule(ray_session):
+    """Distributed full-batch GD separates the planted linear rule well
+    above the base rate, and the label balance makes that non-trivial."""
+    df = _df(tr.logreg_quality_train(SF))
+    pos = df["label"].mean()
+    assert 0.35 < pos < 0.65  # balanced — majority-class guessing can't pass
+    acc = (df["label"] == df["pred"]).mean()
+    assert acc >= 0.95
+
+
+def test_logreg_deterministic(ray_session):
+    a = _df(tr.logreg_quality_train(SF, iters=10)).sort_values("doc_id").reset_index(drop=True)
+    b = _df(tr.logreg_quality_train(SF, iters=10)).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
