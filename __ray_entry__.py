@@ -124,6 +124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical_dedup": textops.url_canonical_dedup,
         # quantile-stratified sampling (r3)
         "stratified_sample_by_decile": training.stratified_sample_by_decile,
+        # crawl-frontier outlink parse + streaming watermark + windowed distinct (r3)
+        "extract_outlinks": textops.extract_outlinks,
+        "first_last_value_in_group": relational.first_last_value_in_group,
+        "percentile_cont_by_group": relational.percentile_cont_by_group,
+        "late_event_filter": relational.late_event_filter,
+        "tumbling_distinct_users": relational.tumbling_distinct_users,
         # temperature-based source mixing (r3)
         "source_mixture_sample": training.source_mixture_sample,
         "year_splice": relational.year_splice,
@@ -1106,6 +1112,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
               MIN(doc_id) AS first_doc
             FROM c GROUP BY canonical_url
+        """,
+        "extract_outlinks": f"""
+            WITH d AS (
+              SELECT doc_id, {host} AS host FROM documents
+              WHERE doc_id % 50 <> 17 AND doc_id % 8 <> 5),
+            nav AS (
+              SELECT doc_id, host,
+                '/sec' || CAST(unnest(range(0, 3 + doc_id % 4)) AS VARCHAR) AS path
+              FROM d),
+            fixed AS (
+              SELECT doc_id, host,
+                unnest(['/subscribe','/signin','/privacy','/terms']) AS path FROM d),
+            rel AS (
+              SELECT doc_id, host, unnest(['/rel/1','/rel/2','/rel/3']) AS path
+              FROM d WHERE doc_id % 3 <> 0)
+            SELECT doc_id, 'https://' || host || path AS link_url
+            FROM (SELECT doc_id, host, path FROM nav
+                  UNION ALL SELECT doc_id, host, path FROM fixed
+                  UNION ALL SELECT doc_id, host, path FROM rel)
+        """,
+        "first_last_value_in_group": """
+            SELECT o_custkey,
+              FIRST(o_totalprice ORDER BY o_orderdate, o_orderkey) AS first_price,
+              LAST(o_totalprice ORDER BY o_orderdate, o_orderkey) AS last_price
+            FROM orders GROUP BY o_custkey
+        """,
+        "percentile_cont_by_group": """
+            SELECT o_orderpriority,
+              ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_cont
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "late_event_filter": """
+            WITH p AS (
+              SELECT event_id, user_id,
+                epoch_us(ts) - (event_id % 7) * 3600000000 AS e
+              FROM events),
+            w AS (
+              SELECT event_id, user_id, e,
+                MAX(e) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+              FROM p)
+            SELECT event_id, user_id, CAST(wm - e AS BIGINT) AS late_by_us
+            FROM w WHERE wm - e > 300000000
+        """,
+        "tumbling_distinct_users": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
         """,
         "stratified_sample_by_decile": """
             WITH t AS (

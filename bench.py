@@ -178,6 +178,11 @@ QUERY_PANEL = [
     "url_canonical_dedup",
     "stratified_sample_by_decile",
     "logreg_quality_train",
+    "extract_outlinks",
+    "late_event_filter",
+    "tumbling_distinct_users",
+    "first_last_value_in_group",
+    "percentile_cont_by_group",
 ]
 
 

@@ -3238,3 +3238,136 @@ def unpivot_measures(sf_dir: str):
         return pa.concat_tables(parts)
 
     return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def late_event_filter(sf_dir: str, watermark_s: int = 300, jitter_s: int = 3600):
+    """Late-arrival detection under a streaming WATERMARK (the out-of-order
+    audit every event-time pipeline needs before windowing): arrival order
+    is event_id; the watermark per user is the running max EVENT time over
+    previously-arrived events minus ``watermark_s``; an event whose event
+    time falls below it is late. The synthetic events table is perfectly
+    ordered, so event time is DERIVED with deterministic jitter
+    (ts − (event_id % 7)·jitter, sized to the corpus's ~7.5 h median per-user
+    cadence — both oracle sides apply it), which plants realistic
+    out-of-orderness at every scale.
+
+    Scale shape: ``map_key_buckets`` (user-hash buckets, one in-bucket sort
+    by (user, event_id)); the watermark is a segment-wise grouped
+    cummax+shift — the interval_islands kernel. Integer-µs arithmetic end
+    to end, so lateness is hash-exact."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    w_us = watermark_s * 1_000_000
+    j_us = jitter_s * 1_000_000
+
+    def late(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        e = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) - (eid % 7) * j_us
+        d = pd.DataFrame({"u": u, "e": e})
+        wm = d.groupby("u", sort=False)["e"].cummax().shift(1).to_numpy()
+        first = np.empty(len(d), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        late_by = wm - e
+        keep = ~first & (late_by > w_us)
+        return pd.DataFrame(
+            {
+                "event_id": eid[keep],
+                "user_id": u[keep],
+                "late_by_us": late_by[keep].astype(np.int64),
+            }
+        )
+
+    return map_key_buckets(ds, "user_id", late, sort_by=["user_id", "event_id"])
+
+
+def tumbling_distinct_users(sf_dir: str):
+    """EXACT COUNT(DISTINCT user) per tumbling hour — the windowed-distinct
+    companion to ``approx_distinct_tokens``'s HLL (exact when the distinct
+    set must be right, sketch when it must be cheap). Per-batch distinct
+    (window, user) partials collapse repeat activity BEFORE the shuffle;
+    the in-bucket finish is drop_duplicates + size. Window keys shuffle as
+    int64 epochs and render ISO post-aggregate (NOTES int64-key rule)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ws = pc.cast(
+            pc.cast(pc.floor_temporal(t.column("ts"), unit="hour"), pa.timestamp("s")),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = np.unique(np.stack([ws, u], axis=1), axis=0)
+        return pa.table({"ws_epoch": pa.array(pair[:, 0]), "user_id": pa.array(pair[:, 1])})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates(["ws_epoch", "user_id"])
+            .groupby("ws_epoch", sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return out
+
+    def render(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.strftime(
+                    pc.cast(t.column("ws_epoch"), pa.timestamp("s")),
+                    format="%Y-%m-%d %H:%M:%S",
+                ),
+                "n_users": pc.cast(t.column("n_users"), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = map_key_buckets(parts, "ws_epoch", finish)
+    return agg.map_batches(render, batch_format="pyarrow")
+
+
+def first_last_value_in_group(sf_dir: str):
+    """Ordered FIRST/LAST aggregate per partition (first and latest order
+    value per customer, ordered by (o_orderdate, o_orderkey)) — the
+    ordered-aggregate family member rank/top-k don't cover. Scale shape:
+    ``map_key_buckets`` + segment-wise pandas first/last (C kernels); each
+    customer contributes one output row from its bucket."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def fl(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("o_custkey", sort=False)["o_totalprice"].agg(["first", "last"]).reset_index()
+        return pd.DataFrame(
+            {
+                "o_custkey": a["o_custkey"].to_numpy(dtype=np.int64),
+                "first_price": a["first"].to_numpy(),
+                "last_price": a["last"].to_numpy(),
+            }
+        )
+
+    return map_key_buckets(
+        ds, "o_custkey", fl, sort_by=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+
+
+def percentile_cont_by_group(sf_dir: str, q: float = 0.9):
+    """Interpolated (continuous) quantile per group — the companion to
+    ``percentile_by_group``'s quantile_disc: value = v[⌊h⌋] +
+    (v[⌈h⌉] − v[⌊h⌋])·frac at h = q·(n−1), the textbook linear-interp
+    formula DuckDB's quantile_cont implements; rounded 4dp on both sides
+    because the interpolation multiply can differ in the last ulp across
+    expression forms. Five priority groups — the small-cardinality grouped
+    shape; ``exact_quantile``'s histogram narrowing is the huge-group path."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["o_totalprice"].to_numpy())
+        h = q * (len(v) - 1)
+        lo = int(np.floor(h))
+        hi = min(lo + 1, len(v) - 1)
+        val = v[lo] + (v[hi] - v[lo]) * (h - lo)
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "p90_cont": [float(np.round(val, 4))],
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(pick, batch_format="pandas")

@@ -796,3 +796,45 @@ def url_canonical_dedup(sf_dir: str, n_buckets: int = 64):
         .groupby("_bucket")
         .map_groups(collapse, batch_format="pandas")
     )
+
+
+def extract_outlinks(sf_dir: str):
+    """Outlink extraction (the crawl-frontier feed): REAL anchor parsing of
+    every page's HTML payload, relative hrefs resolved against the page
+    host, one (doc_id, link_url) row per anchor — the strongest possible
+    parity test because the oracle derives the same links from corpus
+    routing ARITHMETIC while this side actually parses bytes (same
+    parse-vs-arithmetic structure as extract_pages_text). PDF payloads and
+    truncated (malformed) pages yield no anchors on either side.
+
+    Scale shape: stateless map_batches over the pages stream; per-doc regex
+    findall is inherent string work (extraction class); output explodes to
+    link volume and streams."""
+    import re
+
+    pages = corpus.read_pages(sf_dir, fanout_blocks=32)
+    href_re = re.compile(rb'<a href="([^"]*)"')
+
+    def links(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        urls = t.column("url").to_pylist()
+        payloads = t.column("html").to_pylist()
+        out_id: list[int] = []
+        out_url: list[str] = []
+        for d, u, p in zip(ids, urls, payloads):
+            hrefs = href_re.findall(p)
+            if not hrefs:
+                continue
+            host = u.split("/", 3)[2]
+            for h in hrefs:
+                hs = h.decode("utf-8")
+                out_id.append(int(d))
+                out_url.append(hs if hs.startswith("http") else f"https://{host}{hs}")
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(out_id, dtype=np.int64)),
+                "link_url": pa.array(out_url, type=pa.string()),
+            }
+        )
+
+    return pages.map_batches(links, batch_format="pyarrow", zero_copy_batch=True)

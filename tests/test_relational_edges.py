@@ -222,3 +222,87 @@ def test_canonicalize_urls_kernel():
         )
     ).to_pylist()
     assert got == ["https://host.example.com/a/b"] * 3
+
+
+def test_late_event_filter_boundary_and_first(ray_session, tmp_path):
+    """Strict > watermark (exactly-at-boundary is NOT late) and a user's
+    first arrival is never late. jitter = (event_id % 7) * J."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray.pipelines.relational import late_event_filter
+
+    t0 = 1_700_000_000_000_000
+    J = 1_000_000  # 1 s jitter unit
+    W = 300
+    # user 7: event 0 at t0 (jitter 0) -> e=t0; event 1 at t0+1s (jitter 1s)
+    #   -> e=t0, wm-e = 0, not late; event 2 at t0+2s (jitter 2s) -> e=t0,
+    #   not late; event 6 arrives with jitter 6s: e = ts-6s. Pick ts so
+    #   wm-e == W exactly (not late) and one more so wm-e == W+1us (late).
+    rows = [
+        (0, 7, t0),
+        (1, 7, t0 + 1_000_000),
+        (6, 7, t0 + 6_000_000 - W * 1_000_000),        # e = t0 - W  -> wm-e = W, boundary, NOT late
+        (13, 7, t0 + 6_000_000 - W * 1_000_000 - 1),   # 13%7=6: e = t0 - W - 1us -> late by W+1us? wm still t0
+    ]
+    eid, uid, ts = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(list(ts), pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = _df(late_event_filter(str(tmp_path), watermark_s=W, jitter_s=1))
+    assert got.to_dict("records") == [
+        {"event_id": 13, "user_id": 7, "late_by_us": W * 1_000_000 + 1}
+    ]
+
+
+def test_tumbling_distinct_users_counts_once(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray.pipelines.relational import tumbling_distinct_users
+
+    h = 1_700_000_400_000_000  # mid-hour
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([h, h + 1, h + 2, h + 3], pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = _df(tumbling_distinct_users(str(tmp_path)))
+    assert got["n_users"].tolist() == [2]
+
+
+def test_extract_outlinks_payload_rules(ray_session, tmp_path):
+    """PDF and malformed payloads yield zero anchors; an HTML doc's links
+    resolve against its own host."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray import corpus
+    from pdf_extractor_ray.pipelines.textops import extract_outlinks
+
+    # doc 17: malformed (17%50==17); doc 5: PDF (5%8==5); doc 1: normal HTML
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 5, 17], pa.int64()),
+                "text": pa.array(["alpha beta"] * 3),
+                "lang": pa.array(["en"] * 3),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = _df(extract_outlinks(str(tmp_path)))
+    assert set(got["doc_id"]) == {1}
+    host = corpus.host_for_doc(1)
+    # nav 3 + 1%4 = 4 links, masthead 2, aside 3 (1%3!=0), footer 2
+    assert len(got) == 11
+    assert got["link_url"].str.startswith(f"https://{host}/").all()
+    assert f"https://{host}/rel/3" in set(got["link_url"])
