@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_by_decile": training.stratified_sample_by_decile,
         # crawl-frontier outlink parse + streaming watermark + windowed distinct (r3)
         "extract_outlinks": textops.extract_outlinks,
+        "training_export_audit": textops.training_export_audit,
         "first_last_value_in_group": relational.first_last_value_in_group,
         "percentile_cont_by_group": relational.percentile_cont_by_group,
         "late_event_filter": relational.late_event_filter,
@@ -1131,6 +1132,40 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, host, path FROM nav
                   UNION ALL SELECT doc_id, host, path FROM fixed
                   UNION ALL SELECT doc_id, host, path FROM rel)
+        """,
+        "training_export_audit": """
+            WITH ok AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id % 50 <> 17 AND length(text) > 0),
+            f AS (
+              SELECT doc_id, text,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(string_split(text, ' '),
+                     x -> list_contains(['the', 'a', 'and', 'row', 'data'], x)))
+                     AS BIGINT) AS n_stop
+              FROM ok),
+            k AS (
+              SELECT doc_id, text, n_tokens FROM f
+              WHERE n_tokens BETWEEN 10 AND 200 AND n_stop * 10 >= n_tokens),
+            w AS (
+              SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+              FROM k GROUP BY text),
+            s AS (
+              SELECT n_tokens,
+                CASE WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 % 100 < 80
+                       THEN 0
+                     WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 % 100 < 90
+                       THEN 1
+                     ELSE 2 END AS split
+              FROM w)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
+              CAST(SUM(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+              CAST(SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+              CAST(SUM(CASE WHEN split = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+              CAST(SUM(CASE WHEN split = 0 THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_train,
+              CAST(SUM(CASE WHEN split = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_val,
+              CAST(SUM(CASE WHEN split = 2 THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_test
+            FROM s
         """,
         "first_last_value_in_group": """
             SELECT o_custkey,

@@ -183,6 +183,7 @@ QUERY_PANEL = [
     "tumbling_distinct_users",
     "first_last_value_in_group",
     "percentile_cont_by_group",
+    "training_export_audit",
 ]
 
 

@@ -838,3 +838,91 @@ def extract_outlinks(sf_dir: str):
         )
 
     return pages.map_batches(links, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def training_export_audit(sf_dir: str):
+    """The web→training-shards pipeline composed END-TO-END: extract (real
+    HTML/PDF parse) → Gopher-style quality filter on the EXTRACTED text →
+    exact dedup with min-doc_id winner selection → deterministic-hash
+    train/val/test split of the WINNERS → per-split document counts and
+    token budgets, returned as one audit row. Extends ``cc_pipeline_audit``
+    with the packaging tail (winners → splits → token budgets) a real
+    export run needs; every number is oracle-derivable because extraction
+    is byte-exact and the rules are integer arithmetic.
+
+    Scale shape: ONE streaming execution — per-batch distinct-sha rows
+    (with batch-min doc_id and token count) shuffle into 64 sha-prefix
+    buckets; shas partition disjointly, so the in-bucket min-doc_id winner
+    and per-split sums are globally exact; 64 partial rows reach the global
+    sum."""
+    import pandas as pd
+
+    from ..functions.hashing import sha256_hex
+    from ..functions.quality import quality_features
+
+    KNUTH = 2654435761
+    pages = corpus.read_pages(sf_dir, fanout_blocks=32)
+    ext = extract_pages(pages)
+
+    def winner_partials(t: pa.Table) -> pa.Table:
+        ok = t.filter(pc.equal(t.column("status"), "ok"))
+        feats = quality_features(
+            pa.table({"text": pc.cast(ok.column("extracted_text"), pa.string())})
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(feats.column("n_tokens"), 10),
+                pc.less_equal(feats.column("n_tokens"), 200),
+            ),
+            pc.greater_equal(
+                pc.multiply(feats.column("n_stop"), 10), feats.column("n_tokens")
+            ),
+        )
+        kept = ok.filter(keep)
+        ids = kept.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = feats.filter(keep).column("n_tokens").to_numpy(zero_copy_only=False)
+        best: dict[str, tuple[int, int]] = {}
+        for d, nt, txt in zip(ids, ntok, kept.column("extracted_text").to_pylist()):
+            s = sha256_hex(txt)
+            cur = best.get(s)
+            if cur is None or d < cur[0]:
+                best[s] = (int(d), int(nt))
+        shas = sorted(best)
+        bucket = np.fromiter(
+            (int(s[:8], 16) % 64 for s in shas), dtype=np.int64, count=len(shas)
+        )
+        return pa.table(
+            {
+                "text_sha": pa.array(shas, pa.string()),
+                "_bucket": pa.array(bucket),
+                "doc_id": pa.array(np.asarray([best[s][0] for s in shas], dtype=np.int64)),
+                "n_tokens": pa.array(np.asarray([best[s][1] for s in shas], dtype=np.int64)),
+            }
+        )
+
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.sort_values(["text_sha", "doc_id"], kind="mergesort").drop_duplicates("text_sha")
+        d = w["doc_id"].to_numpy(dtype=np.int64)
+        h = ((d % 2_147_483_648) * KNUTH) % 2_147_483_648 % 100
+        split = np.where(h < 80, 0, np.where(h < 90, 1, 2))
+        nt = w["n_tokens"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "n_unique": [len(w)],
+                "n_train": [int((split == 0).sum())],
+                "n_val": [int((split == 1).sum())],
+                "n_test": [int((split == 2).sum())],
+                "tok_train": [int(nt[split == 0].sum())],
+                "tok_val": [int(nt[split == 1].sum())],
+                "tok_test": [int(nt[split == 2].sum())],
+            }
+        )
+
+    cols = ["n_unique", "n_train", "n_val", "n_test", "tok_train", "tok_val", "tok_test"]
+    agg = (
+        ext.map_batches(winner_partials, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_partial, batch_format="pandas")
+        .sum(cols)
+    )
+    return pd.DataFrame([{c: int(agg[f"sum({c})"]) for c in cols}])
