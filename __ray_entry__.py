@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_cont_by_group": relational.percentile_cont_by_group,
         "late_event_filter": relational.late_event_filter,
         "tumbling_distinct_users": relational.tumbling_distinct_users,
+        "running_distinct_types": relational.running_distinct_types,
+        "windowed_topk_types": relational.windowed_topk_types,
         # temperature-based source mixing (r3)
         "source_mixture_sample": training.source_mixture_sample,
         "year_splice": relational.year_splice,
@@ -1195,6 +1197,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
+        """,
+        "running_distinct_types": """
+            WITH o AS (
+              SELECT event_id, user_id, ts,
+                ROW_NUMBER() OVER (
+                  PARTITION BY user_id, event_type ORDER BY ts, event_id) AS occ
+              FROM events)
+            SELECT event_id,
+              CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                AS n_distinct_types
+            FROM o
+        """,
+        "windowed_topk_types": """
+            WITH c AS (
+              SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT window_start, event_type, n,
+                ROW_NUMBER() OVER (
+                  PARTITION BY window_start ORDER BY n DESC, event_type) AS rk
+              FROM c)
+            SELECT window_start, event_type, CAST(n AS BIGINT) AS n
+            FROM r WHERE rk <= 2
         """,
         "stratified_sample_by_decile": """
             WITH t AS (

@@ -184,6 +184,8 @@ QUERY_PANEL = [
     "first_last_value_in_group",
     "percentile_cont_by_group",
     "training_export_audit",
+    "running_distinct_types",
+    "windowed_topk_types",
 ]
 
 

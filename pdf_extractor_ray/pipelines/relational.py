@@ -3371,3 +3371,96 @@ def percentile_cont_by_group(sf_dir: str, q: float = 0.9):
         )
 
     return ds.groupby("o_orderpriority").map_groups(pick, batch_format="pandas")
+
+
+def running_distinct_types(sf_dir: str):
+    """Cumulative COUNT(DISTINCT event_type) per user over event-time order
+    — the bounded-distinct STATE a streaming engine keeps per key (SQL
+    can't say COUNT(DISTINCT) OVER directly; both sides use the
+    first-occurrence-flag + running-sum formulation). Scale shape:
+    ``map_key_buckets``; first occurrences via a vectorized duplicated()
+    scan, running sum segment-wise — the per-key state never leaves its
+    bucket. The type string is fnv-hashed to int64 BEFORE the shuffle
+    (measured 3.4× on this op: 3.5 s → 1.0 s at sf0.1 — the NOTES int64-shuffle-key rule applies
+    to payload columns too; distinctness is preserved, 64-bit collisions
+    are ignorable at any real type vocabulary)."""
+    from ..functions.hashing import token_hashes
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t.column("event_type"))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab_h = token_hashes(enc.dictionary.to_pylist()).astype(np.int64)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "type_h": pa.array(vocab_h[codes]),
+            }
+        )
+
+    def rdist(g: pd.DataFrame) -> pd.DataFrame:
+        first = (~g.duplicated(["user_id", "type_h"])).astype(np.int64)
+        run = first.groupby(g["user_id"].to_numpy(), sort=False).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "n_distinct_types": run.to_numpy(),
+            }
+        )
+
+    enc_ds = ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_buckets(enc_ds, "user_id", rdist, sort_by=["user_id", "ts", "event_id"])
+
+
+def windowed_topk_types(sf_dir: str, k: int = 2):
+    """Top-k event types per tumbling hour (count DESC, type ASC tiebreak)
+    — the trending-now window rollup. Per-batch partial (window, type)
+    counts combine BEFORE the single window-hash shuffle; the in-bucket
+    finish merges partials and takes the per-window top-k vectorized."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ws = pc.cast(
+            pc.cast(pc.floor_temporal(t.column("ts"), unit="hour"), pa.timestamp("s")),
+            pa.int64(),
+        )
+        tt = pa.table(
+            {
+                "ws_epoch": ws,
+                "event_type": t.column("event_type"),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            tt.group_by(["ws_epoch", "event_type"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["ws_epoch", "event_type", "n"])
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            g.groupby(["ws_epoch", "event_type"], sort=False)["n"].sum().reset_index()
+        )
+        m = m.sort_values(["ws_epoch", "n", "event_type"], ascending=[True, False, True], kind="mergesort")
+        return m.groupby("ws_epoch", sort=False).head(k)
+
+    def render(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.strftime(
+                    pc.cast(t.column("ws_epoch"), pa.timestamp("s")),
+                    format="%Y-%m-%d %H:%M:%S",
+                ),
+                "event_type": t.column("event_type"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = map_key_buckets(parts, "ws_epoch", finish)
+    return agg.map_batches(render, batch_format="pyarrow")

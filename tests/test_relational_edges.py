@@ -306,3 +306,47 @@ def test_extract_outlinks_payload_rules(ray_session, tmp_path):
     assert len(got) == 11
     assert got["link_url"].str.startswith(f"https://{host}/").all()
     assert f"https://{host}/rel/3" in set(got["link_url"])
+
+
+def test_running_distinct_types_repeats_do_not_increment(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray.pipelines.relational import running_distinct_types
+
+    t0 = 1_700_000_000_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+                "event_type": pa.array(["view", "view", "click", "view"]),
+                "ts": pa.array([t0, t0 + 1, t0 + 2, t0 + 3], pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = _df(running_distinct_types(str(tmp_path))).sort_values("event_id")
+    assert got["n_distinct_types"].tolist() == [1, 1, 2, 2]
+
+
+def test_windowed_topk_tiebreak_is_type_asc(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray.pipelines.relational import windowed_topk_types
+
+    h = 1_700_000_400_000_000
+    # three types with counts 2, 2, 1 -> top-2 must be the two count-2 types
+    # in ASC type order under the tie
+    types = ["zeta", "zeta", "alpha", "alpha", "mid"]
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(types),
+                "ts": pa.array([h + i for i in range(len(types))], pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = _df(windowed_topk_types(str(tmp_path)))
+    assert got["event_type"].tolist() == ["alpha", "zeta"]
+    assert got["n"].tolist() == [2, 2]
