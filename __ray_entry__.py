@@ -133,6 +133,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_distinct_users": relational.tumbling_distinct_users,
         "running_distinct_types": relational.running_distinct_types,
         "windowed_topk_types": relational.windowed_topk_types,
+        # substring-dedup coverage, domain reputation, integrity checksum (r3)
+        "dup_span_coverage": search.dup_span_coverage,
+        "host_reputation_filter": textops.host_reputation_filter,
+        "table_checksum": relational.table_checksum,
         # temperature-based source mixing (r3)
         "source_mixture_sample": training.source_mixture_sample,
         "year_splice": relational.year_splice,
@@ -1209,6 +1213,60 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
                 AS n_distinct_types
             FROM o
+        """,
+        "dup_span_coverage": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents),
+            sp AS (
+              SELECT doc_id, pos,
+                     token || ' ' || LEAD(token, 1) OVER w || ' '
+                           || LEAD(token, 2) OVER w || ' '
+                           || LEAD(token, 3) OVER w AS span,
+                     LEAD(token, 3) OVER w IS NOT NULL AS whole
+              FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            q AS (
+              SELECT span FROM sp WHERE whole
+              GROUP BY span HAVING COUNT(DISTINCT doc_id) > 1),
+            h AS (
+              SELECT s.doc_id, s.pos FROM sp s JOIN q USING (span) WHERE s.whole),
+            o AS (
+              SELECT doc_id, pos,
+                MAX(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+              FROM h),
+            g AS (
+              SELECT doc_id, pos,
+                SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+              FROM o),
+            i AS (
+              SELECT doc_id, isl, MIN(pos) AS s0, MAX(pos + 4) AS e1
+              FROM g GROUP BY doc_id, isl)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+              CAST(SUM(e1 - s0) AS BIGINT) AS covered_tokens
+            FROM i GROUP BY doc_id
+        """,
+        "host_reputation_filter": f"""
+            WITH ok AS (
+              SELECT doc_id, {host} AS host,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents WHERE doc_id % 50 <> 17 AND length(text) > 0),
+            h AS (
+              SELECT host FROM ok GROUP BY host
+              HAVING SUM(n_tokens) * 100 >= 5000 * COUNT(*)),
+            k AS (
+              SELECT host FROM h
+              WHERE host NOT IN ('forum.example.dev', 'tiny-c.example.xyz'))
+            SELECT o.doc_id, o.host FROM ok o JOIN k USING (host)
+        """,
+        "table_checksum": """
+            SELECT CAST(SUM(CAST(('0x' || substr(sha256(
+                     CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT))
+                   % 9223372036854775783 AS BIGINT) AS checksum,
+              CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM documents
         """,
         "windowed_topk_types": """
             WITH c AS (

@@ -186,6 +186,9 @@ QUERY_PANEL = [
     "training_export_audit",
     "running_distinct_types",
     "windowed_topk_types",
+    "dup_span_coverage",
+    "host_reputation_filter",
+    "table_checksum",
 ]
 
 

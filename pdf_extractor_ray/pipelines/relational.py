@@ -3464,3 +3464,31 @@ def windowed_topk_types(sf_dir: str, k: int = 2):
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     agg = map_key_buckets(parts, "ws_epoch", finish)
     return agg.map_batches(render, batch_format="pyarrow")
+
+
+def table_checksum(sf_dir: str):
+    """Order-insensitive integrity checksum of a whole table (the export /
+    replication audit primitive: compare source and sink without moving
+    either): per-row sha256 over the key columns → 60-bit int → modular
+    SUM. Per-batch partials reduce each block to ONE int64; the driver
+    folds B partials — commutative, so block order and parallelism never
+    change the answer. Oracle-paired via DuckDB's sha256()."""
+    MOD = 9_223_372_036_854_775_783  # largest prime < 2^63
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sh = row_sha256(t, ["doc_id", "text"]).to_pylist()
+        s = 0
+        for h in sh:
+            s = (s + int(h[:15], 16)) % MOD
+        return pa.table(
+            {"part": pa.array([s], pa.int64()), "n": pa.array([t.num_rows], pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    total = 0
+    for v in parts["part"]:
+        total = (total + int(v)) % MOD
+    return pd.DataFrame(
+        [{"checksum": np.int64(total), "n_rows": np.int64(parts["n"].sum())}]
+    )

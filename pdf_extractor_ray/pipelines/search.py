@@ -334,3 +334,116 @@ def dup_ngram_spans(sf_dir: str, n: int = 4, n_buckets: int = 64):
         .groupby("bucket")
         .map_groups(count_docs, batch_format="pandas")
     )
+
+
+def dup_span_coverage(sf_dir: str, n: int = 4, n_buckets: int = 64):
+    """ExactSubstr-style duplicated-SPAN coverage per document (the audit
+    behind Lee et al. 2022's substring removal): every position whose
+    n-token span also appears in another document is a duplicated hit;
+    overlapping/adjacent hits merge into maximal spans (gaps-and-islands
+    over token positions), and each doc reports its merged span count and
+    covered token total — i.e. how much of the doc substring-dedup would
+    cut.
+
+    Scale shape: span incidences (WITH positions — unlike
+    ``dup_ngram_spans`` every occurrence matters) take ONE span-hash bucket
+    shuffle to find cross-doc spans; surviving (doc_id, pos) int pairs take
+    one doc-hash bucket shuffle where the island merge + per-doc rollup
+    finish vectorized (the ``interval_islands`` kernel on token
+    positions)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def incidences(t: pa.Table) -> pa.Table:
+        lists = split_ws(t.column("text"))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        offsets = lists.offsets.to_numpy(zero_copy_only=False)
+        offsets = offsets - offsets[0]
+        lens = np.diff(offsets)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "span": pa.array([], pa.string()),
+            }
+        )
+        if len(flat) < n:
+            return empty
+        joined = flat[: len(flat) - n + 1]
+        for j in range(1, n):
+            joined = joined + " " + flat[j : len(flat) - n + 1 + j]
+        n_sp = np.maximum(lens - n + 1, 0)
+        starts = np.repeat(offsets[:-1], n_sp)
+        pos = np.arange(len(starts)) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_sp)[:-1]]), n_sp
+        )
+        if not len(starts):
+            return empty
+        valid_idx = (starts + pos).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids, n_sp),
+                "pos": pos.astype(np.int64),
+                "span": joined[valid_idx],
+            }
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(_token_bucket(d["span"], n_buckets)),
+                "doc_id": pa.array(d["doc_id"].to_numpy(dtype=np.int64)),
+                "pos": pa.array(d["pos"].to_numpy(dtype=np.int64)),
+                "span": pa.array(d["span"].to_numpy(), pa.string()),
+            }
+        )
+
+    def qualify(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("span", sort=False)["doc_id"].transform("nunique")
+        keep = g[nd > 1]
+        return pd.DataFrame(
+            {
+                "_b2": keep["doc_id"].to_numpy(dtype=np.int64) % n_buckets,
+                "doc_id": keep["doc_id"].to_numpy(dtype=np.int64),
+                "pos": keep["pos"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"], kind="mergesort")
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        s = g["pos"].to_numpy(dtype=np.int64)
+        en = s + n
+        f = pd.DataFrame({"d": d, "s": s, "e": en})
+        prev_max = f.groupby("d", sort=False)["e"].cummax().shift(1).to_numpy()
+        first = np.empty(len(f), dtype=bool)
+        first[0] = True
+        first[1:] = d[1:] != d[:-1]
+        isl = np.cumsum(first | (s > prev_max))
+        spans = (
+            f.assign(isl=isl)
+            .groupby("isl", sort=False)
+            .agg(d=("d", "first"), s0=("s", "min"), e1=("e", "max"))
+        )
+        out = (
+            spans.assign(cov=spans["e1"] - spans["s0"])
+            .groupby("d", sort=False)["cov"]
+            .agg(n_spans="size", covered_tokens="sum")
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": out["d"].to_numpy(dtype=np.int64),
+                "n_spans": out["n_spans"].to_numpy(dtype=np.int64),
+                "covered_tokens": out["covered_tokens"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(incidences, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(qualify, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(islands, batch_format="pandas")
+    )

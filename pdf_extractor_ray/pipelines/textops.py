@@ -926,3 +926,75 @@ def training_export_audit(sf_dir: str):
         .sum(cols)
     )
     return pd.DataFrame([{c: int(agg[f"sum({c})"]) for c in cols}])
+
+
+#: static domain blocklist (UT1-style) merged with the computed reputation
+#: rule in host_reputation_filter
+HOST_BLOCKLIST = ("forum.example.dev", "tiny-c.example.xyz")
+
+
+def host_reputation_filter(sf_dir: str, min_mean_tokens_x100: int = 5000):
+    """Domain-level curation (the UT1-blocklist + computed-reputation pass):
+    aggregate a reputation signal per HOST (mean extracted-token count, as
+    the exact integer rule sum·100 ≥ threshold·count — a float mean is a
+    cross-row SUM and stays OFF the oracle path per NOTES), merge with a
+    static blocklist, and keep only documents from reputable hosts.
+
+    Scale shape: pass 1 = per-batch (host, sum_tokens, n) partials → a
+    host-cardinality-sized driver table (12 rows here; domains in the
+    millions still fit); the keep-set broadcasts into the stateless pass-2
+    filter. Two column-pruned passes, zero all-to-all."""
+    import ray
+
+    from ..functions.quality import quality_features
+
+    def ok_host_tokens(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (ids % 50 != 17) & (
+            pc.greater(pc.utf8_length(t.column("text")), 0).to_numpy(zero_copy_only=False)
+        )
+        kept = t.filter(pa.array(ok))
+        ids = ids[ok]
+        feats = quality_features(pa.table({"text": kept.column("text")}))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "host": pa.array(corpus.hosts_for_docs(ids).astype("U64")),
+                "n_tokens": feats.column("n_tokens"),
+            }
+        )
+
+    def host_partials(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "host": t.column("host"),
+                "sum_tok": t.column("n_tokens"),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            tt.group_by("host")
+            .aggregate([("sum_tok", "sum"), ("n", "sum")])
+            .rename_columns(["host", "sum_tok", "n"])
+        )
+
+    scored = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ok_host_tokens, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hp = scored.map_batches(host_partials, batch_format="pyarrow").to_pandas()
+    hp = hp.groupby("host", sort=False)[["sum_tok", "n"]].sum().reset_index()
+    keep_hosts = set(
+        hp.loc[
+            (hp["sum_tok"] * 100 >= min_mean_tokens_x100 * hp["n"])
+            & ~hp["host"].isin(HOST_BLOCKLIST),
+            "host",
+        ]
+    )
+    keep_ref = ray.put(keep_hosts)
+
+    def keep(t: pa.Table) -> pa.Table:
+        hosts = ray.get(keep_ref)
+        m = pc.is_in(t.column("host"), value_set=pa.array(sorted(hosts), pa.string()))
+        return t.filter(m).select(["doc_id", "host"])
+
+    return scored.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -350,3 +350,30 @@ def test_windowed_topk_tiebreak_is_type_asc(ray_session, tmp_path):
     got = _df(windowed_topk_types(str(tmp_path)))
     assert got["event_type"].tolist() == ["alpha", "zeta"]
     assert got["n"].tolist() == [2, 2]
+
+
+def test_dup_span_coverage_overlaps_merge(ray_session, tmp_path):
+    """Two docs share a 5-token run -> two overlapping 4-gram hits merge to
+    ONE maximal span covering 5 tokens in each doc; unique tails contribute
+    nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray.pipelines.search import dup_span_coverage
+
+    shared = "alpha beta gamma delta epsilon"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    [shared + " uniqueone tailword xray", shared + " uniquetwo othertail yankee"]
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = _df(dup_span_coverage(str(tmp_path))).sort_values("doc_id")
+    assert got.to_dict("records") == [
+        {"doc_id": 1, "n_spans": 1, "covered_tokens": 5},
+        {"doc_id": 2, "n_spans": 1, "covered_tokens": 5},
+    ]
