@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_topk_types": relational.windowed_topk_types,
         # substring-dedup coverage, domain reputation, integrity checksum (r3)
         "dup_span_coverage": search.dup_span_coverage,
+        "bfs_hops": graph.bfs_hops,
         "host_reputation_filter": textops.host_reputation_filter,
         "table_checksum": relational.table_checksum,
         # temperature-based source mixing (r3)
@@ -1213,6 +1214,21 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
                 AS n_distinct_types
             FROM o
+        """,
+        "bfs_hops": """
+            WITH RECURSIVE e0 AS (
+              SELECT DISTINCT o_custkey AS cust, l_suppkey + 4294967296 AS supp
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE l_quantity >= 48),
+            edges AS (
+              SELECT cust AS src, supp AS dst FROM e0
+              UNION ALL SELECT supp AS src, cust AS dst FROM e0),
+            bfs(node, hops) AS (
+              SELECT CAST(1 AS BIGINT) AS node, 0 AS hops
+              UNION
+              SELECT e.dst AS node, b.hops + 1 AS hops
+              FROM bfs b JOIN edges e ON e.src = b.node WHERE b.hops < 4)
+            SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM bfs GROUP BY node
         """,
         "dup_span_coverage": """
             WITH tok AS (

@@ -189,6 +189,7 @@ QUERY_PANEL = [
     "dup_span_coverage",
     "host_reputation_filter",
     "table_checksum",
+    "bfs_hops",
 ]
 
 

@@ -77,3 +77,35 @@ def test_pagerank_constructed_dangling(ray_session, tmp_path):
     # s10 (in-degree 2) must outrank s20 (in-degree 1)
     s = got.set_index("node")["rank"]
     assert s[10 + (1 << 32)] > s[20 + (1 << 32)]
+
+
+def test_bfs_hops_horizon_bound(ray_session, tmp_path):
+    """Chain graph 1-(101)-2-(102)-3-(103)-4: nodes beyond max_hops=4 are
+    excluded; hop counts are exact shortest distances."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.graph import bfs_hops
+
+    # order k connects cust c to supp s (one lineitem per order)
+    links = [(1, 1, 101), (2, 2, 101), (3, 2, 102), (4, 3, 102), (5, 3, 103), (6, 4, 103)]
+    ok, ck, sk = zip(*links)
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(ok, pa.int64()), "o_custkey": pa.array(ck, pa.int64())}),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_suppkey": pa.array(sk, pa.int64()),
+                "l_quantity": pa.array([50.0] * len(ok)),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    got = bfs_hops(str(tmp_path), seed=1, max_hops=4).to_pandas()
+    OFF = np.int64(1) << np.int64(32)
+    want = {1: 0, 101 + OFF: 1, 2: 2, 102 + OFF: 3, 3: 4}
+    assert dict(zip(got["node"], got["hops"])) == want
