@@ -682,7 +682,7 @@ def _logreg_features(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return d, X, y
 
 
-def logreg_quality_train(sf_dir: str, iters: int = 40, lr: float = 2.0):
+def logreg_quality_train(sf_dir: str, iters: int = 25, lr: float = 2.5):
     """Distributed quality-classifier TRAINING (fastText-style pipeline
     stage, linear model): full-batch logistic regression by gradient
     descent. One streaming pass builds the tiny (doc_id, X, y) feature
@@ -707,7 +707,15 @@ def logreg_quality_train(sf_dir: str, iters: int = 40, lr: float = 2.0):
         cols["y"] = pa.array(y)
         return pa.table(cols)
 
-    fds = ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # NOTES iterative-coalescing rule: the feature table is re-scanned every
+    # GD step — 128 splinter blocks × iters = thousands of task launches
+    # (measured 22.6 s vs 7.5 s at sf0.1). Blocks sized to the data, not
+    # the reader's splinters.
+    fds = (
+        ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .materialize()
+    )
     n_total = fds.count()
     w = np.zeros(LOGREG_DIM)
 
