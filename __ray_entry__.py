@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": graph.bfs_hops,
         "host_reputation_filter": textops.host_reputation_filter,
         "table_checksum": relational.table_checksum,
+        "export_roundtrip_manifest": textops.export_roundtrip_manifest,
         # temperature-based source mixing (r3)
         "source_mixture_sample": training.source_mixture_sample,
         "year_splice": relational.year_splice,
@@ -1283,6 +1284,14 @@ def oracle_sql() -> dict[str, str]:
                    % 9223372036854775783 AS BIGINT) AS checksum,
               CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM documents
+        """,
+        "export_roundtrip_manifest": """
+            SELECT CAST(doc_id % 16 AS BIGINT) AS part_id,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(('0x' || substr(sha256(
+                     CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT))
+                   % 9223372036854775783 AS BIGINT) AS checksum
+            FROM documents GROUP BY 1
         """,
         "windowed_topk_types": """
             WITH c AS (

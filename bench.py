@@ -190,6 +190,7 @@ QUERY_PANEL = [
     "host_reputation_filter",
     "table_checksum",
     "bfs_hops",
+    "export_roundtrip_manifest",
 ]
 
 

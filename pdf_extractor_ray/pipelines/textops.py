@@ -998,3 +998,78 @@ def host_reputation_filter(sf_dir: str, min_mean_tokens_x100: int = 5000):
         return t.filter(m).select(["doc_id", "host"])
 
     return scored.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def export_roundtrip_manifest(sf_dir: str, n_parts: int = 16):
+    """Partitioned-export ROUND-TRIP integrity manifest: write the corpus to
+    hash-partitioned Parquet (the resumable-sink layout, one directory per
+    part_id like the lineage ledger uses), READ THE FILES BACK, and emit
+    one manifest row per partition (row count + order-insensitive modular
+    sha checksum). The oracle computes the same manifest from the SOURCE
+    table, so any row lost, duplicated, or corrupted anywhere in the
+    write→read loop breaks the hash — the end-to-end export verification a
+    100 TB run performs per partition before committing it.
+
+    Scale shape: stateless partition-keyed write (each part a directory —
+    a failed run re-exports only missing parts); the read-back manifest is
+    per-batch (part, Σh mod p, n) partials folded driver-side (≤B·parts
+    tiny rows)."""
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.hashing import row_sha256, sha256_hex
+
+    MOD = 9_223_372_036_854_775_783
+    out_dir = f"/tmp/pdfx_export_{sha256_hex(sf_dir)[:12]}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part_id", pa.array(d % n_parts))
+
+    # coalesce before the partitioned write: every (block × partition) pair
+    # becomes a file, so reader-splinter blocks × 16 parts would fan out to
+    # thousands of tiny files (and a slow read-back)
+    docs.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True).repartition(
+        8
+    ).write_parquet(out_dir, partition_cols=["part_id"])
+
+    back = rd.read_parquet(out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = pc.cast(t.column("part_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        sh = row_sha256(t, ["doc_id", "text"]).to_pylist()
+        h = np.fromiter((int(x[:15], 16) for x in sh), dtype=np.int64, count=len(sh))
+        df = pd.DataFrame({"p": p, "h": h})
+        agg = df.groupby("p", sort=False)["h"].agg(
+            s=lambda v: int(np.asarray(v, dtype=object).sum() % MOD), n="size"
+        )
+        return pa.table(
+            {
+                "part_id": pa.array(agg.index.to_numpy(dtype=np.int64)),
+                "s": pa.array(agg["s"].to_numpy(dtype=np.int64)),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    parts = back.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for pid, g in parts.groupby("part_id"):
+        s = 0
+        for v in g["s"]:
+            s = (s + int(v)) % MOD
+        rows.append(
+            {
+                "part_id": int(pid),
+                "n_rows": int(g["n"].sum()),
+                "checksum": np.int64(s),
+            }
+        )
+    out = pd.DataFrame(rows).sort_values("part_id").reset_index(drop=True)
+    out["part_id"] = out["part_id"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out
