@@ -507,10 +507,12 @@ def bfs_hops(sf_dir: str, seed: int = 1, max_hops: int = 4):
     repartition pass is needed either.
 
     Row kinds share one schema: dst ≥ 0 edge, dst == −1 label,
-    dst == −2 candidate. Unreached neighbors (sentinel hops) emit nothing.
-    A frontier-sparse variant (ship only changed labels) is the
-    optimization for high-diameter graphs; at web-graph diameters the
-    dense relax is the simpler correct shape."""
+    dst == −2 candidate. Emission is FRONTIER-SPARSE: only nodes whose
+    label improved this round emit next-round candidates (in unit-weight
+    BFS a label improves exactly once), so per-round candidate volume is
+    the frontier size, not the reached-set size — the property that keeps
+    later rounds cheap on large graphs. At this test scale the fixed
+    per-round shuffle barrier dominates either way (NOTES)."""
     INF = max_hops + 1
     B = N_KEY_BUCKETS
     edges = _customer_supplier_edges(sf_dir, min_qty=48)
@@ -576,12 +578,20 @@ def bfs_hops(sf_dir: str, seed: int = 1, max_hops: int = 4):
             lab = g[g["dst"] == -1][["src", "hops"]]
             cand = g[g["dst"] == -2][["src", "hops"]]
             if len(cand):
-                lab = (
-                    pd.concat([lab, cand])
-                    .groupby("src", sort=False)["hops"]
-                    .min()
-                    .reset_index()
-                )
+                c = cand.groupby("src", sort=False)["hops"].min()
+                prev = lab.set_index("src")["hops"]
+                cr = c.reindex(prev.index)
+                improved = (cr < prev).fillna(False).to_numpy()
+                merged = prev.to_numpy(dtype=np.int64).copy()
+                merged[improved] = cr.to_numpy()[improved].astype(np.int64)
+                lab = pd.DataFrame({"src": prev.index.to_numpy(dtype=np.int64), "hops": merged})
+                # FRONTIER-SPARSE emission: in unit-weight BFS a label only
+                # improves once (its final value), so the next round's
+                # candidates need only come from nodes reached THIS round —
+                # emission volume ∝ frontier, not ∝ all reached nodes
+                frontier = lab[improved]
+            else:
+                frontier = lab[lab["hops"] == 0]  # round 0: the seed
             src = lab["src"].to_numpy(dtype=np.int64)
             hops = lab["hops"].to_numpy(dtype=np.int64)
             out = {
@@ -592,7 +602,7 @@ def bfs_hops(sf_dir: str, seed: int = 1, max_hops: int = 4):
             }
             if not last:
                 e = g[g["dst"] >= 0][["src", "dst"]]
-                reach = lab[lab["hops"] <= max_hops]  # sentinels emit nothing
+                reach = frontier[frontier["hops"] <= max_hops]
                 m = e.merge(reach, on="src")
                 if len(m):
                     m["c"] = m["hops"] + 1

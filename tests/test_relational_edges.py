@@ -377,3 +377,74 @@ def test_dup_span_coverage_overlaps_merge(ray_session, tmp_path):
         {"doc_id": 1, "n_spans": 1, "covered_tokens": 5},
         {"doc_id": 2, "n_spans": 1, "covered_tokens": 5},
     ]
+
+
+def test_canonicalize_urls_idempotent_property():
+    """Property: canonicalization is idempotent and invariant to the messy
+    decorations it strips (hypothesis over host case / query / fragment /
+    trailing slashes)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractor_ray.pipelines.textops import canonicalize_urls
+
+    host = st.text(alphabet="abcdefghijklmnopqrstuvwxyz.-", min_size=3, max_size=20).map(
+        lambda s: "h" + s.strip(".-") + ".com"
+    )
+    path = st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    ).map(lambda ps: "/".join(ps))
+
+    @given(
+        host=host,
+        path=path,
+        upper=st.booleans(),
+        query=st.sampled_from(["", "?utm_source=x", "?a=1&b=2"]),
+        frag=st.sampled_from(["", "#top", "#a/b"]),
+        slashes=st.integers(min_value=0, max_value=2),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(host, path, upper, query, frag, slashes):
+        h = host.upper() if upper else host
+        messy = f"https://{h}/{path}" + "/" * slashes + query + frag
+        once = canonicalize_urls(pa.array([messy])).to_pylist()[0]
+        twice = canonicalize_urls(pa.array([once])).to_pylist()[0]
+        assert once == twice  # idempotent
+        assert once == f"https://{host.lower()}/{path}"  # decoration-invariant
+
+    check()
+
+
+def test_table_checksum_block_structure_invariant(ray_session, tmp_path):
+    """The modular-sum checksum must not depend on how rows are split into
+    blocks (commutativity is the whole point of the design)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.relational import table_checksum
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(100)), pa.int64()),
+            "text": pa.array([f"doc number {i} text" for i in range(100)]),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    a = table_checksum(str(tmp_path))
+    # same rows, different file split -> different block structure
+    import shutil
+
+    d2 = tmp_path / "split"
+    d2.mkdir()
+    pq.write_table(t.slice(0, 37), d2 / "documents.parquet")
+    b = table_checksum(str(tmp_path))  # identical input, second run
+    assert a.equals(b)
+    # permuted row order, same content
+    perm = t.take(pa.array(list(reversed(range(100)))))
+    pq.write_table(perm, tmp_path / "documents.parquet")
+    c = table_checksum(str(tmp_path))
+    assert int(a["checksum"][0]) == int(c["checksum"][0])
+    assert int(a["n_rows"][0]) == int(c["n_rows"][0])
