@@ -411,9 +411,12 @@ def _normalized_xs(sf_dir: str):
         )
         return pa.table({"vec_id": t.column("vec_id"), "nemb": nemb})
 
+    # NOTES block-count rule: this table is re-scanned every Lloyd round —
+    # coalesce the reader's splinter blocks before pinning it
     return (
         _read_embeddings(sf_dir)
         .map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(16)
         .materialize()
     )
 
