@@ -142,6 +142,7 @@ def pagerank(sf_dir: str, n_iters: int = 10, damping: float = DAMPING):
         edges.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_bucket")
         .map_groups(degree, batch_format="pandas")
+        .repartition(32)  # NOTES block-count rule: re-enters a shuffle every round
         .materialize()
     )
 
@@ -163,6 +164,7 @@ def pagerank(sf_dir: str, n_iters: int = 10, damping: float = DAMPING):
         edges.map_batches(node_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_bucket")
         .map_groups(dedup_nodes, batch_format="pandas")
+        .repartition(32)  # same rule
         .materialize()
     )
     n_nodes = nodes.count()
