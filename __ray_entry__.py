@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_reputation_filter": textops.host_reputation_filter,
         "table_checksum": relational.table_checksum,
         "export_roundtrip_manifest": textops.export_roundtrip_manifest,
+        "weighted_avg_by_group": relational.weighted_avg_by_group,
+        "benford_first_digit": relational.benford_first_digit,
         # temperature-based source mixing (r3)
         "source_mixture_sample": training.source_mixture_sample,
         "year_splice": relational.year_splice,
@@ -1284,6 +1286,21 @@ def oracle_sql() -> dict[str, str]:
                    % 9223372036854775783 AS BIGINT) AS checksum,
               CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM documents
+        """,
+        "weighted_avg_by_group": """
+            SELECT l_returnflag,
+              ROUND(SUM(l_discount * l_extendedprice) / SUM(l_extendedprice), 4)
+                AS w_avg_discount
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "benford_first_digit": """
+            WITH d AS (
+              SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+              FROM orders WHERE o_totalprice >= 1),
+            f AS (
+              SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              FROM d)
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY digit
         """,
         "export_roundtrip_manifest": """
             SELECT CAST(doc_id % 16 AS BIGINT) AS part_id,

@@ -191,6 +191,8 @@ QUERY_PANEL = [
     "table_checksum",
     "bfs_hops",
     "export_roundtrip_manifest",
+    "weighted_avg_by_group",
+    "benford_first_digit",
 ]
 
 

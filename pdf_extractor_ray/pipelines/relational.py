@@ -3492,3 +3492,66 @@ def table_checksum(sf_dir: str):
     return pd.DataFrame(
         [{"checksum": np.int64(total), "n_rows": np.int64(parts["n"].sum())}]
     )
+
+
+def weighted_avg_by_group(sf_dir: str):
+    """Revenue-weighted average discount per returnflag — the weighted-mean
+    aggregate (plain AVG answers a different question when row importance
+    varies). Mergeable (Σwx, Σw) partials per batch, 3-group merge, one
+    division at the end; rounded 4dp both sides."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_discount", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "wx": pc.multiply(t.column("l_discount"), t.column("l_extendedprice")),
+                "w": t.column("l_extendedprice"),
+            }
+        )
+        return (
+            tt.group_by("l_returnflag")
+            .aggregate([("wx", "sum"), ("w", "sum")])
+            .rename_columns(["l_returnflag", "wx", "w"])
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("l_returnflag", sort=False)[["wx", "w"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "l_returnflag": a["l_returnflag"],
+                "w_avg_discount": np.round(a["wx"].to_numpy() / a["w"].to_numpy(), 4),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("l_returnflag").map_groups(finish, batch_format="pandas")
+
+
+def benford_first_digit(sf_dir: str):
+    """First-significant-digit distribution of order totals (the Benford
+    data-quality audit — fabricated or truncated financial data skews it).
+    Digit extraction is INTEGER arithmetic (floor → repeated div-10): log10/
+    pow would be off the oracle-safe list (NOTES float rules). Per-batch
+    bincount partials; nine rows total."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("o_totalprice").to_numpy(zero_copy_only=False)).astype(np.int64)
+        v = v[v > 0]
+        while (v >= 10).any():
+            v = np.where(v >= 10, v // 10, v)
+        c = np.bincount(v, minlength=10)[1:10]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = parts.groupby("digit", sort=True)["n"].sum().reset_index()
+    out = out[out["n"] > 0].reset_index(drop=True)
+    out["digit"] = out["digit"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
