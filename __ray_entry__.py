@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_roundtrip_manifest": textops.export_roundtrip_manifest,
         "weighted_avg_by_group": relational.weighted_avg_by_group,
         "benford_first_digit": relational.benford_first_digit,
+        "winsorized_mean_by_group": relational.winsorized_mean_by_group,
+        "chi2_independence": relational.chi2_independence,
         # temperature-based source mixing (r3)
         "source_mixture_sample": training.source_mixture_sample,
         "year_splice": relational.year_splice,
@@ -1301,6 +1303,32 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
               FROM d)
             SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY digit
+        """,
+        "winsorized_mean_by_group": """
+            WITH q AS (
+              SELECT o_orderpriority,
+                quantile_disc(o_totalprice, 0.1) AS qlo,
+                quantile_disc(o_totalprice, 0.9) AS qhi
+              FROM orders GROUP BY o_orderpriority)
+            SELECT o.o_orderpriority,
+              ROUND(AVG(LEAST(GREATEST(o.o_totalprice, q.qlo), q.qhi)), 4) AS w_mean
+            FROM orders o JOIN q USING (o_orderpriority)
+            GROUP BY o.o_orderpriority
+        """,
+        "chi2_independence": """
+            WITH c AS (
+              SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort,
+                CAST(COUNT(*) AS DOUBLE) AS o
+              FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, SUM(o) AS rt FROM c GROUP BY 1),
+            k AS (SELECT cohort, SUM(o) AS ct FROM c GROUP BY 1),
+            n AS (SELECT SUM(o) AS tot FROM c)
+            SELECT ROUND(SUM(
+                (c.o - r.rt * k.ct / tot) * (c.o - r.rt * k.ct / tot)
+                / (r.rt * k.ct / tot)), 4) AS chi2,
+              CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM c, r, k, n
+            WHERE c.event_type = r.event_type AND c.cohort = k.cohort
         """,
         "export_roundtrip_manifest": """
             SELECT CAST(doc_id % 16 AS BIGINT) AS part_id,

@@ -193,6 +193,8 @@ QUERY_PANEL = [
     "export_roundtrip_manifest",
     "weighted_avg_by_group",
     "benford_first_digit",
+    "winsorized_mean_by_group",
+    "chi2_independence",
 ]
 
 

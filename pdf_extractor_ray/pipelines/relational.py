@@ -2951,25 +2951,25 @@ def interval_islands(sf_dir: str, gap_s: int = 300):
 def global_row_number(sf_dir: str, n_buckets: int = N_KEY_BUCKETS):
     """Global ROW_NUMBER over the whole table (orders by totalprice DESC,
     orderkey ASC) — distributed ranking WITHOUT materializing a global
-    sort: (1) one streamed pass for global [lo, hi] scalars, (2) one pass
-    of per-batch counts into order-preserving value-range buckets (B
-    integers to the driver → prefix offsets), (3) bucket co-group, sort
-    WITHIN the bucket, rank = bucket offset + local position. Ties share a
-    price so they land in the same bucket and break on orderkey; the
-    bucket function is pure float64 arithmetic on the same values both
-    passes, so assignment is deterministic.
+    sort: (1) a SAMPLED range estimate (first blocks only — any monotone
+    bucket fn is correct because out-of-range values clip into the end
+    buckets and still sort within them, so the exact-min/max full scan the
+    first version paid is wasted work), (2) one pass of per-batch counts
+    into order-preserving value-range buckets (B integers to the driver →
+    prefix offsets), (3) bucket co-group, sort WITHIN the bucket, rank =
+    bucket offset + local position. Ties share a price so they land in the
+    same bucket and break on orderkey; the bucket function is pure float64
+    arithmetic on the same values both passes, so assignment is
+    deterministic.
 
-    Scale shape: two column-pruned scans + one all-to-all on ≤B groups;
-    per-bucket sorts are the only O(n log n) work and run fully parallel.
-    Skewed value ranges only unbalance bucket sizes, never correctness."""
+    Scale shape: ONE full column-pruned scan + a first-block sample + one
+    all-to-all on ≤B groups; per-bucket sorts are the only O(n log n) work
+    and run fully parallel. Skewed value ranges (or a bad sample) only
+    unbalance bucket sizes, never correctness."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
-    def minmax(t: pa.Table) -> pa.Table:
-        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
-        return pa.table({"lo": pa.array([p.min()]), "hi": pa.array([p.max()])})
-
-    mm = ds.map_batches(minmax, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    sample = ds.limit(4096).to_pandas()["o_totalprice"].to_numpy()
+    lo, hi = float(sample.min()), float(sample.max())
     span = (hi - lo) or 1.0
 
     def bucket_of(p: np.ndarray) -> np.ndarray:
@@ -3555,3 +3555,114 @@ def benford_first_digit(sf_dir: str):
     out["digit"] = out["digit"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return out
+
+
+def winsorized_mean_by_group(sf_dir: str, q_lo=(1, 10), q_hi=(9, 10)):
+    """Winsorized (outlier-clipped) mean per group: clip each order total to
+    its group's [p10, p90] (quantile_disc exact elements, the
+    ``percentile_by_group`` index arithmetic) then average — the robust
+    location estimate curation uses where a plain mean chases outliers.
+
+    Scale shape: pass 1 yields one (qlo, qhi) row per group (5 groups →
+    driver-sized, broadcast); pass 2 clips vectorized and emits per-batch
+    (Σclipped, n) partials — the mean never shuffles raw values."""
+    from fractions import Fraction
+    from math import ceil
+
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    flo, fhi = Fraction(*q_lo), Fraction(*q_hi)
+
+    def qpair(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["o_totalprice"].to_numpy())
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "qlo": [v[ceil(flo * len(v)) - 1]],
+                "qhi": [v[ceil(fhi * len(v)) - 1]],
+            }
+        )
+
+    # 5 priority groups — the small-cardinality grouped shape; huge groups
+    # take the exact_quantile histogram-narrowing path instead
+    qs = (
+        ds.groupby("o_orderpriority").map_groups(qpair, batch_format="pandas").to_pandas()
+    )
+    q_ref = ray.put(
+        {r.o_orderpriority: (r.qlo, r.qhi) for r in qs.itertuples(index=False)}
+    )
+
+    def clip_partial(t: pa.Table) -> pa.Table:
+        qmap = ray.get(q_ref)
+        df = pd.DataFrame(
+            {
+                "k": t.column("o_orderpriority").to_pylist(),
+                "v": t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            }
+        )
+        lo = df["k"].map(lambda k: qmap[k][0]).to_numpy()
+        hi = df["k"].map(lambda k: qmap[k][1]).to_numpy()
+        df["v"] = np.clip(df["v"].to_numpy(), lo, hi)
+        a = df.groupby("k", sort=False)["v"].agg(s="sum", n="size").reset_index()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(a["k"], pa.string()),
+                "s": pa.array(a["s"].to_numpy()),
+                "n": pa.array(a["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("o_orderpriority", sort=False)[["s", "n"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": a["o_orderpriority"],
+                "w_mean": np.round(a["s"].to_numpy() / a["n"].to_numpy(), 4),
+            }
+        )
+
+    parts = ds.map_batches(clip_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("o_orderpriority").map_groups(finish, batch_format="pandas")
+
+
+def chi2_independence(sf_dir: str):
+    """Chi-square independence audit between event type and a user cohort
+    (the data-quality test for "is this categorical pair actually
+    independent" — drift/leak detection in event streams). Exact integer
+    contingency counts via per-batch partials; the χ² statistic is computed
+    from the driver-sized contingency table (cells = |types|·|cohorts|) and
+    rounded 4dp on both sides (cross-row float sum order differs between
+    engines)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "cohort": pa.array(
+                    t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64) % 4
+                ),
+                "o": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            tt.group_by(["event_type", "cohort"])
+            .aggregate([("o", "sum")])
+            .rename_columns(["event_type", "cohort", "o"])
+        )
+
+    c = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby(["event_type", "cohort"], as_index=False)["o"]
+        .sum()
+        .sort_values(["event_type", "cohort"])
+    )
+    o = c["o"].to_numpy(dtype=np.float64)
+    rt = c.groupby("event_type")["o"].transform("sum").to_numpy(dtype=np.float64)
+    ct = c.groupby("cohort")["o"].transform("sum").to_numpy(dtype=np.float64)
+    tot = o.sum()
+    e = rt * ct / tot
+    chi2 = float(np.round(((o - e) ** 2 / e).sum(), 4))
+    return pd.DataFrame([{"chi2": chi2, "n_cells": np.int64(len(c))}])

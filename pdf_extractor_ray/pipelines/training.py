@@ -575,12 +575,10 @@ def stratified_sample_by_decile(sf_dir: str, tiles: int = 10, k: int = 20, n_buc
     intersects), so the final merge sees ≤B·k·tiles rows, never the table."""
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
 
-    def minmax(t: pa.Table) -> pa.Table:
-        v = t.column("n_chars").to_numpy(zero_copy_only=False)
-        return pa.table({"lo": pa.array([int(v.min())]), "hi": pa.array([int(v.max())])})
-
-    mm = ds.map_batches(minmax, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    # sampled range (first blocks): clip makes any monotone bucket fn
+    # correct — see global_row_number, which dropped its exact-min/max scan
+    sample = ds.limit(4096).to_pandas()["n_chars"].to_numpy()
+    lo, hi = int(sample.min()), int(sample.max())
     span = float(hi - lo) or 1.0
 
     def bucket_of(v: np.ndarray) -> np.ndarray:
