@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_first_digit": relational.benford_first_digit,
         "winsorized_mean_by_group": relational.winsorized_mean_by_group,
         "chi2_independence": relational.chi2_independence,
+        "time_weighted_avg_per_user": relational.time_weighted_avg_per_user,
         # temperature-based source mixing (r3)
         "source_mixture_sample": training.source_mixture_sample,
         "year_splice": relational.year_splice,
@@ -1303,6 +1304,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
               FROM d)
             SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY digit
+        """,
+        "time_weighted_avg_per_user": """
+            WITH o AS (
+              SELECT user_id, value, epoch_us(ts) AS t,
+                LEAD(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS tn
+              FROM events)
+            SELECT user_id,
+              ROUND(SUM(value * (tn - t)) / SUM(tn - t), 4) AS twap
+            FROM o WHERE tn IS NOT NULL GROUP BY user_id
         """,
         "winsorized_mean_by_group": """
             WITH q AS (

@@ -195,6 +195,7 @@ QUERY_PANEL = [
     "benford_first_digit",
     "winsorized_mean_by_group",
     "chi2_independence",
+    "time_weighted_avg_per_user",
 ]
 
 

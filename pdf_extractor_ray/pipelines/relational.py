@@ -3666,3 +3666,39 @@ def chi2_independence(sf_dir: str):
     e = rt * ct / tot
     chi2 = float(np.round(((o - e) ** 2 / e).sum(), 4))
     return pd.DataFrame([{"chi2": chi2, "n_cells": np.int64(len(c))}])
+
+
+def time_weighted_avg_per_user(sf_dir: str):
+    """Time-weighted average value per user (the TWAP / sensor-mean shape:
+    each reading holds until the next one, so long-held values weigh more
+    than bursts). Weight = the integer-µs interval to the NEXT event; the
+    user's last event opens no interval. Users with a single event have no
+    coverage and drop on both sides.
+
+    Scale shape: ``map_key_buckets`` (one in-bucket sort), segment-wise
+    shift for the next-timestamp, per-user (Σv·Δt, ΣΔt) sums finish inside
+    the bucket; rounded 4dp both sides (cross-row float sum order)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def twap(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        t = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy(dtype=np.float64)
+        tn = np.empty(len(t), dtype=np.int64)
+        tn[:-1] = t[1:]
+        tn[-1] = -1
+        last = np.empty(len(t), dtype=bool)
+        last[-1] = True
+        last[:-1] = u[1:] != u[:-1]
+        dt = (tn - t).astype(np.float64)
+        keep = ~last
+        d = pd.DataFrame({"u": u[keep], "wx": v[keep] * dt[keep], "w": dt[keep]})
+        a = d.groupby("u", sort=False)[["wx", "w"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "user_id": a["u"].to_numpy(dtype=np.int64),
+                "twap": np.round(a["wx"].to_numpy() / a["w"].to_numpy(), 4),
+            }
+        )
+
+    return map_key_buckets(ds, "user_id", twap, sort_by=["user_id", "ts", "event_id"])

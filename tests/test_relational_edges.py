@@ -448,3 +448,34 @@ def test_table_checksum_block_structure_invariant(ray_session, tmp_path):
     c = table_checksum(str(tmp_path))
     assert int(a["checksum"][0]) == int(c["checksum"][0])
     assert int(a["n_rows"][0]) == int(c["n_rows"][0])
+
+
+def test_twap_holds_values_by_interval(ray_session, tmp_path):
+    """TWAP weighs each value by how long it held: value 10 held 9 s then
+    value 100 held 1 s -> 19.0; the final event opens no interval; a
+    single-event user drops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray.pipelines.relational import time_weighted_avg_per_user
+
+    t0 = 1_700_000_000_000_000
+    rows = [
+        (1, 7, t0, 10.0),
+        (2, 7, t0 + 9_000_000, 100.0),
+        (3, 7, t0 + 10_000_000, 55.0),  # last: no interval
+        (4, 8, t0, 42.0),  # single event: no coverage, dropped
+    ]
+    eid, uid, ts, val = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(list(ts), pa.timestamp("us")),
+                "value": pa.array(val, pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = _df(time_weighted_avg_per_user(str(tmp_path)))
+    assert got.to_dict("records") == [{"user_id": 7, "twap": 19.0}]
