@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean_by_group": relational.winsorized_mean_by_group,
         "chi2_independence": relational.chi2_independence,
         "time_weighted_avg_per_user": relational.time_weighted_avg_per_user,
+        "merge_upsert": relational.merge_upsert,
         # temperature-based source mixing (r3)
         "source_mixture_sample": training.source_mixture_sample,
         "year_splice": relational.year_splice,
@@ -237,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": training.dsir_weights,
         "bpe_train_merges": training.bpe_train_merges,
         "logreg_quality_train": training.logreg_quality_train,
+        "classifier_auc": training.classifier_auc,
         "source_minhash_similarity": dedup.source_minhash_similarity,
         "pca_project": similarity.pca_project,
         "pagerank": graph.pagerank,
@@ -1304,6 +1306,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
               FROM d)
             SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY digit
+        """,
+        "merge_upsert": """
+            WITH upd AS (
+              SELECT doc_id, n_chars + 1 AS n_chars FROM documents
+              WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, n_chars FROM documents
+              WHERE doc_id % 11 = 0)
+            SELECT CAST(COALESCE(u.doc_id, b.doc_id) AS BIGINT) AS doc_id,
+              CAST(COALESCE(u.n_chars, b.n_chars) AS BIGINT) AS n_chars
+            FROM documents b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id
         """,
         "time_weighted_avg_per_user": """
             WITH o AS (

@@ -196,6 +196,8 @@ QUERY_PANEL = [
     "winsorized_mean_by_group",
     "chi2_independence",
     "time_weighted_avg_per_user",
+    "merge_upsert",
+    "classifier_auc",
 ]
 
 

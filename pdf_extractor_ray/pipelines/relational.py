@@ -3702,3 +3702,60 @@ def time_weighted_avg_per_user(sf_dir: str):
         )
 
     return map_key_buckets(ds, "user_id", twap, sort_by=["user_id", "ts", "event_id"])
+
+
+def merge_upsert(sf_dir: str):
+    """MERGE INTO / upsert: apply a change batch to a base table — matched
+    keys take the update's value, unmatched updates insert, untouched base
+    rows pass through (the data-lake compaction primitive; ``snapshot_diff``
+    is its diff-producing sibling and shares the derived change batch
+    arithmetic). ONE kind-tagged doc_id-hash co-group; the in-bucket apply
+    is a vectorized update-wins merge."""
+    B = N_KEY_BUCKETS
+    ADD_OFF = 10_000_000
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(k % B),
+                "doc_id": pa.array(k),
+                "n_chars": pa.array(n),
+                "is_upd": pa.array(np.zeros(len(k), dtype=np.int8)),
+            }
+        )
+
+    def update_rows(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        um = k % 5 == 0
+        am = k % 11 == 0
+        ku = np.concatenate([k[um], k[am] + ADD_OFF])
+        nu = np.concatenate([n[um] + 1, n[am]])
+        return pa.table(
+            {
+                "_bucket": pa.array(ku % B),
+                "doc_id": pa.array(ku),
+                "n_chars": pa.array(nu),
+                "is_upd": pa.array(np.ones(len(ku), dtype=np.int8)),
+            }
+        )
+
+    both = docs.map_batches(base_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+        docs.map_batches(update_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def apply(g: pd.DataFrame) -> pd.DataFrame:
+        # update-wins: sort so is_upd=1 comes last per key, keep the last
+        g = g.sort_values(["doc_id", "is_upd"], kind="mergesort")
+        out = g.drop_duplicates("doc_id", keep="last")
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(dtype=np.int64),
+                "n_chars": out["n_chars"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return both.groupby("_bucket").map_groups(apply, batch_format="pandas")

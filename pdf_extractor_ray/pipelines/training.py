@@ -754,3 +754,68 @@ def logreg_quality_train(sf_dir: str, iters: int = 25, lr: float = 2.5):
         )
 
     return fds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def classifier_auc(sf_dir: str, n_buckets: int = 64):
+    """Distributed ROC-AUC of the trained quality classifier — the model-
+    evaluation metric a training pipeline gates on. Mann-Whitney rank form
+    with AVERAGE ranks for ties: AUC = (Σ r̄_pos − P(P+1)/2) / (P·N).
+
+    Scale shape: probabilities bucket into order-preserving value ranges
+    (prob ∈ [0,1], bucket = ⌊p·B⌋ — equal probs share a bucket, so tie
+    groups never straddle a boundary and average ranks are exact
+    in-bucket); per-bucket counts → prefix offsets (B ints to the driver);
+    each bucket then contributes 3 scalars (Σ r̄ over positives, P, N).
+    Rank sums are half-integers < 2⁵³, so the distributed result is
+    BIT-equal to a single-process computation (pinned in tests)."""
+    scored = logreg_quality_train(sf_dir)
+
+    def bucket_of(p: np.ndarray) -> np.ndarray:
+        return np.clip((p * n_buckets).astype(np.int64), 0, n_buckets - 1)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        p = t.column("prob").to_numpy(zero_copy_only=False)
+        c = np.bincount(bucket_of(p), minlength=n_buckets)
+        return pa.table(
+            {
+                "_bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    scored = scored.materialize()  # two consumers: counts pass + rank pass
+    parts = scored.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    counts = parts.groupby("_bucket")["n"].sum().reindex(range(n_buckets), fill_value=0).to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        p = t.column("prob").to_numpy(zero_copy_only=False)
+        return t.append_column("_bucket", pa.array(bucket_of(p)))
+
+    def rank_partial(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_bucket"].iloc[0])
+        g = g.sort_values(["prob", "doc_id"], kind="mergesort")
+        # average rank per tie group of prob (global: offset + local pos)
+        local = np.arange(1, len(g) + 1, dtype=np.float64) + float(offsets[b])
+        pr = g["prob"].to_numpy()
+        s = pd.Series(local).groupby(pr, sort=False).transform("mean").to_numpy()
+        y = g["label"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "r_pos": [float(s[y == 1].sum())],
+                "n_pos": [int((y == 1).sum())],
+                "n_neg": [int((y == 0).sum())],
+            }
+        )
+
+    agg = (
+        scored.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(rank_partial, batch_format="pandas")
+        .sum(["r_pos", "n_pos", "n_neg"])
+    )
+    P, N = int(agg["sum(n_pos)"]), int(agg["sum(n_neg)"])
+    auc = (float(agg["sum(r_pos)"]) - P * (P + 1) / 2.0) / (P * N)
+    return pd.DataFrame([{"auc": float(np.round(auc, 6)), "n_pos": np.int64(P), "n_neg": np.int64(N)}])

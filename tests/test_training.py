@@ -315,3 +315,19 @@ def test_logreg_deterministic(ray_session):
     a = _df(tr.logreg_quality_train(SF, iters=10)).sort_values("doc_id").reset_index(drop=True)
     b = _df(tr.logreg_quality_train(SF, iters=10)).sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_classifier_auc_matches_local_rank_computation(ray_session):
+    """The distributed AUC must BIT-equal a single-process Mann-Whitney
+    computation over the same scored output (rank sums are half-integers
+    < 2^53, so there is no float-order slack to hide behind)."""
+    got = _df(tr.classifier_auc(SF))
+    scored = _df(tr.logreg_quality_train(SF)).sort_values(["prob", "doc_id"]).reset_index(drop=True)
+    r = np.arange(1, len(scored) + 1, dtype=np.float64)
+    r = pd.Series(r).groupby(scored["prob"].to_numpy(), sort=False).transform("mean").to_numpy()
+    y = scored["label"].to_numpy()
+    P, N = int((y == 1).sum()), int((y == 0).sum())
+    auc = (r[y == 1].sum() - P * (P + 1) / 2.0) / (P * N)
+    assert float(got["auc"][0]) == float(np.round(auc, 6))
+    assert int(got["n_pos"][0]) == P and int(got["n_neg"][0]) == N
+    assert got["auc"][0] > 0.9  # the planted rule is genuinely separable
