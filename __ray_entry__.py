@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_independence": relational.chi2_independence,
         "time_weighted_avg_per_user": relational.time_weighted_avg_per_user,
         "merge_upsert": relational.merge_upsert,
+        "skyline_orders": relational.skyline_orders,
         # temperature-based source mixing (r3)
         "source_mixture_sample": training.source_mixture_sample,
         "year_splice": relational.year_splice,
@@ -1306,6 +1307,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
               FROM d)
             SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY digit
+        """,
+        "skyline_orders": """
+            SELECT o1.o_orderkey, o1.o_totalprice,
+              strftime(o1.o_orderdate, '%Y-%m-%d') AS o_orderdate
+            FROM orders o1
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o2
+              WHERE o2.o_totalprice >= o1.o_totalprice
+                AND o2.o_orderdate <= o1.o_orderdate
+                AND (o2.o_totalprice > o1.o_totalprice
+                     OR o2.o_orderdate < o1.o_orderdate))
         """,
         "merge_upsert": """
             WITH upd AS (

@@ -198,6 +198,7 @@ QUERY_PANEL = [
     "time_weighted_avg_per_user",
     "merge_upsert",
     "classifier_auc",
+    "skyline_orders",
 ]
 
 

@@ -3759,3 +3759,56 @@ def merge_upsert(sf_dir: str):
         )
 
     return both.groupby("_bucket").map_groups(apply, batch_format="pandas")
+
+
+def skyline_orders(sf_dir: str):
+    """2-D SKYLINE / Pareto frontier: orders not dominated on
+    (maximize o_totalprice, minimize o_orderdate) — the multi-criteria
+    shortlist operator (dominates = ≥ on both axes, > on at least one).
+
+    Scale shape: the skyline operator distributes because dominance is
+    transitive — skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)). Each
+    batch emits a SUPERSET partial via the sort-sweep prune (sort price
+    desc / date asc, keep while date ≤ running min — never drops a true
+    skyline point), then the frontier-sized candidate set takes one exact
+    vectorized dominance check. Only candidates leave their batch."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, -p))  # price desc, date asc
+        p, d, k = p[order], d[order], k[order]
+        run = np.minimum.accumulate(d)
+        keep = np.empty(len(d), dtype=bool)
+        keep[0] = True
+        keep[1:] = d[1:] <= run[:-1]  # superset rule: ties survive to the exact check
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[keep]),
+                "p": pa.array(p[keep]),
+                "d": pa.array(d[keep]),
+            }
+        )
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    p = cand["p"].to_numpy()
+    d = cand["d"].to_numpy()
+    # exact dominance: frontier-sized k × k, vectorized
+    dom = (
+        (p[:, None] >= p[None, :])
+        & (d[:, None] <= d[None, :])
+        & ((p[:, None] > p[None, :]) | (d[:, None] < d[None, :]))
+    )
+    keep = ~dom.any(axis=0)
+    out = cand[keep]
+    return pd.DataFrame(
+        {
+            "o_orderkey": out["o_orderkey"].to_numpy(dtype=np.int64),
+            "o_totalprice": out["p"].to_numpy(),
+            "o_orderdate": np.datetime_as_string(
+                out["d"].to_numpy(dtype=np.int64).astype("datetime64[us]"), unit="D"
+            ),
+        }
+    ).reset_index(drop=True)

@@ -479,3 +479,36 @@ def test_twap_holds_values_by_interval(ray_session, tmp_path):
     )
     got = _df(time_weighted_avg_per_user(str(tmp_path)))
     assert got.to_dict("records") == [{"user_id": 7, "twap": 19.0}]
+
+
+def test_skyline_ties_and_dominance(ray_session, tmp_path):
+    """Identical (price, date) pairs do NOT dominate each other (both
+    survive); strict dominance on either axis removes; incomparable points
+    coexist on the frontier."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray.pipelines.relational import skyline_orders
+
+    day = 86_400_000_000
+    t0 = 1_500_000_000_000_000
+    rows = [
+        (1, 100.0, t0),            # frontier (earliest at price 100)
+        (2, 100.0, t0),            # identical twin -> also survives
+        (3, 100.0, t0 + day),      # dominated by 1 (same price, later)
+        (4, 200.0, t0 + 2 * day),  # frontier (highest price)
+        (5, 150.0, t0 + day),      # frontier (incomparable with 1 and 4)
+        (6, 140.0, t0 + day),      # dominated by 5 (same date, lower price)
+    ]
+    ok, p, d = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "o_totalprice": pa.array(p, pa.float64()),
+                "o_orderdate": pa.array(list(d), pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    got = _df(skyline_orders(str(tmp_path)))
+    assert sorted(got["o_orderkey"]) == [1, 2, 4, 5]
