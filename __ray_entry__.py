@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_export_audit": textops.training_export_audit,
         "late_event_filter": relational.late_event_filter,
         "tumbling_distinct_users": relational.tumbling_distinct_users,
+        "sliding_distinct_users": relational.sliding_distinct_users,
         # substring-dedup coverage, BFS, integrity, skyline (r3)
         "dup_span_coverage": search.dup_span_coverage,
         "bfs_hops": graph.bfs_hops,
@@ -1216,6 +1217,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
+        """,
+        "sliding_distinct_users": """
+            WITH e AS (
+              SELECT user_id,
+                (epoch_us(ts) // 1000000 // 1800) * 1800 AS w1
+              FROM events),
+            w AS (
+              SELECT user_id, w1 AS ws FROM e
+              UNION ALL SELECT user_id, w1 - 1800 AS ws FROM e)
+            SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S')
+                AS window_start,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM w GROUP BY ws
         """,
         "running_distinct_types": """
             WITH o AS (

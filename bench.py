@@ -199,6 +199,7 @@ QUERY_PANEL = [
     "merge_upsert",
     "classifier_auc",
     "skyline_orders",
+    "sliding_distinct_users",
 ]
 
 

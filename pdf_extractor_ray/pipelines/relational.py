@@ -3812,3 +3812,51 @@ def skyline_orders(sf_dir: str):
             ),
         }
     ).reset_index(drop=True)
+
+
+def sliding_distinct_users(sf_dir: str):
+    """EXACT COUNT(DISTINCT user) per SLIDING 1-hour window stepping 30
+    minutes — the overlapping-window companion to ``tumbling_distinct_users``:
+    each event belongs to the two windows covering it, so the per-batch
+    distinct partial explodes to (window, user) ONCE per covering window
+    before the single window-hash shuffle."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    STEP = 1_800  # seconds; WIN = 2*STEP, so each event is in exactly two windows
+
+    def partial(t: pa.Table) -> pa.Table:
+        # numpy epoch floor (a pyarrow us→s cast REFUSES to truncate)
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 1_000_000
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # window starts covering ts: the two step-aligned starts in
+        # (ts - WIN, ts] (WIN = 2·STEP, so both always cover)
+        w1 = (ts // STEP) * STEP
+        ws = np.concatenate([w1 - STEP, w1])
+        uu = np.concatenate([u, u])
+        pair = np.unique(np.stack([ws, uu], axis=1), axis=0)
+        return pa.table({"ws_epoch": pa.array(pair[:, 0]), "user_id": pa.array(pair[:, 1])})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop_duplicates(["ws_epoch", "user_id"])
+            .groupby("ws_epoch", sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+
+    def render(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.strftime(
+                    pc.cast(t.column("ws_epoch"), pa.timestamp("s")),
+                    format="%Y-%m-%d %H:%M:%S",
+                ),
+                "n_users": pc.cast(t.column("n_users"), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = map_key_buckets(parts, "ws_epoch", finish)
+    return agg.map_batches(render, batch_format="pyarrow")
