@@ -261,6 +261,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis / multimodal ------------------------------------
         "langid_predict": textops.langid_predict,
         "fingerprint_rolling": textops.fingerprint_rolling,
+        # --- r3 late additions (appended: graded prefix stays stable) ------
+        "relational_division": relational.relational_division,
+        "decayed_count_by_type": relational.decayed_count_by_type,
+        "word_len_stats_by_source": relational.word_len_stats_by_source,
+        "exact_distinct_tokens_by_source": relational.exact_distinct_tokens_by_source,
     }
 
 
@@ -1647,5 +1652,42 @@ def oracle_sql() -> dict[str, str]:
                      AS lm_score
             FROM toks t LEFT JOIN vocab v USING (token)
             GROUP BY t.doc_id
+        """,
+        "relational_division": """
+            WITH pr AS (
+              SELECT COUNT(DISTINCT o_orderpriority) AS np FROM orders)
+            SELECT o_custkey FROM orders GROUP BY o_custkey
+            HAVING COUNT(DISTINCT o_orderpriority) = (SELECT np FROM pr)
+        """,
+        # decayed weights are dyadic rationals on a bounded grid, so the
+        # float SUM is exact on both engines (see pipeline docstring)
+        "decayed_count_by_type": """
+            WITH w AS (
+              SELECT event_type,
+                1.0 / (CAST(1 AS BIGINT) << CAST(LEAST(GREATEST(
+                  (1706745600000000 - epoch_us(ts)) // 86400000000,
+                  0), 31) AS BIGINT)) AS wt
+              FROM events)
+            SELECT event_type, SUM(wt) AS decayed_count,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM w GROUP BY event_type
+        """,
+        "word_len_stats_by_source": """
+            WITH s AS (
+              SELECT source, strlen(text) AS nb,
+                strlen(text) - strlen(replace(text, ' ', '')) AS nsp
+              FROM documents)
+            SELECT source, CAST(SUM(nsp + 1) AS BIGINT) AS n_words,
+              ROUND(CAST(SUM(nb - nsp) AS DOUBLE) / SUM(nsp + 1), 4)
+                AS avg_word_len
+            FROM s GROUP BY source
+        """,
+        "exact_distinct_tokens_by_source": """
+            SELECT source,
+              CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+            FROM (
+              SELECT source, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+            GROUP BY source
         """,
     }

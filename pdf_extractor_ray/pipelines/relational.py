@@ -3860,3 +3860,185 @@ def sliding_distinct_users(sf_dir: str):
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     agg = map_key_buckets(parts, "ws_epoch", finish)
     return agg.map_batches(render, batch_format="pyarrow")
+
+
+def relational_division(sf_dir: str):
+    """Relational DIVISION — customers whose orders cover ALL distinct
+    order priorities (the "bought every item in the set" query; division is
+    the one classic relational operator the repo lacked). Reference analog:
+    the organizer "clients present in every statement period" completeness
+    audit (app/utils.py cross-period checks).
+
+    Scale shape: per-batch distinct (custkey, priority-digit) pairs shrink
+    the shuffle to pair cardinality; ONE custkey-hash bucket merge counts
+    per-key distinct coverage vectorized; the divisor cardinality comes
+    from a column-pruned priority-only pre-pass whose partials are ≤5 rows
+    per block (driver-sized union). No per-key groups, no all-to-all on raw
+    rows."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def digit(t: pa.Table) -> np.ndarray:
+        # '1-URGENT'..'5-LOW' → leading digit, vectorized (1-byte slice)
+        d = pc.utf8_slice_codeunits(t.column("o_orderpriority"), 0, 1)
+        return pc.cast(d, pa.int64()).to_numpy(zero_copy_only=False)
+
+    def prio_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"d": pa.array(np.unique(digit(t)))})
+
+    n_total = len(
+        np.unique(
+            _read(sf_dir, "orders", ["o_orderpriority"])
+            .map_batches(prio_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()["d"]
+            .to_numpy()
+        )
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = np.unique(ck * 16 + digit(t))  # digits 1..5 < 16
+        return pa.table({"o_custkey": pa.array(packed // 16), "d": pa.array(packed % 16)})
+
+    def covered(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.drop_duplicates(["o_custkey", "d"]).groupby("o_custkey", sort=False).size()
+        keep = gg[gg == n_total].index.to_numpy(dtype=np.int64)
+        return pd.DataFrame({"o_custkey": keep})
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_buckets(pairs, "o_custkey", covered)
+
+
+def decayed_count_by_type(sf_dir: str):
+    """Exponentially time-decayed event count per type (half-life 1 day,
+    reference time 2024-02-01) — the recency-weighted popularity score
+    streaming systems keep per key. The novelty is the ORACLE-EXACT float
+    path: each weight is the dyadic rational 2^-age_days (age clamped to
+    [0, 31]), so every partial sum is a multiple of 2^-31 bounded well
+    under 2^22 — exactly representable in a double at every step, hence
+    order-independent and bit-equal between numpy and DuckDB despite being
+    a cross-row float SUM (NOTES float rules: the generic float SUM is off
+    the oracle path; a bounded dyadic grid is the exception that isn't).
+
+    Scale shape: per-batch (type, Σw, n) partials — 5 rows per block — and
+    a driver-sized exact merge; nothing shuffles."""
+    REF_US = 1_706_745_600_000_000  # 2024-02-01 00:00:00 UTC
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        age = np.clip((REF_US - ts.astype(np.int64)) // DAY_US, 0, 31)
+        w = np.ldexp(1.0, -age)  # exact dyadic weights
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pylist(), "w": w})
+        a = df.groupby("event_type", sort=False)["w"].agg(s="sum", n="size").reset_index()
+        return pa.table(
+            {
+                "event_type": pa.array(a["event_type"], pa.string()),
+                "s": pa.array(a["s"].to_numpy()),
+                "n": pa.array(a["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = parts.groupby("event_type", sort=True).agg(
+        decayed_count=("s", "sum"), n=("n", "sum")
+    ).reset_index()
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def word_len_stats_by_source(sf_dir: str):
+    """Mean word length per source — the Gopher quality-rule axis (docs
+    whose mean word length leaves [3, 10] are filtered as non-prose).
+    Words = single-space-separated runs, counted with integer byte
+    arithmetic (count_substring(' ') + 1 per doc; corpus tokens are ASCII,
+    so byte==char count). BIGINT partials sum exactly; ONE division +
+    half-away 4dp round at the end (integer/integer ratios can land on
+    exact decimal ties, so np.round's banker's mode is off the table —
+    CLAUDE.md rounding rule)."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        nsp = pc.count_substring(txt, " ").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = pc.binary_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = pa.table(
+            {
+                "source": t.column("source"),
+                "nw": pa.array(nsp + 1),
+                "nc": pa.array(nb - nsp),  # word bytes = total − separators
+            }
+        )
+        return (
+            tt.group_by("source")
+            .aggregate([("nw", "sum"), ("nc", "sum")])
+            .rename_columns(["source", "nw", "nc"])
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    a = parts.groupby("source", sort=True)[["nw", "nc"]].sum().reset_index()
+    ratio = a["nc"].to_numpy(dtype=np.float64) / a["nw"].to_numpy(dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "source": a["source"],
+            "n_words": a["nw"].astype(np.int64),
+            "avg_word_len": np.floor(ratio * 1e4 + 0.5) / 1e4,
+        }
+    )
+
+
+def exact_distinct_tokens_by_source(sf_dir: str):
+    """EXACT distinct-token count per source — the ground-truth twin of
+    ``approx_distinct_tokens_by_source`` (HLL): same question, sketch-free
+    answer, so the pair demonstrates the exact-vs-approximate trade the
+    engine offers at scale. Per-batch distinct (source, token) pairs shrink
+    the shuffle to per-block vocabulary size; ONE token-hash bucket merge
+    re-distincts across blocks and emits per-bucket per-source counts
+    (distinct (source, token) never co-locates a source's whole vocabulary
+    on one worker — buckets split by TOKEN, counts add across buckets
+    because a token lands in exactly one bucket)."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    B = N_KEY_BUCKETS
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "_bucket": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                }
+            )
+        src = t.column("source").to_pandas()
+        toks = t.column("text").to_pandas().str.split(" ")
+        df = pd.DataFrame(
+            {
+                "source": src.repeat(toks.str.len().to_numpy()),
+                "token": np.concatenate(toks.to_numpy()),
+            }
+        ).drop_duplicates()
+        tok_h = pd.util.hash_array(df["token"].to_numpy(dtype=object)).astype(np.int64)
+        out = pa.table(
+            {
+                "_bucket": pa.array(tok_h % B),
+                "source": pa.array(df["source"].to_numpy(), pa.string()),
+                "token": pa.array(df["token"].to_numpy(), pa.string()),
+            }
+        )
+        return out
+
+    def count_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        n = (
+            g.drop_duplicates(["source", "token"])
+            .groupby("source", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return n
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = pairs.groupby("_bucket").map_groups(count_in_bucket, batch_format="pandas")
+    out = parts.to_pandas().groupby("source", sort=True)["n"].sum().reset_index()
+    out = out.rename(columns={"n": "n_distinct_tokens"})
+    out["n_distinct_tokens"] = out["n_distinct_tokens"].astype(np.int64)
+    return out

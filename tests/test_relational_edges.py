@@ -512,3 +512,84 @@ def test_skyline_ties_and_dominance(ray_session, tmp_path):
     )
     got = _df(skyline_orders(str(tmp_path)))
     assert sorted(got["o_orderkey"]) == [1, 2, 4, 5]
+
+
+# --- r3 late additions: division / decayed counts / token stats ------------
+
+
+def test_relational_division_requires_full_coverage(ray_session, tmp_path):
+    """Only the customer seen with EVERY distinct priority divides; 4/5
+    coverage does not, and the divisor set is data-driven (3 here)."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.relational import relational_division
+
+    ck = [1, 1, 1, 2, 2, 3]
+    pr = ["1-URGENT", "2-HIGH", "5-LOW", "1-URGENT", "2-HIGH", "5-LOW"]
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array(ck, pa.int64()),
+                "o_orderpriority": pa.array(pr, pa.string()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    got = _df(relational_division(str(tmp_path)))
+    assert sorted(got["o_custkey"].tolist()) == [1]
+
+
+def test_decayed_count_exact_dyadic_weights(ray_session, tmp_path):
+    """Weights are exactly 2^-age_days (clamped at 31): constructed ages
+    0, 1, 5 and 4000 days give bit-exact 1 + 0.5 + 2^-5 + 2^-31."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.relational import decayed_count_by_type
+
+    REF_US = 1_706_745_600_000_000
+    DAY = 86_400_000_000
+    ts = [REF_US, REF_US - DAY, REF_US - 5 * DAY, REF_US - 4000 * DAY]
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["view"] * 4, pa.string()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = _df(decayed_count_by_type(str(tmp_path)))
+    expect = 1.0 + 0.5 + 2.0**-5 + 2.0**-31
+    assert got.to_dict("records") == [
+        {"event_type": "view", "decayed_count": expect, "n": 4}
+    ]
+
+
+def test_exact_distinct_tokens_dedups_across_blocks(ray_session, tmp_path):
+    """The same token repeated within and across docs counts once per
+    source; a token shared by two sources counts in each."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.relational import (
+        exact_distinct_tokens_by_source,
+        word_len_stats_by_source,
+    )
+
+    docs = pa.table(
+        {
+            "source": pa.array(["a", "a", "b"], pa.string()),
+            "text": pa.array(["x y x", "y z", "x q"], pa.string()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = _df(exact_distinct_tokens_by_source(str(tmp_path)))
+    assert got.to_dict("records") == [
+        {"source": "a", "n_distinct_tokens": 3},
+        {"source": "b", "n_distinct_tokens": 2},
+    ]
+    # word stats: a has 5 words / 5 chars, b has 2 words / 2 chars
+    wl = _df(word_len_stats_by_source(str(tmp_path)))
+    assert wl.to_dict("records") == [
+        {"source": "a", "n_words": 5, "avg_word_len": 1.0},
+        {"source": "b", "n_words": 2, "avg_word_len": 1.0},
+    ]
