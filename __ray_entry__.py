@@ -266,6 +266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_count_by_type": relational.decayed_count_by_type,
         "word_len_stats_by_source": relational.word_len_stats_by_source,
         "exact_distinct_tokens_by_source": relational.exact_distinct_tokens_by_source,
+        # rows-only: DEFLATE has no SQL form; k-core is iterative. Both are
+        # reimplementation-pinned in tests (test_graph_analytics.py).
+        "compression_ratio_signal": textops.compression_ratio_signal,
+        "kcore_nodes": graph.kcore_nodes,
     }
 
 

@@ -645,3 +645,85 @@ def bfs_hops(sf_dir: str, seed: int = 1, max_hops: int = 4):
         )
 
     return state.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kcore_nodes(sf_dir: str, k: int = 3, max_rounds: int = 50):
+    """k-core decomposition of the part co-occurrence graph — iterative
+    peel: drop every node with degree < k, recompute degrees on the
+    surviving subgraph, repeat to fixpoint; survivors are the k-core (the
+    densely-connected backbone community detection and spam-cluster
+    analysis start from). Completes the graph family's fourth iterative
+    algorithm (PageRank / BFS / CC / k-core).
+
+    Per round: per-batch endpoint-count partials → ONE node-bucket merge
+    (vectorized per-node degree inside the bucket — never per-node Ray
+    groups) → sub-k nodes come back to the driver (the peel FRONTIER: only
+    nodes whose degree just fell below k, shrinking every round) and are
+    broadcast as a filter set for a vectorized pc.is_in edge drop.
+    Surviving edges are repartitioned to O(CPUs) blocks each round (NOTES
+    block-count accumulation rule). Partitioning assumption: the per-round
+    removal frontier fits the driver; at extreme scale the filter becomes
+    a node-bucket co-group semi-join instead (the dedup crossover shape).
+
+    Returns surviving (node, degree) — degrees all ≥ k at fixpoint."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .relational import map_key_buckets
+
+    edges = (
+        _part_cooccurrence_edges(sf_dir)
+        .repartition(8)
+        .materialize()
+    )
+
+    def endpoint_partials(t: pa.Table) -> pa.Table:
+        ek = t.column("ekey").to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([ek >> 32, ek & 0xFFFFFFFF])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u), "deg": pa.array(c.astype(np.int64))})
+
+    def degree_in_bucket(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby("node", sort=False)["deg"].sum().reset_index()
+        return pa.table(
+            {
+                "node": pa.array(d["node"].to_numpy(dtype=np.int64)),
+                "deg": pa.array(d["deg"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    for _ in range(max_rounds):
+        degs = map_key_buckets(
+            edges.map_batches(
+                endpoint_partials, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "node",
+            degree_in_bucket,
+        ).materialize()
+        drop = degs.map_batches(
+            lambda t: t.filter(pc.less(t.column("deg"), k)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()
+        if len(drop) == 0:
+            return degs.select_columns(["node", "deg"])
+        drop_ref = ray.put(set(drop["node"].tolist()))
+
+        def drop_edges(t: pa.Table, _ref=drop_ref) -> pa.Table:
+            bad = pa.array(list(ray.get(_ref)), pa.int64())
+            a = pc.bit_wise_and(
+                pc.shift_right(t.column("ekey"), 32), 0xFFFFFFFF
+            )
+            b = pc.bit_wise_and(t.column("ekey"), 0xFFFFFFFF)
+            keep = pc.and_(
+                pc.invert(pc.is_in(a, value_set=bad)),
+                pc.invert(pc.is_in(b, value_set=bad)),
+            )
+            return t.filter(keep)
+
+        edges = (
+            edges.map_batches(drop_edges, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(8)
+            .materialize()
+        )
+    raise RuntimeError(f"kcore_nodes: no fixpoint within {max_rounds} rounds")

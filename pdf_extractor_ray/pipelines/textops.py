@@ -1073,3 +1073,38 @@ def export_roundtrip_manifest(sf_dir: str, n_parts: int = 16):
     out["part_id"] = out["part_id"].astype(np.int64)
     out["n_rows"] = out["n_rows"].astype(np.int64)
     return out
+
+
+def compression_ratio_signal(sf_dir: str, level: int = 6):
+    """Per-doc zlib compression ratio — the classic "too repetitive to be
+    prose" curation signal (highly templated / boilerplate pages compress
+    far below natural text; reference analog: the extractors' repeated-
+    boilerplate heuristics in dataextractai/parsers). Rows-only: DuckDB has
+    no DEFLATE, so the pin is a byte-exact reimplementation test plus
+    monotonicity properties (tests/test_relational_edges.py).
+
+    The per-row loop is deliberate: DEFLATE has no vectorized form and the
+    work is all inside zlib's C kernel; stateless map_batches keeps it
+    embarrassingly parallel and streaming at any corpus size."""
+    import zlib
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        nb = np.array([len(t.encode("utf-8")) for t in texts], dtype=np.int64)
+        nz = np.array(
+            [len(zlib.compress(t.encode("utf-8"), level)) for t in texts],
+            dtype=np.int64,
+        )
+        r = np.where(nb > 0, nz / np.maximum(nb, 1), 1.0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bytes": pa.array(nb),
+                "n_compressed": pa.array(nz),
+                "compression_ratio": pa.array(np.floor(r * 1e4 + 0.5) / 1e4),
+            }
+        )
+
+    return ds.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)

@@ -269,3 +269,82 @@ def test_bigram_pmi_hand_computed(ray_session, tmp_path):
     assert len(got) == 3  # (x,y), (y,x), (z,z) — nothing else
     got2 = bigram_pmi_topk(str(tmp_path), min_count=2, k=10).to_pandas()
     assert set(zip(got2["w1"], got2["w2"])) == {("x", "y")}
+
+
+# --- k-core decomposition ---------------------------------------------------
+
+
+def test_kcore_peels_tail_keeps_triangle(ray_session, tmp_path):
+    """Triangle 1-2-3 plus tail 3-4: the 2-core drops node 4 (degree 1),
+    after which node 3's degree falls to 2 and the triangle survives."""
+    from pdf_extractor_ray.pipelines.graph import kcore_nodes
+
+    sf = _write_lineitem(tmp_path, {1: [1, 2, 3], 2: [3, 4]})
+    got = kcore_nodes(sf, k=2).to_pandas().sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == [1, 2, 3]
+    assert got["deg"].tolist() == [2, 2, 2]
+
+
+def test_kcore_cascading_peel_empties_tree(ray_session, tmp_path):
+    """A path graph has empty 2-core: each peel round exposes the next
+    leaf, so the cascade must iterate to exhaustion, not stop after one."""
+    from pdf_extractor_ray.pipelines.graph import kcore_nodes
+
+    # path 1-2-3-4 via overlapping 2-part baskets
+    sf = _write_lineitem(tmp_path, {1: [1, 2], 2: [2, 3], 3: [3, 4]})
+    got = kcore_nodes(sf, k=2).to_pandas()
+    assert len(got) == 0
+
+
+def test_kcore_matches_exact_peel_sf0001(ray_session):
+    """Distributed peel == single-process exact peel on the real sf0.001
+    co-occurrence graph (the reimplementation pin rows-only ops get)."""
+    from pdf_extractor_ray.pipelines.graph import _part_cooccurrence_edges, kcore_nodes
+
+    sf = "/root/testdata/sf0.001"
+    ek = _part_cooccurrence_edges(sf).to_pandas()["ekey"].to_numpy(dtype=np.int64)
+    a, b = ek >> 32, ek & 0xFFFFFFFF
+    k = 3
+    alive = np.ones(len(ek), dtype=bool)
+    while True:
+        nodes, degs = np.unique(np.concatenate([a[alive], b[alive]]), return_counts=True)
+        bad = set(nodes[degs < k].tolist())
+        if not bad:
+            break
+        hit = np.array([x in bad or y in bad for x, y in zip(a, b)])
+        alive &= ~hit
+    want = dict(zip(nodes.tolist(), degs.tolist()))
+    got = kcore_nodes(sf, k=k).to_pandas()
+    assert dict(zip(got["node"].tolist(), got["deg"].tolist())) == want
+
+
+def test_compression_ratio_reimplementation_and_monotonicity(ray_session, tmp_path):
+    """Byte-exact vs direct zlib; repetitive text compresses far below a
+    high-entropy string of the same length."""
+    import zlib
+
+    from pdf_extractor_ray.pipelines.textops import compression_ratio_signal
+
+    rng = np.random.default_rng(7)
+    rand_text = "".join(chr(97 + c) for c in rng.integers(0, 26, 4096))
+    rep_text = "spam ham " * 455 + "s"  # same 4096-byte length
+    assert len(rep_text) == 4096
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([rand_text, rep_text], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = (
+        compression_ratio_signal(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate([rand_text, rep_text]):
+        assert got["n_bytes"][i] == 4096
+        assert got["n_compressed"][i] == len(zlib.compress(t.encode(), 6))
+    assert got["compression_ratio"][1] < 0.05 < got["compression_ratio"][0]
