@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reimplementation-pinned in tests (test_graph_analytics.py).
         "compression_ratio_signal": textops.compression_ratio_signal,
         "kcore_nodes": graph.kcore_nodes,
+        "rolling_extremes_per_user": relational.rolling_extremes_per_user,
+        "ccnet_perplexity_buckets": textops.ccnet_perplexity_buckets,
     }
 
 
@@ -1693,5 +1695,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, unnest(string_split(text, ' ')) AS token
               FROM documents)
             GROUP BY source
+        """,
+        "rolling_extremes_per_user": """
+            SELECT event_id,
+              MIN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_min,
+              MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max
+            FROM events
+        """,
+        "ccnet_perplexity_buckets": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+            ),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+            vocab AS (
+              SELECT token, CAST(COUNT(*) AS DOUBLE) AS c FROM toks, tot
+              GROUP BY token, tot.n HAVING COUNT(*) > 0.001 * tot.n
+            ),
+            sc AS (
+              SELECT t.doc_id,
+                ROUND(AVG(COALESCE(ln(v.c / (SELECT n FROM tot)), ln(0.001))), 4)
+                  AS lm_score
+              FROM toks t LEFT JOIN vocab v USING (token)
+              GROUP BY t.doc_id
+            ),
+            q AS (
+              SELECT quantile_disc(lm_score, CAST(1 AS DOUBLE) / 3) AS t1,
+                     quantile_disc(lm_score, CAST(2 AS DOUBLE) / 3) AS t2
+              FROM sc)
+            SELECT sc.doc_id, sc.lm_score,
+              CASE WHEN sc.lm_score >= q.t2 THEN 'head'
+                   WHEN sc.lm_score >= q.t1 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+            FROM sc, q
         """,
     }

@@ -4042,3 +4042,24 @@ def exact_distinct_tokens_by_source(sf_dir: str):
     out = out.rename(columns={"n": "n_distinct_tokens"})
     out["n_distinct_tokens"] = out["n_distinct_tokens"].astype(np.int64)
     return out
+
+
+def rolling_extremes_per_user(sf_dir: str, window: int = 3):
+    """Frame-based rolling MIN/MAX (ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW) per user ordered by (ts, event_id) — the alert/threshold window
+    (``rolling_avg_per_user``'s selection-only sibling: extremes are pure
+    element picks, so no rounding is needed and parity is bit-exact by
+    construction). Same bucketed-sort + segment-wise C-kernel shape."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def roll_b(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("user_id", sort=False)["value"]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "roll_min": gb.rolling(window, min_periods=1).min().to_numpy(),
+                "roll_max": gb.rolling(window, min_periods=1).max().to_numpy(),
+            }
+        )
+
+    return map_key_buckets(ds, "user_id", roll_b, sort_by=["user_id", "ts", "event_id"])

@@ -1108,3 +1108,79 @@ def compression_ratio_signal(sf_dir: str, level: int = 6):
         )
 
     return ds.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ccnet_perplexity_buckets(sf_dir: str, phi: float = 0.001):
+    """CCNet's head/middle/tail corpus partition: score every doc with the
+    corpus-trained unigram LM (``unigram_logprob_score``), find the EXACT
+    score tertiles, and assign each doc its bucket — the standard
+    quality-tiering step before mixing training data. Composed entirely
+    from proven shapes:
+
+    - scores: two passes + bounded vocab broadcast (see the score op);
+    - tertiles: scores are 4dp-rounded ⇒ an integer 1e-4 grid whose range
+      is bounded by the LM floor (|ln φ|·1e4 units, ~7e4 bins — a constant,
+      not corpus-sized), so ONE bincount pass + driver cumsum yields exact
+      quantile_disc elements (rank = max(ceil(q·n), 1), Fraction arithmetic
+      — float q·n drifts, NOTES);
+    - assignment: broadcast two thresholds, vectorized CASE.
+
+    Bit-exactness of the reconstructed thresholds: units/1e4 is the same
+    single IEEE division np.round(x, 4) ends with, so comparisons see
+    identical doubles on both engines."""
+    from fractions import Fraction
+    from math import ceil
+
+    scores = unigram_logprob_score(sf_dir, phi=phi).materialize()
+
+    def units(t: pa.Table) -> np.ndarray:
+        return np.round(
+            t.column("lm_score").to_numpy(zero_copy_only=False) * 1e4
+        ).astype(np.int64)
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        u = units(t)
+        if len(u) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "lo": pa.array([int(u.min())]),
+                "hi": pa.array([int(u.max())]),
+                "n": pa.array([len(u)]),
+            }
+        )
+
+    mm = scores.map_batches(
+        minmax_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    lo, hi, n = int(mm["lo"].min()), int(mm["hi"].max()), int(mm["n"].sum())
+    assert hi - lo < 2_000_000, "score grid wider than the LM floor bounds allow"
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        c = np.bincount(units(t) - lo, minlength=hi - lo + 1).astype(np.int64)
+        return pa.table({"counts": pa.array([c.tolist()], pa.list_(pa.int64()))})
+
+    parts = scores.map_batches(
+        hist_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    total = np.sum(np.stack([np.asarray(v) for v in parts["counts"]]), axis=0)
+    cum = np.cumsum(total)
+
+    def tertile(q: Fraction) -> float:
+        rank = max(ceil(q * n), 1)
+        return (lo + int(np.searchsorted(cum, rank))) / 1e4
+
+    t1, t2 = tertile(Fraction(1, 3)), tertile(Fraction(2, 3))
+
+    def assign(t: pa.Table) -> pa.Table:
+        s = t.column("lm_score").to_numpy(zero_copy_only=False)
+        bucket = np.where(s >= t2, "head", np.where(s >= t1, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lm_score": t.column("lm_score"),
+                "bucket": pa.array(bucket, pa.string()),
+            }
+        )
+
+    return scores.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -593,3 +593,44 @@ def test_exact_distinct_tokens_dedups_across_blocks(ray_session, tmp_path):
         {"source": "a", "n_words": 5, "avg_word_len": 1.0},
         {"source": "b", "n_words": 2, "avg_word_len": 1.0},
     ]
+
+
+def test_rolling_extremes_short_frames_and_order(ray_session, tmp_path):
+    """First rows of a partition use the shorter frame; min/max are element
+    picks over the trailing 3 ordered by (ts, event_id)."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.relational import rolling_extremes_per_user
+
+    t0 = 1_000_000_000_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+                "ts": pa.array([t0, t0 + 1, t0 + 2, t0 + 3], pa.timestamp("us")),
+                "value": pa.array([5.0, 1.0, 3.0, 9.0], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = (
+        _df(rolling_extremes_per_user(str(tmp_path)))
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["roll_min"].tolist() == [5.0, 1.0, 1.0, 1.0]
+    assert got["roll_max"].tolist() == [5.0, 5.0, 5.0, 9.0]
+
+
+def test_ccnet_buckets_are_ordered_partition(ray_session):
+    """head/middle/tail partition the corpus and are score-ordered: every
+    head score ≥ every middle score ≥ every tail score."""
+    from pdf_extractor_ray.pipelines.textops import ccnet_perplexity_buckets
+
+    got = _df(ccnet_perplexity_buckets("/root/testdata/sf0.001"))
+    assert set(got["bucket"].unique()) <= {"head", "middle", "tail"}
+    by = got.groupby("bucket")["lm_score"]
+    assert by.min().get("head", np.inf) >= by.max().get("middle", -np.inf)
+    assert by.min().get("middle", np.inf) >= by.max().get("tail", -np.inf)
+    assert len(got) == 500
