@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_nodes": graph.kcore_nodes,
         "rolling_extremes_per_user": relational.rolling_extremes_per_user,
         "ccnet_perplexity_buckets": textops.ccnet_perplexity_buckets,
+        "chunk_passages": textops.chunk_passages,
+        "inlink_counts": textops.inlink_counts,
     }
 
 
@@ -1729,5 +1731,37 @@ def oracle_sql() -> dict[str, str]:
                    WHEN sc.lm_score >= q.t1 THEN 'middle'
                    ELSE 'tail' END AS bucket
             FROM sc, q
+        """,
+        "chunk_passages": """
+            WITH d AS (
+              SELECT doc_id, text, ((strlen(text) - 1) // 80) + 1 AS nc
+              FROM documents WHERE strlen(text) > 0),
+            e AS (SELECT doc_id, text, unnest(range(0, nc)) AS k FROM d)
+            SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+              substr(text, CAST(k * 80 + 1 AS BIGINT), 120) AS chunk_text
+            FROM e
+        """,
+        "inlink_counts": f"""
+            WITH d AS (
+              SELECT doc_id, {host} AS host FROM documents
+              WHERE doc_id % 50 <> 17 AND doc_id % 8 <> 5),
+            nav AS (
+              SELECT doc_id, host,
+                '/sec' || CAST(unnest(range(0, 3 + doc_id % 4)) AS VARCHAR) AS path
+              FROM d),
+            fixed AS (
+              SELECT doc_id, host,
+                unnest(['/subscribe','/signin','/privacy','/terms']) AS path FROM d),
+            rel AS (
+              SELECT doc_id, host, unnest(['/rel/1','/rel/2','/rel/3']) AS path
+              FROM d WHERE doc_id % 3 <> 0),
+            links AS (
+              SELECT doc_id, 'https://' || host || path AS link_url
+              FROM (SELECT doc_id, host, path FROM nav
+                    UNION ALL SELECT doc_id, host, path FROM fixed
+                    UNION ALL SELECT doc_id, host, path FROM rel))
+            SELECT link_url, CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_docs
+            FROM links GROUP BY link_url
         """,
     }

@@ -1184,3 +1184,95 @@ def ccnet_perplexity_buckets(sf_dir: str, phi: float = 0.001):
         )
 
     return scores.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_passages(sf_dir: str, size: int = 120, stride: int = 80):
+    """RAG-style passage chunking with overlap: fixed-size character windows
+    every ``stride`` chars (overlap = size − stride), the retrieval-corpus
+    prep step between extraction and embedding. One output row per
+    (doc, chunk_id); the tail chunk is short, empty docs yield none.
+
+    Vectorized by CHUNK INDEX, not by row: for each k < ceil(len/stride)
+    the whole batch is sliced at [k·stride, k·stride+size) with ONE Arrow
+    utf8_slice kernel over the rows long enough — the loop bound is
+    max_doc_len/stride (a per-batch constant ~7 here), never the row count.
+    Corpus tokens are ASCII, so codeunit slicing == char slicing ==
+    DuckDB substr."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        ln = pc.binary_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+        out = []
+        max_k = int((ln.max() - 1) // stride) + 1 if len(ln) and ln.max() > 0 else 0
+        for k in range(max_k):
+            alive = ln > k * stride
+            sub = t.filter(pa.array(alive))
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": sub.column("doc_id"),
+                        "chunk_id": pa.array(
+                            np.full(sub.num_rows, k, dtype=np.int64)
+                        ),
+                        "chunk_text": pc.utf8_slice_codeunits(
+                            sub.column("text"), k * stride, k * stride + size
+                        ),
+                    }
+                )
+            )
+        if not out:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(out)
+
+    return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def inlink_counts(sf_dir: str):
+    """Webgraph inlink aggregation over the REAL parsed outlinks
+    (``extract_outlinks``): per target URL, total anchor count and distinct
+    linking documents — the indegree/authority signal crawl prioritization
+    and link-spam filters start from. Per-batch (url, doc_id) pre-counts
+    shrink the shuffle to per-block distinct pairs; ONE url-hash bucket
+    merge finishes both aggregates (a URL lives in exactly one bucket, so
+    in-bucket distinct == global distinct)."""
+    import pandas as pd
+
+    from .relational import map_key_buckets
+
+    links = extract_outlinks(sf_dir)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "link_url": t.column("link_url").to_pylist(),
+                "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+            }
+        )
+        a = df.groupby(["link_url", "doc_id"], sort=False).size().reset_index(name="n")
+        h = pd.util.hash_array(a["link_url"].to_numpy(dtype=object)).astype(np.int64)
+        return pa.table(
+            {
+                "ukey": pa.array(h),
+                "link_url": pa.array(a["link_url"], pa.string()),
+                "doc_id": pa.array(a["doc_id"].to_numpy(dtype=np.int64)),
+                "n": pa.array(a["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("link_url", sort=False).agg(
+            n_inlinks=("n", "sum"), n_src_docs=("doc_id", "nunique")
+        ).reset_index()
+        a["n_inlinks"] = a["n_inlinks"].astype(np.int64)
+        a["n_src_docs"] = a["n_src_docs"].astype(np.int64)
+        return a
+
+    pairs = links.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_buckets(pairs, "ukey", finish)

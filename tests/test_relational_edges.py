@@ -634,3 +634,33 @@ def test_ccnet_buckets_are_ordered_partition(ray_session):
     assert by.min().get("head", np.inf) >= by.max().get("middle", -np.inf)
     assert by.min().get("middle", np.inf) >= by.max().get("tail", -np.inf)
     assert len(got) == 500
+
+
+def test_chunk_passages_overlap_and_tail(ray_session, tmp_path):
+    """Chunks start every stride chars and overlap by size−stride; the tail
+    chunk is short; an exactly-stride-length doc yields ONE chunk."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.textops import chunk_passages
+
+    text = "".join(chr(97 + i % 26) for i in range(200))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([text, text[:80]], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = (
+        _df(chunk_passages(str(tmp_path)))
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d1 = got[got["doc_id"] == 1]
+    assert d1["chunk_text"].tolist() == [text[0:120], text[80:200], text[160:200]]
+    # consecutive chunks overlap by 40
+    assert d1["chunk_text"].iloc[0][-40:] == d1["chunk_text"].iloc[1][:40]
+    d2 = got[got["doc_id"] == 2]
+    assert d2["chunk_text"].tolist() == [text[:80]]
