@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_perplexity_buckets": textops.ccnet_perplexity_buckets,
         "chunk_passages": textops.chunk_passages,
         "inlink_counts": textops.inlink_counts,
+        "revenue_share_by_priority": relational.revenue_share_by_priority,
+        "burst_detection_windows": relational.burst_detection_windows,
     }
 
 
@@ -1763,5 +1765,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT link_url, CAST(COUNT(*) AS BIGINT) AS n_inlinks,
               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_docs
             FROM links GROUP BY link_url
+        """,
+        "revenue_share_by_priority": """
+            WITH c AS (
+              SELECT o_orderpriority,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS revenue_cents
+              FROM orders GROUP BY o_orderpriority)
+            SELECT o_orderpriority, revenue_cents,
+              ROUND(CAST(revenue_cents AS DOUBLE)
+                    / (SELECT CAST(SUM(revenue_cents) AS DOUBLE) FROM c), 6)
+                AS share
+            FROM c
+        """,
+        # threshold uses only /,*,+,sqrt (IEEE-correctly-rounded) over exact
+        # integer sums, parenthesized identically to the numpy side
+        "burst_detection_windows": """
+            WITH w AS (
+              SELECT event_type, epoch_us(ts) // 60000000 AS wm,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            s AS (
+              SELECT event_type, CAST(SUM(n) AS BIGINT) AS sc,
+                CAST(SUM(n * n) AS BIGINT) AS sc2,
+                CAST(COUNT(*) AS BIGINT) AS nw
+              FROM w GROUP BY 1)
+            SELECT w.event_type,
+              strftime(CAST(to_timestamp(w.wm * 60) AS TIMESTAMP),
+                       '%Y-%m-%d %H:%M:%S') AS window_start,
+              w.n AS n_events
+            FROM w JOIN s USING (event_type)
+            WHERE CAST(w.n AS DOUBLE) >
+              CAST(s.sc AS DOUBLE) / s.nw
+              + 3 * sqrt(GREATEST(
+                  CAST(s.sc2 AS DOUBLE) / s.nw
+                  - (CAST(s.sc AS DOUBLE) / s.nw)
+                    * (CAST(s.sc AS DOUBLE) / s.nw), 0))
         """,
     }

@@ -200,6 +200,16 @@ QUERY_PANEL = [
     "classifier_auc",
     "skyline_orders",
     "sliding_distinct_users",
+    # round-3 continued: division / decay / token stats / graph / RAG prep
+    "relational_division",
+    "decayed_count_by_type",
+    "exact_distinct_tokens_by_source",
+    "kcore_nodes",
+    "compression_ratio_signal",
+    "ccnet_perplexity_buckets",
+    "rolling_extremes_per_user",
+    "chunk_passages",
+    "inlink_counts",
 ]
 
 

@@ -3882,29 +3882,34 @@ def relational_division(sf_dir: str):
         d = pc.utf8_slice_codeunits(t.column("o_orderpriority"), 0, 1)
         return pc.cast(d, pa.int64()).to_numpy(zero_copy_only=False)
 
-    def prio_partial(t: pa.Table) -> pa.Table:
-        return pa.table({"d": pa.array(np.unique(digit(t)))})
-
-    n_total = len(
-        np.unique(
-            _read(sf_dir, "orders", ["o_orderpriority"])
-            .map_batches(prio_partial, batch_format="pyarrow", zero_copy_batch=True)
-            .to_pandas()["d"]
-            .to_numpy()
-        )
-    )
-
     def pair_partial(t: pa.Table) -> pa.Table:
         ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
         packed = np.unique(ck * 16 + digit(t))  # digits 1..5 < 16
         return pa.table({"o_custkey": pa.array(packed // 16), "d": pa.array(packed % 16)})
+
+    # ONE scan: the divisor cardinality comes from the same distinct-pair
+    # partials (materialized once — pair-cardinality-sized, not raw rows),
+    # via a per-batch digit-unique pass whose partials are ≤|divisor| rows
+    pairs = ds.map_batches(
+        pair_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_total = len(
+        np.unique(
+            pairs.map_batches(
+                lambda t: pa.table({"d": pa.array(np.unique(t.column("d").to_numpy(zero_copy_only=False)))}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .to_pandas()["d"]
+            .to_numpy()
+        )
+    )
 
     def covered(g: pd.DataFrame) -> pd.DataFrame:
         gg = g.drop_duplicates(["o_custkey", "d"]).groupby("o_custkey", sort=False).size()
         keep = gg[gg == n_total].index.to_numpy(dtype=np.int64)
         return pd.DataFrame({"o_custkey": keep})
 
-    pairs = ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
     return map_key_buckets(pairs, "o_custkey", covered)
 
 
@@ -4063,3 +4068,135 @@ def rolling_extremes_per_user(sf_dir: str, window: int = 3):
         )
 
     return map_key_buckets(ds, "user_id", roll_b, sort_by=["user_id", "ts", "event_id"])
+
+
+def revenue_share_by_priority(sf_dir: str):
+    """Percent-of-total contribution analysis (each priority's share of
+    total revenue — the BI "contribution" rollup). Prices are 2-decimal
+    currency → integer CENTS partials (exact BIGINT sums; a float SUM
+    would be off the oracle path), one grand-total division per group at
+    the end, half-away 6dp round (integer/integer ratios can land exact
+    decimal ties — CLAUDE.md rounding rule)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame({"k": t.column("o_orderpriority").to_pylist(), "c": cents})
+        a = df.groupby("k", sort=False)["c"].sum().reset_index()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(a["k"], pa.string()),
+                "c": pa.array(a["c"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    a = parts.groupby("o_orderpriority", sort=True)["c"].sum().reset_index()
+    total = float(a["c"].sum())
+    share = a["c"].to_numpy(dtype=np.float64) / total
+    return pd.DataFrame(
+        {
+            "o_orderpriority": a["o_orderpriority"],
+            "revenue_cents": a["c"].astype(np.int64),
+            "share": np.floor(share * 1e6 + 0.5) / 1e6,
+        }
+    )
+
+
+def burst_detection_windows(sf_dir: str):
+    """Burst/anomaly detection over the event stream: minute-tumbling
+    counts per type, flag windows whose count exceeds mean + 3σ of that
+    type's per-window counts — the ops-monitoring "traffic spike" query.
+    ORACLE-EXACT float boundary: window counts are integers, so Σc and Σc²
+    are exact BIGINTs, and the threshold uses only /, *, +, sqrt — all
+    IEEE-correctly-rounded (NOTES float rules), with the identical
+    parenthesization on both engines; var clamps at 0 on both sides so a
+    rounding-negative variance can't diverge through sqrt.
+
+    Scale shape: per-batch (type, minute, n) count partials → ONE
+    minute-hash bucket merge (windows table, minute-cardinality-sized,
+    materialized); per-type (Σc, Σc², n) integer partials finish on the
+    driver (|types| rows); thresholds broadcast into a vectorized filter."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    MIN_US = 60_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        wm = ts.astype(np.int64) // MIN_US
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pylist(), "wm": wm})
+        a = df.groupby(["event_type", "wm"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "event_type": pa.array(a["event_type"], pa.string()),
+                "wm": pa.array(a["wm"].to_numpy(dtype=np.int64)),
+                "n": pa.array(a["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def merge_w(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby(["event_type", "wm"], sort=False)["n"].sum().reset_index()
+        a["n"] = a["n"].astype(np.int64)
+        return a
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    windows = map_key_buckets(parts, "wm", merge_w).materialize()
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pylist(), "c": n, "c2": n * n})
+        a = df.groupby("event_type", sort=False).agg(
+            sc=("c", "sum"), sc2=("c2", "sum"), nw=("c", "size")
+        ).reset_index()
+        return pa.table(
+            {
+                "event_type": pa.array(a["event_type"], pa.string()),
+                "sc": pa.array(a["sc"].to_numpy(dtype=np.int64)),
+                "sc2": pa.array(a["sc2"].to_numpy(dtype=np.int64)),
+                "nw": pa.array(a["nw"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    st = (
+        windows.map_batches(stat_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("event_type", sort=False)[["sc", "sc2", "nw"]]
+        .sum()
+    )
+    thr = {}
+    for et, r in st.iterrows():
+        mean = float(r["sc"]) / float(r["nw"])
+        var = max(float(r["sc2"]) / float(r["nw"]) - mean * mean, 0.0)
+        thr[et] = mean + 3.0 * np.sqrt(var)
+
+    def flag(t: pa.Table) -> pa.Table:
+        c = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        th = np.array([thr[e] for e in t.column("event_type").to_pylist()])
+        keep = c > th
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_type": sub.column("event_type"),
+                "window_start": pc.strftime(
+                    pc.cast(
+                        pc.multiply(sub.column("wm"), 60), pa.timestamp("s")
+                    ),
+                    format="%Y-%m-%d %H:%M:%S",
+                ),
+                "n_events": pc.cast(sub.column("n"), pa.int64()),
+            }
+        )
+
+    # bursts are anomaly-sized by construction (3σ tail) — finish as a
+    # typed DataFrame so a zero-burst corpus keeps its schema
+    out = windows.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=str),
+                "window_start": pd.Series([], dtype=str),
+                "n_events": pd.Series([], dtype=np.int64),
+            }
+        )
+    return out

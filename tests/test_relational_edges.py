@@ -664,3 +664,45 @@ def test_chunk_passages_overlap_and_tail(ray_session, tmp_path):
     assert d1["chunk_text"].iloc[0][-40:] == d1["chunk_text"].iloc[1][:40]
     d2 = got[got["doc_id"] == 2]
     assert d2["chunk_text"].tolist() == [text[:80]]
+
+
+def test_burst_detection_flags_only_the_spike(ray_session, tmp_path):
+    """Constructed stream: 9 quiet minutes of 1 event + one minute of 20 —
+    only the spike window crosses mean+3σ; a constant-rate type yields no
+    bursts (σ=0 ⇒ threshold=mean, strict > never fires)."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.relational import burst_detection_windows
+
+    MIN = 60_000_000
+    t0 = 1_700_000_000_000_000 - (1_700_000_000_000_000 % MIN)
+    types, ts = [], []
+    for m in range(9):
+        types.append("spiky")
+        ts.append(t0 + m * MIN)
+    for i in range(20):
+        types.append("spiky")
+        ts.append(t0 + 9 * MIN + i * 1000)
+    for m in range(10):
+        types.append("flat")
+        ts.append(t0 + m * MIN)
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = _df(burst_detection_windows(str(tmp_path)))
+    assert got["event_type"].tolist() == ["spiky"]
+    assert got["n_events"].tolist() == [20]
+
+
+def test_revenue_share_sums_to_one(ray_session):
+    from pdf_extractor_ray.pipelines.relational import revenue_share_by_priority
+
+    got = _df(revenue_share_by_priority("/root/testdata/sf0.001"))
+    assert len(got) == 5
+    assert abs(got["share"].sum() - 1.0) < 5e-6
