@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inlink_counts": textops.inlink_counts,
         "revenue_share_by_priority": relational.revenue_share_by_priority,
         "burst_detection_windows": relational.burst_detection_windows,
+        "padding_waste_by_length_tile": training.padding_waste_by_length_tile,
+        "span_corruption_stats": training.span_corruption_stats,
     }
 
 
@@ -1801,5 +1803,40 @@ def oracle_sql() -> dict[str, str]:
                   CAST(s.sc2 AS DOUBLE) / s.nw
                   - (CAST(s.sc AS DOUBLE) / s.nw)
                     * (CAST(s.sc AS DOUBLE) / s.nw), 0))
+        """,
+        "padding_waste_by_length_tile": """
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                NTILE(10) OVER (ORDER BY n_chars, doc_id) AS tile
+              FROM documents)
+            SELECT CAST(tile AS BIGINT) AS tile,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(MAX(n_chars) AS BIGINT) AS max_len,
+              CAST(COUNT(*) * MAX(n_chars) - SUM(n_chars) AS BIGINT)
+                AS padding_waste
+            FROM r GROUP BY tile
+        """,
+        "span_corruption_stats": """
+            WITH d AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+              FROM documents),
+            i AS (SELECT doc_id, nt, unnest(range(0, nt)) AS k FROM d),
+            m AS (
+              SELECT doc_id, nt, k,
+                ((doc_id * 131071 + k) % 2147483648) * 2654435761
+                  % 2147483648 % 100 < 15 AS is_m
+              FROM i),
+            s AS (
+              SELECT doc_id, nt, is_m,
+                LAG(is_m, 1, FALSE) OVER (PARTITION BY doc_id ORDER BY k)
+                  AS prev
+              FROM m)
+            SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN is_m THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_masked,
+              CAST(SUM(CASE WHEN is_m AND NOT prev THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spans
+            FROM s GROUP BY doc_id, nt
         """,
     }

@@ -819,3 +819,120 @@ def classifier_auc(sf_dir: str, n_buckets: int = 64):
     P, N = int(agg["sum(n_pos)"]), int(agg["sum(n_neg)"])
     auc = (float(agg["sum(r_pos)"]) - P * (P + 1) / 2.0) / (P * N)
     return pd.DataFrame([{"auc": float(np.round(auc, 6)), "n_pos": np.int64(P), "n_neg": np.int64(N)}])
+
+
+def padding_waste_by_length_tile(sf_dir: str, tiles: int = 10, n_buckets: int = 64):
+    """Batch-padding efficiency audit: cut the corpus into NTILE(tiles)
+    length strata (rank by (n_chars, doc_id) — total order, DuckDB tile
+    semantics) and report per-tile padded waste if each stratum were
+    batch-padded to its max — the "how much compute does naive padding
+    burn" question length-bucketed batching answers.
+
+    One corpus pass after the rank plumbing: waste = n·max − Σlen is
+    CLOSED-FORM from per-tile (n, Σlen, max) integer partials, so the
+    driver merges tiles×B tiny rows — no second pass, no value shuffle.
+    Rank machinery = ``global_row_number`` (sampled-range value buckets →
+    prefix offsets → in-bucket rank)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    sample = ds.limit(4096).to_pandas()["n_chars"].to_numpy()
+    lo, hi = int(sample.min()), int(sample.max())
+    span = float(hi - lo) or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        b = ((v - lo) / span * n_buckets).astype(np.int64)
+        return np.clip(b, 0, n_buckets - 1)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        v = t.column("n_chars").to_numpy(zero_copy_only=False)
+        c = np.bincount(bucket_of(v), minlength=n_buckets)
+        return pa.table(
+            {"_bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+             "n": pa.array(c.astype(np.int64))}
+        )
+
+    parts = ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    counts = parts.groupby("_bucket")["n"].sum().reindex(range(n_buckets), fill_value=0).to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    n_total = int(counts.sum())
+    q, rem = divmod(n_total, tiles)
+
+    def tile_of(rn: np.ndarray) -> np.ndarray:
+        r0 = rn - 1
+        head = r0 < rem * (q + 1)
+        t_ = np.where(head, r0 // (q + 1), rem + (r0 - rem * (q + 1)) // max(q, 1))
+        return (t_ + 1).astype(np.int64)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return t.append_column("_bucket", pa.array(bucket_of(v)))
+
+    def tile_partials(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_bucket"].iloc[0])
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        rn = offsets[b] + np.arange(1, len(g) + 1, dtype=np.int64)
+        d = pd.DataFrame({"tile": tile_of(rn), "len": g["n_chars"].to_numpy(dtype=np.int64)})
+        a = d.groupby("tile", sort=False)["len"].agg(n="size", s="sum", mx="max").reset_index()
+        return a
+
+    agg = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(tile_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    f = agg.groupby("tile", sort=True).agg(
+        n_docs=("n", "sum"), s=("s", "sum"), max_len=("mx", "max")
+    ).reset_index()
+    return pd.DataFrame(
+        {
+            "tile": f["tile"].astype(np.int64),
+            "n_docs": f["n_docs"].astype(np.int64),
+            "max_len": f["max_len"].astype(np.int64),
+            "padding_waste": (f["n_docs"] * f["max_len"] - f["s"]).astype(np.int64),
+        }
+    )
+
+
+def span_corruption_stats(sf_dir: str, mask_pct: int = 15):
+    """T5-style span-corruption preview: deterministically mask ~15% of
+    each doc's tokens with the SQL-replicable Knuth hash rule
+    ``((doc_id·131071 + i) % 2³¹)·2654435761 % 2³¹ % 100 < mask_pct`` and
+    report per-doc mask count and SPAN count (runs of consecutive masked
+    tokens — the sentinel count the seq2seq objective needs). The point is
+    the determinism contract: augmentation decisions derivable from
+    (doc_id, position) alone are reproducible anywhere, including in the
+    SQL oracle.
+
+    Entirely batch-local (ZERO shuffle): token indices via repeat/arange,
+    run starts via a shifted mask with doc-boundary reset, per-doc sums
+    via np.add.reduceat."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    KNUTH = 2_654_435_761
+    M31 = 2_147_483_648
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = (
+            pc.count_substring(t.column("text"), " ")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            + 1
+        )
+        did = np.repeat(ids, lens)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        k = np.arange(lens.sum(), dtype=np.int64) - np.repeat(starts, lens)
+        masked = ((did * 131071 + k) % M31) * KNUTH % M31 % 100 < mask_pct
+        prev = np.concatenate(([False], masked[:-1]))
+        prev[starts] = False  # runs never cross a doc boundary
+        span_start = masked & ~prev
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(lens),
+                "n_masked": pa.array(np.add.reduceat(masked.astype(np.int64), starts)),
+                "n_spans": pa.array(np.add.reduceat(span_start.astype(np.int64), starts)),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)

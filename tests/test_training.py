@@ -331,3 +331,63 @@ def test_classifier_auc_matches_local_rank_computation(ray_session):
     assert float(got["auc"][0]) == float(np.round(auc, 6))
     assert int(got["n_pos"][0]) == P and int(got["n_neg"][0]) == N
     assert got["auc"][0] > 0.9  # the planted rule is genuinely separable
+
+
+def test_padding_waste_closed_form(ray_session, tmp_path):
+    """4 docs, 2 tiles: waste per tile = n·max − Σlen, hand-checked."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.training import padding_waste_by_length_tile
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "n_chars": pa.array([10, 20, 30, 100], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = padding_waste_by_length_tile(str(tmp_path), tiles=2)
+    got = got.sort_values("tile").reset_index(drop=True)
+    # tile 1 = lens {10, 20}: waste = 2*20-30 = 10; tile 2 = {30, 100}: 2*100-130 = 70
+    assert got["padding_waste"].tolist() == [10, 70]
+    assert got["max_len"].tolist() == [20, 100]
+
+
+def test_span_corruption_matches_scalar_reimpl(ray_session, tmp_path):
+    """Vectorized run detection == per-doc scalar loop (boundary reset:
+    a masked doc-final token never continues into the next doc's run)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.training import span_corruption_stats
+
+    texts = ["a b c d e f g h", "x y z", "one", "w " * 49 + "w"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = (
+        span_corruption_stats(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for row, text in zip(got.itertuples(index=False), texts):
+        nt = len(text.split(" "))
+        m = [
+            ((row.doc_id * 131071 + k) % 2**31) * 2654435761 % 2**31 % 100 < 15
+            for k in range(nt)
+        ]
+        n_spans = sum(1 for k in range(nt) if m[k] and (k == 0 or not m[k - 1]))
+        assert row.n_tokens == nt
+        assert row.n_masked == sum(m)
+        assert row.n_spans == n_spans
