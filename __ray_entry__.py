@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_detection_windows": relational.burst_detection_windows,
         "padding_waste_by_length_tile": training.padding_waste_by_length_tile,
         "span_corruption_stats": training.span_corruption_stats,
+        "association_rules_topk": relational.association_rules_topk,
     }
 
 
@@ -1838,5 +1839,28 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CASE WHEN is_m AND NOT prev THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_spans
             FROM s GROUP BY doc_id, nt
+        """,
+        "association_rules_topk": """
+            WITH base AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            nn AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM base),
+            item AS (
+              SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+              FROM base GROUP BY l_partkey),
+            pairs AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                CAST(COUNT(*) AS BIGINT) AS cab
+              FROM base a JOIN base b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            dir AS (
+              SELECT pa AS ante, pb AS cons, cab FROM pairs
+              UNION ALL SELECT pb, pa, cab FROM pairs)
+            SELECT d.ante, d.cons, d.cab AS n_orders,
+              ROUND(CAST(d.cab AS DOUBLE) / ia.c, 6) AS confidence,
+              ROUND(CAST(nn.n AS DOUBLE) * d.cab / (ia.c * ic.c), 6) AS lift
+            FROM dir d, nn
+            JOIN item ia ON ia.l_partkey = d.ante
+            JOIN item ic ON ic.l_partkey = d.cons
+            ORDER BY lift DESC, ante, cons LIMIT 20
         """,
     }

@@ -2263,15 +2263,11 @@ def entropy_by_group(sf_dir: str):
     return counts.repartition(1).map_batches(finish, batch_format="pandas", batch_size=None)
 
 
-def copurchase_pairs(sf_dir: str, k: int = 20):
-    """Market-basket co-occurrence mining: top-k part pairs appearing in the
-    most orders. Scale shape: (orderkey, partkey) rows take ONE orderkey-hash
-    bucket shuffle; inside each bucket the per-order pair explode is the
-    shifted-lag kernel (sort by (order, part), then for lag d=1..max
-    basket-1 emit (part[i], part[i+d]) where order[i]==order[i+d]) —
-    vectorized, no per-order Python. Pairs are packed into one int64
-    (a<<32 | b, a<b by construction) so the count shuffle moves a single
-    integer key; the final top-k sorts only the AGGREGATED pair table."""
+def _packed_pair_counts(sf_dir: str):
+    """Shared market-basket pair-count core (copurchase_pairs /
+    association_rules_topk): aggregated (pair, n_orders) over distinct
+    per-order part pairs, pair packed a<<32|b (a<b). See copurchase_pairs
+    for the shifted-lag kernel shape."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -2308,7 +2304,19 @@ def copurchase_pairs(sf_dir: str, k: int = 20):
             }
         )
 
-    agg = map_key_buckets(parts, "pair", merge_counts)
+    return map_key_buckets(parts, "pair", merge_counts)
+
+
+def copurchase_pairs(sf_dir: str, k: int = 20):
+    """Market-basket co-occurrence mining: top-k part pairs appearing in the
+    most orders. Scale shape: (orderkey, partkey) rows take ONE orderkey-hash
+    bucket shuffle; inside each bucket the per-order pair explode is the
+    shifted-lag kernel (sort by (order, part), then for lag d=1..max
+    basket-1 emit (part[i], part[i+d]) where order[i]==order[i+d]) —
+    vectorized, no per-order Python. Pairs are packed into one int64
+    (a<<32 | b, a<b by construction) so the count shuffle moves a single
+    integer key; the final top-k sorts only the AGGREGATED pair table."""
+    agg = _packed_pair_counts(sf_dir)
 
     def unpack(t: pa.Table) -> pa.Table:
         pk = t.column("pair").to_numpy(zero_copy_only=False)
@@ -2326,6 +2334,80 @@ def copurchase_pairs(sf_dir: str, k: int = 20):
         .limit(k)
         .map_batches(unpack, batch_format="pyarrow")
     )
+
+
+def association_rules_topk(sf_dir: str, k: int = 20, min_count: int = 2):
+    """Association rules with confidence and LIFT (the recommender /
+    "customers also bought" finish over the market-basket counts): every
+    qualified pair becomes two directed rules a→b and b→a; confidence =
+    c_ab/c_a, lift = n·c_ab/(c_a·c_b); top-k by (lift DESC, ante, cons).
+
+    Scale shape: pair counts from the shared ``_packed_pair_counts``
+    shuffles; item supports are a part-cardinality-sized bucket merge of
+    per-batch DISTINCT (order, part) partials; n (distinct orders) comes
+    from per-batch unique partials + one ok-hash bucket distinct count.
+    Only pairs with c_ab ≥ min_count reach the driver finish (rule-sized
+    by construction). Both divisions round half-away 6dp (integer ratios
+    can land exact decimal ties — CLAUDE.md rounding rule); the top-k
+    orders by the ROUNDED lift so tie ordering matches the oracle."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = np.unique((ok << 32) | pk)
+        return pa.table({"ok": pa.array(packed >> 32), "pk": pa.array(packed & 0xFFFFFFFF)})
+
+    dp = ds.map_batches(
+        distinct_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def item_counts(g: pd.DataFrame) -> pd.DataFrame:
+        a = (
+            g.drop_duplicates(["ok", "pk"])
+            .groupby("pk", sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        a["c"] = a["c"].astype(np.int64)
+        return a
+
+    item = map_key_buckets(dp, "pk", item_counts).to_pandas()
+    item = item.groupby("pk", sort=False)["c"].sum()  # pk in ONE bucket; sum is a no-op merge of bucket outputs
+
+    def order_uniques(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [g["ok"].nunique()]})
+
+    n_orders = int(map_key_buckets(dp, "ok", order_uniques).to_pandas()["n"].sum())
+
+    pairs = _packed_pair_counts(sf_dir).to_pandas()
+    pairs = pairs[pairs["n_orders"] >= min_count]
+    pa_ = (pairs["pair"].to_numpy(dtype=np.int64) >> 32).astype(np.int64)
+    pb_ = (pairs["pair"].to_numpy(dtype=np.int64) & 0xFFFFFFFF).astype(np.int64)
+    cab = pairs["n_orders"].to_numpy(dtype=np.int64)
+    ante = np.concatenate([pa_, pb_])
+    cons = np.concatenate([pb_, pa_])
+    cab2 = np.concatenate([cab, cab])
+    ca = item.reindex(ante).to_numpy(dtype=np.int64)
+    cb = item.reindex(cons).to_numpy(dtype=np.int64)
+    conf = np.floor(cab2 / ca * 1e6 + 0.5) / 1e6
+    lift = np.floor(
+        (float(n_orders) * cab2.astype(np.float64)) / (ca * cb).astype(np.float64) * 1e6
+        + 0.5
+    ) / 1e6
+    out = pd.DataFrame(
+        {
+            "ante": ante,
+            "cons": cons,
+            "n_orders": cab2,
+            "confidence": conf,
+            "lift": lift,
+        }
+    )
+    out = out.sort_values(
+        ["lift", "ante", "cons"], ascending=[False, True, True], kind="mergesort"
+    ).head(k)
+    return out.reset_index(drop=True)
 
 
 def resample_ffill_hourly(sf_dir: str):
