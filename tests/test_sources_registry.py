@@ -132,3 +132,49 @@ def test_raising_extractor_becomes_error_row_not_task_failure():
     assert "extractor_exception: RecursionError" in rows[0]["error"]
     assert rows[0]["extractor"] == "bomb_v1"
     assert rows[1]["status"] == "ok"  # the rest of the batch is unaffected
+
+
+# --- ORC / Arrow-IPC round trips -------------------------------------------
+
+
+def test_orc_round_trip(ray_session, tmp_path):
+    """documents → ORC dir → read back: same rows; column pruning at the
+    decode; content-addressed names make a second write a no-op set."""
+    import os
+
+    import ray.data as rd
+
+    from pdf_extractor_ray.sources.orc_ipc import read_orc_dir, write_orc_dir
+
+    src = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "orc")
+    n = write_orc_dir(src, out)
+    assert n == 500
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".orc") for f in files)
+
+    back = read_orc_dir(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = src.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back.equals(want[back.columns])
+
+    pruned = read_orc_dir(out, columns=["doc_id", "lang"]).to_pandas()
+    assert sorted(pruned.columns) == ["doc_id", "lang"] and len(pruned) == 500
+
+    # idempotent re-write: same content → same names → same file set
+    n2 = write_orc_dir(rd.read_parquet("/root/testdata/sf0.001/documents.parquet"), out)
+    assert n2 == 500
+    assert sorted(os.listdir(out)) == files
+
+
+def test_ipc_round_trip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from pdf_extractor_ray.sources.orc_ipc import read_ipc_dir, write_ipc_dir
+
+    src = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "ipc")
+    n = write_ipc_dir(src, out)
+    assert n == 1000
+    back = read_ipc_dir(out).to_pandas().sort_values("event_id").reset_index(drop=True)
+    want = src.to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert back.equals(want[back.columns])
