@@ -122,8 +122,116 @@ def pagerank(sf_dir: str, n_iters: int = 10, damping: float = DAMPING):
     materialized once and re-read from the object store every round.
     Float sums happen in sorted key order, so results are bit-reproducible
     given a fixed block layout (the k-means convention)."""
-    import pyarrow.compute as pc
+    static, n_nodes = _pagerank_static(sf_dir)
 
+    # state: contribution partials keyed by node bucket; round 0 starts with
+    # none (ranks reduce to the uniform init when no partials are present).
+    state = None  # Dataset of (_bucket, kind=0, node, c, dst=-1, deg=0)
+    base = 1.0 / n_nodes  # round-0 "rank" for every node
+    uniform0 = True
+
+    for _ in range(n_iters):
+        state, base = _pagerank_round(
+            static, state, base, uniform0, damping, n_nodes
+        )
+        uniform0 = False
+
+    return _pagerank_finish(static, state, base, damping)
+
+
+def pagerank_resumable(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    n_iters: int = 10,
+    damping: float = DAMPING,
+    fail_after_iters: int | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """``pagerank`` with a checkpoint after every power iteration — the
+    second iterative family on the PassCheckpointer resume story (k-means
+    set the pattern): per-iteration state is the (node, contribution)
+    partial table plus the base scalar (stored as a node=-2 row), so a
+    crash loses at most one iteration over the full graph. Every in-bucket
+    float sum happens in sorted (node, c) order (see ``_pagerank_round``),
+    so the resumed run is BIT-IDENTICAL to an uninterrupted ``pagerank``
+    even though the snapshot changes the state's block layout (pinned in
+    tests/test_graph.py). Fingerprinted per ADVICE r2.
+
+    Returns {"iters_run", "iters_skipped", "ranks" (Dataset)}."""
+    import uuid as _uuid
+
+    import ray.data as rd
+
+    from ..state.lineage import PassCheckpointer
+
+    cp = PassCheckpointer(
+        out_dir, fingerprint=f"{sf_dir}|pagerank-v1|d={damping}|n_iters={n_iters}"
+    )
+    rid = run_id or _uuid.uuid4().hex[:8]
+    static, n_nodes = _pagerank_static(sf_dir)
+    B = N_KEY_BUCKETS
+    state = None
+    base = 1.0 / n_nodes
+    uniform = True
+    ran = skipped = 0
+
+    def snapshot_ds(state_ds, base_val):
+        live = state_ds.select_columns(["node", "c"])
+        brow = rd.from_arrow(
+            pa.table({"node": pa.array([-2], pa.int64()), "c": pa.array([base_val])})
+        )
+        return live.union(brow)
+
+    def restore(name):
+        import pyarrow.parquet as pq_mod
+
+        snap = pq_mod.read_table(cp.data_dir(name))
+        node = snap.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = snap.column("c").to_numpy(zero_copy_only=False)
+        is_base = node == -2
+        base_val = float(c[is_base][0])
+        node, c = node[~is_base], c[~is_base]
+        t = pa.table(
+            {
+                "_bucket": pa.array(node % B),
+                "kind": pa.array(np.zeros(len(node), dtype=np.int8)),
+                "node": pa.array(node),
+                "c": pa.array(c),
+                "dst": pa.array(np.full(len(node), -1, dtype=np.int64)),
+                "deg": pa.array(np.zeros(len(node), dtype=np.int64)),
+            }
+        )
+        return rd.from_arrow(t).repartition(8).materialize(), base_val
+
+    # committed prefix: only the LAST committed snapshot needs reading
+    while skipped < n_iters and cp.done(f"iter-{skipped:03d}"):
+        skipped += 1
+    if skipped:
+        state, base = restore(f"iter-{skipped - 1:03d}")
+        uniform = False
+
+    for i in range(skipped, n_iters):
+        name = f"iter-{i:03d}"
+        if fail_after_iters is not None and ran >= fail_after_iters:
+            raise RuntimeError(f"simulated crash before {name}")
+        state, base = _pagerank_round(static, state, base, uniform, damping, n_nodes)
+        uniform = False
+        cp.write_pass(name, snapshot_ds(state, base), rid)
+        ran += 1
+
+    return {
+        "iters_run": ran,
+        "iters_skipped": skipped,
+        "ranks": _pagerank_finish(static, state, base, damping),
+    }
+
+
+def _pagerank_static(sf_dir: str):
+    """Build the materialized static side of every PageRank round (tagged
+    skeleton ∪ degree-annotated edges, coalesced to O(CPUs) blocks once —
+    NOTES block-count rule) and the node count. Shared by ``pagerank`` and
+    the checkpoint/resume variant."""
     B = N_KEY_BUCKETS
     edges = _customer_supplier_edges(sf_dir)
 
@@ -212,12 +320,18 @@ def pagerank(sf_dir: str, n_iters: int = 10, damping: float = DAMPING):
         .repartition(8)
         .materialize()
     )
+    return static, n_nodes
 
-    # state: contribution partials keyed by node bucket; round 0 starts with
-    # none (ranks reduce to the uniform init when no partials are present).
-    state = None  # Dataset of (_bucket, kind=0, node, c, dst=-1, deg=0)
-    base = 1.0 / n_nodes  # round-0 "rank" for every node
-    uniform0 = True
+
+def _pagerank_round(static, state, base, uniform, damping, n_nodes):
+    """One power-iteration round (shared by ``pagerank`` and the
+    checkpoint/resume variant): co-group {static, state partials}, emit
+    next-round partials + B dangling scalars, return (new_state, new_base).
+    Deterministic regardless of block layout: every in-bucket float sum
+    happens in sorted (node, c) order and the dangling sum sorts first."""
+    import pyarrow.compute as pc
+
+    B = N_KEY_BUCKETS
 
     def make_pass(base_val, uniform):
         def step(g: pd.DataFrame) -> pd.DataFrame:
@@ -263,33 +377,38 @@ def pagerank(sf_dir: str, n_iters: int = 10, damping: float = DAMPING):
 
         return step
 
-    for _ in range(n_iters):
-        u = static if state is None else static.union(state)
-        parts = (
-            u.groupby("_bucket")
-            .map_groups(make_pass(base, uniform0), batch_format="pandas")
-            .repartition(8)
-            .materialize()
-        )
-        uniform0 = False
+    u = static if state is None else static.union(state)
+    parts = (
+        u.groupby("_bucket")
+        .map_groups(make_pass(base, uniform), batch_format="pandas")
+        .repartition(8)
+        .materialize()
+    )
 
-        def dang_rows(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t.column("node"), -1)).select(["c"])
+    def dang_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("node"), -1)).select(["c"])
 
-        dang = (
-            parts.map_batches(dang_rows, batch_format="pyarrow", zero_copy_batch=True)
-            .to_pandas()
-            .sort_values("c")["c"]
-            .sum()
-        )
-        base = (1.0 - damping) / n_nodes + damping * float(dang) / n_nodes
+    dang = (
+        parts.map_batches(dang_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("c")["c"]
+        .sum()
+    )
+    new_base = (1.0 - damping) / n_nodes + damping * float(dang) / n_nodes
 
-        def live_rows(t: pa.Table) -> pa.Table:
-            return t.filter(pc.greater_equal(t.column("node"), 0))
+    def live_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("node"), 0))
 
-        state = parts.map_batches(live_rows, batch_format="pyarrow", zero_copy_batch=True)
+    new_state = parts.map_batches(
+        live_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return new_state, new_base
 
-    # final rank evaluation: one last co-group of partials with the skeleton
+
+def _pagerank_finish(static, state, base, damping):
+    """Final rank evaluation: one last co-group of partials with the
+    skeleton (shared by both pagerank variants)."""
+
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         sk = g[g["kind"] == 1][["node"]].drop_duplicates()
         cp = g[g["kind"] == 0].sort_values(["node", "c"], kind="mergesort")

@@ -109,3 +109,34 @@ def test_bfs_hops_horizon_bound(ray_session, tmp_path):
     OFF = np.int64(1) << np.int64(32)
     want = {1: 0, 101 + OFF: 1, 2: 2, 102 + OFF: 3, 3: 4}
     assert dict(zip(got["node"], got["hops"])) == want
+
+
+def test_pagerank_resumable_bit_identical_after_crash(ray_session, tmp_path):
+    """Kill between iterations, resume: final ranks BIT-equal to an
+    uninterrupted pagerank; only the remaining iterations run."""
+    import pytest
+
+    from pdf_extractor_ray.pipelines.graph import pagerank, pagerank_resumable
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "pr_ckpt")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pagerank_resumable(sf, out, n_iters=4, fail_after_iters=2)
+    res = pagerank_resumable(sf, out, n_iters=4)
+    assert res["iters_skipped"] == 2 and res["iters_run"] == 2
+    got = res["ranks"].to_pandas().sort_values("node").reset_index(drop=True)
+    want = pagerank(sf, n_iters=4).to_pandas().sort_values("node").reset_index(drop=True)
+    assert (got["node"] == want["node"]).all()
+    assert (got["rank"].to_numpy() == want["rank"].to_numpy()).all()  # bit-equal
+
+
+def test_pagerank_resumable_fingerprint_invalidates(ray_session, tmp_path):
+    """Changed n_iters ⇒ different fingerprint ⇒ committed snapshots are NOT
+    reused (ADVICE r2: marker presence alone must not validate resume)."""
+    from pdf_extractor_ray.pipelines.graph import pagerank_resumable
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "pr_ckpt2")
+    pagerank_resumable(sf, out, n_iters=2)
+    res = pagerank_resumable(sf, out, n_iters=3)
+    assert res["iters_skipped"] == 0 and res["iters_run"] == 3
