@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "padding_waste_by_length_tile": training.padding_waste_by_length_tile,
         "span_corruption_stats": training.span_corruption_stats,
         "association_rules_topk": relational.association_rules_topk,
+        "ngram_contamination_filter": training.ngram_contamination_filter,
     }
 
 
@@ -1862,5 +1863,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN item ia ON ia.l_partkey = d.ante
             JOIN item ic ON ic.l_partkey = d.cons
             ORDER BY lift DESC, ante, cons LIMIT 20
+        """,
+        "ngram_contamination_filter": """
+            WITH sp AS (
+              SELECT doc_id, string_split(text, ' ') AS tk,
+                ((doc_id % 2147483648) * 2654435761) % 2147483648 % 100 AS pct
+              FROM documents),
+            g AS (
+              SELECT doc_id, pct,
+                array_to_string(tk[k + 1 : k + 5], ' ') AS gram
+              FROM (SELECT doc_id, pct, tk,
+                      unnest(range(0, len(tk) - 4)) AS k
+                    FROM sp WHERE len(tk) >= 5)),
+            ev AS (SELECT DISTINCT gram FROM g WHERE pct >= 90)
+            SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM g JOIN ev USING (gram)
+            WHERE g.pct < 80
+            GROUP BY g.doc_id
         """,
     }

@@ -936,3 +936,64 @@ def span_corruption_stats(sf_dir: str, mask_pct: int = 15):
         )
 
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_contamination_filter(sf_dir: str, n: int = 5):
+    """GPT-3-style n-gram decontamination: flag TRAIN documents containing
+    any n-gram that also appears in the TEST split (the step beyond
+    ``split_contamination``'s exact-duplicate check — overlap at the
+    n-gram level catches partial copies and quoted passages). Splits come
+    from the same SQL-replicable Knuth hash as ``split_assign``.
+
+    Scale shape: the eval side is the SMALL side by construction (held-out
+    benchmarks are fixed-size while train grows unboundedly), so its
+    distinct n-grams broadcast via ``ray.put`` into a stateless train-side
+    scan — no shuffle anywhere. Per-doc window assembly is inherent string
+    work (extraction class); membership tests are one set lookup per
+    window. Output: (doc_id, n_hits) for contaminated train docs, n_hits =
+    count of window POSITIONS whose gram is in the eval set."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams_of(text: str) -> list[str]:
+        tk = text.split(" ")
+        return [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        is_test = knuth_hash(did) % 100 >= 90
+        out: set[str] = set()
+        for txt in t.filter(pa.array(is_test)).column("text").to_pylist():
+            out.update(grams_of(txt))
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    ev = set(
+        ds.map_batches(eval_grams, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["gram"]
+        .tolist()
+    )
+    ev_ref = ray.put(ev)
+
+    def scan_train(t: pa.Table) -> pa.Table:
+        evs = ray.get(ev_ref)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        is_train = knuth_hash(did) % 100 < 80
+        sub = t.filter(pa.array(is_train))
+        ids, hits = [], []
+        for d, txt in zip(
+            sub.column("doc_id").to_numpy(zero_copy_only=False),
+            sub.column("text").to_pylist(),
+        ):
+            h = sum(1 for g in grams_of(txt) if g in evs)
+            if h:
+                ids.append(int(d))
+                hits.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                "n_hits": pa.array(np.asarray(hits, dtype=np.int64)),
+            }
+        )
+
+    return ds.map_batches(scan_train, batch_format="pyarrow", zero_copy_batch=True)

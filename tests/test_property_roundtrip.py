@@ -66,3 +66,38 @@ def test_pdf_roundtrip_property(words, doc_id):
 def test_render_is_deterministic_property(words, doc_id):
     text = " ".join(words)
     assert corpus.render_payload(doc_id, text) == corpus.render_payload(doc_id, text)
+
+
+def test_chunk_reassembly_property(ray_session, tmp_path):
+    """Property: dropping each chunk's overlap tail (keeping chunk[:stride])
+    and concatenating, plus the final chunk whole, reconstructs every doc
+    exactly — chunking loses nothing and overlaps agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.textops import chunk_passages
+
+    texts = [
+        "x" * 1,
+        "ab" * 40,        # exactly stride
+        "abc" * 67,       # 201 chars, 3 chunks
+        "q" * 553,
+        "".join(chr(97 + i % 26) for i in range(239)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = chunk_passages(str(tmp_path)).to_pandas()
+    for d, text in enumerate(texts):
+        ch = got[got["doc_id"] == d].sort_values("chunk_id")["chunk_text"].tolist()
+        rebuilt = "".join(c[:80] for c in ch[:-1]) + ch[-1]
+        assert rebuilt == text
+        # every non-final chunk overlaps the next by exactly size-stride
+        for a, b in zip(ch, ch[1:]):
+            assert a[80:] == b[: len(a) - 80]

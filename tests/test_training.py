@@ -391,3 +391,41 @@ def test_span_corruption_matches_scalar_reimpl(ray_session, tmp_path):
         assert row.n_tokens == nt
         assert row.n_masked == sum(m)
         assert row.n_spans == n_spans
+
+
+def test_ngram_contamination_planted(ray_session, tmp_path):
+    """A train doc quoting a 5-token test passage is flagged with the right
+    hit count; train docs sharing <5-token overlap are not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.training import (
+        knuth_hash,
+        ngram_contamination_filter,
+    )
+    import numpy as np
+
+    # find ids: one test-split id (pct>=90) and two train ids (pct<80)
+    ids = np.arange(1, 500, dtype=np.int64)
+    pct = knuth_hash(ids) % 100
+    test_id = int(ids[pct >= 90][0])
+    tr_a, tr_b = (int(x) for x in ids[pct < 80][:2])
+
+    passage = "alpha beta gamma delta epsilon"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([test_id, tr_a, tr_b], pa.int64()),
+            "text": pa.array(
+                [
+                    f"lead {passage} tail",
+                    f"quote {passage} end",  # 5-gram hit (exactly one window)
+                    "alpha beta gamma x y",  # only 3-token overlap — clean
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = ngram_contamination_filter(str(tmp_path)).to_pandas()
+    assert got["doc_id"].tolist() == [tr_a]
+    assert got["n_hits"].tolist() == [1]
