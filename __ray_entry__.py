@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption_stats": training.span_corruption_stats,
         "association_rules_topk": relational.association_rules_topk,
         "ngram_contamination_filter": training.ngram_contamination_filter,
+        "rolling_count_range_window": relational.rolling_count_range_window,
     }
 
 
@@ -1880,5 +1881,12 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN ev USING (gram)
             WHERE g.pct < 80
             GROUP BY g.doc_id
+        """,
+        "rolling_count_range_window": """
+            SELECT event_id,
+              CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_last_hour
+            FROM events
         """,
     }

@@ -4282,3 +4282,48 @@ def burst_detection_windows(sf_dir: str):
             }
         )
     return out
+
+
+def rolling_count_range_window(sf_dir: str, window_s: int = 3600):
+    """RANGE-frame window: events in the trailing HOUR per user at each
+    event (rate-limiting / frequency-capping semantics — a TIME-based
+    frame, unlike the ROWS frames of rolling_avg/extremes: two events at
+    the same timestamp see each other regardless of row order). COUNT
+    keeps the frame integer-exact, so parity is bit-free of float concerns.
+
+    In-bucket kernel: per user segment, count = i − searchsorted(ts,
+    ts[i] − window) + tie-fix — implemented vectorized as one searchsorted
+    of (ts − window) against ts plus one of ts itself (RANGE includes ALL
+    rows with equal ts, even those after this row in row order), both over
+    the user-sorted bucket with np.repeat'd segment offsets."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    W_US = window_s * 1_000_000
+
+    def count_b(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        if len(ts) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": np.empty(0, dtype=np.int64),
+                    "n_last_hour": np.empty(0, dtype=np.int64),
+                }
+            )
+        # ONE searchsorted over the whole (user, ts)-sorted bucket — no
+        # per-user loop: each user's rows get a disjoint key range
+        # key = rank(uid)·OFF + (ts − tmin), with OFF wide enough that
+        # key − W can never cross into the previous user's range
+        t0 = ts - ts.min()
+        off = np.int64(t0.max()) + W_US + 1
+        urank = np.cumsum(np.concatenate(([0], (uid[1:] != uid[:-1]).astype(np.int64))))
+        key = urank * off + t0
+        lo = np.searchsorted(key, key - W_US, side="left")
+        hi = np.searchsorted(key, key, side="right")  # equal-ts peers count
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "n_last_hour": (hi - lo).astype(np.int64),
+            }
+        )
+
+    return map_key_buckets(ds, "user_id", count_b, sort_by=["user_id", "ts", "event_id"])

@@ -706,3 +706,38 @@ def test_revenue_share_sums_to_one(ray_session):
     got = _df(revenue_share_by_priority("/root/testdata/sf0.001"))
     assert len(got) == 5
     assert abs(got["share"].sum() - 1.0) < 5e-6
+
+
+def test_rolling_count_range_boundaries(ray_session, tmp_path):
+    """RANGE frame: the ts−1h lower bound is INCLUSIVE, equal-ts peers count
+    each other regardless of row order, and users never see each other."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.relational import rolling_count_range_window
+
+    H = 3_600_000_000
+    t0 = 1_000_000_000_000_000
+    rows = [
+        (1, 7, t0),             # alone → 1
+        (2, 7, t0 + H),         # frame [t0, t0+H]: e1 (inclusive bound) + equal-ts e3 → 3
+        (3, 7, t0 + H),         # same frame as e2 → 3
+        (4, 7, t0 + 2 * H + 1), # >1h after t0+H → only itself → 1
+        (5, 8, t0 + H),         # other user → 1
+    ]
+    eid, uid, ts = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(list(ts), pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = (
+        _df(rolling_count_range_window(str(tmp_path)))
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_last_hour"].tolist() == [1, 3, 3, 1, 1]
