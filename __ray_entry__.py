@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "association_rules_topk": relational.association_rules_topk,
         "ngram_contamination_filter": training.ngram_contamination_filter,
         "rolling_count_range_window": relational.rolling_count_range_window,
+        "image_header_features": textops.image_header_features,
     }
 
 
@@ -1888,5 +1889,18 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS n_last_hour
             FROM events
+        """,
+        # parse-vs-arithmetic parity: the Ray side parses REAL PNG/GIF
+        # header bytes; the oracle re-derives the same metadata from the
+        # payload-synthesis arithmetic
+        "image_header_features": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                   WHEN doc_id % 3 = 1 THEN 'image/gif' END AS img_format,
+              CASE WHEN doc_id % 3 <= 1 THEN CAST(1 + doc_id % 7 AS BIGINT)
+                END AS width,
+              CASE WHEN doc_id % 3 <= 1 THEN CAST(1 + doc_id % 5 AS BIGINT)
+                END AS height
+            FROM documents
         """,
     }

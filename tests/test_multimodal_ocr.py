@@ -57,3 +57,40 @@ def test_xlsx_export_gated(sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/region.parquet")
     with pytest.raises(NotImplementedError, match="openpyxl"):
         export_xlsx(ds, "/tmp/out.xlsx")
+
+
+def test_parse_image_header_real_formats():
+    """The header kernel reads REAL byte layouts: stdlib-built valid PNG
+    (zlib IDAT, CRC chunks), minimal GIF, hand-built BMP and JPEG SOF0;
+    truncated and non-image payloads return None."""
+    import struct
+    import zlib
+
+    from pdf_extractor_ray.stages.multimodal import (
+        make_gif,
+        make_png,
+        parse_image_header,
+    )
+
+    png = make_png(640, 480)
+    assert parse_image_header(png) == ("image/png", 640, 480)
+    # the PNG is genuinely valid: IDAT inflates to h*(1+w) filter+pixel bytes
+    idat = png[png.index(b"IDAT") + 4 :]
+    assert len(zlib.decompress(idat[: len(idat) - 12])) == 480 * 641
+
+    assert parse_image_header(make_gif(12, 7)) == ("image/gif", 12, 7)
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 33, -21) + b"\x00" * 10
+    assert parse_image_header(bmp) == ("image/bmp", 33, 21)  # top-down rows
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 99, 44)
+        + b"\x00" * 10
+    )
+    assert parse_image_header(jpeg) == ("image/jpeg", 44, 99)
+
+    assert parse_image_header(b"plain words here") is None
+    assert parse_image_header(png[:10]) is None  # truncated
+    assert parse_image_header(b"") is None
