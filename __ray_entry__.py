@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_contamination_filter": training.ngram_contamination_filter,
         "rolling_count_range_window": relational.rolling_count_range_window,
         "image_header_features": textops.image_header_features,
+        "last_nonnull_carry": relational.last_nonnull_carry,
     }
 
 
@@ -1902,5 +1903,14 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN doc_id % 3 <= 1 THEN CAST(1 + doc_id % 5 AS BIGINT)
                 END AS height
             FROM documents
+        """,
+        "last_nonnull_carry": """
+            SELECT event_id,
+              LAST_VALUE(CASE WHEN event_id % 5 <> 0 THEN value END
+                         IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS carried
+            FROM events
         """,
     }

@@ -4327,3 +4327,30 @@ def rolling_count_range_window(sf_dir: str, window_s: int = 3600):
         )
 
     return map_key_buckets(ds, "user_id", count_b, sort_by=["user_id", "ts", "event_id"])
+
+
+def last_nonnull_carry(sf_dir: str):
+    """LAST_VALUE(... IGNORE NULLS) — the sensor/LOCF window function
+    (carry the most recent reading forward across missing values). Nulls
+    are derived deterministically (event_id % 5 == 0 → missing) so the
+    oracle replicates the gap pattern exactly; the carried value is a pure
+    element pick, so parity is bit-exact with no rounding. In-bucket
+    kernel: mask → pandas groupby(user).ffill (C kernel, positionally
+    aligned by the helper invariant); rows before a user's first reading
+    stay NULL on both sides."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def carry_b(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64).copy()
+        v[g["event_id"].to_numpy(dtype=np.int64) % 5 == 0] = np.nan
+        carried = (
+            pd.Series(v, index=g.index).groupby(g["user_id"], sort=False).ffill()
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "carried": carried.to_numpy(),
+            }
+        )
+
+    return map_key_buckets(ds, "user_id", carry_b, sort_by=["user_id", "ts", "event_id"])
