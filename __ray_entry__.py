@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_count_range_window": relational.rolling_count_range_window,
         "image_header_features": textops.image_header_features,
         "last_nonnull_carry": relational.last_nonnull_carry,
+        "campaign_exposure_seconds": relational.campaign_exposure_seconds,
     }
 
 
@@ -1912,5 +1913,38 @@ def oracle_sql() -> dict[str, str]:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS carried
             FROM events
+        """,
+        "campaign_exposure_seconds": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 300000000 AS en
+              FROM events),
+            o AS (
+              SELECT user_id, event_id, s, en,
+                MAX(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM e),
+            g AS (
+              SELECT user_id, s, en,
+                SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY s, event_id) AS isl
+              FROM o),
+            i AS (
+              SELECT user_id, isl, MIN(s) AS s0, MAX(en) AS e1
+              FROM g GROUP BY user_id, isl),
+            c AS (
+              SELECT r_regionkey AS campaign_id,
+                1704067200000000 + r_regionkey * 5 * 86400000000 AS cs,
+                1704067200000000 + (r_regionkey * 5 + 8) * 86400000000 AS ce
+              FROM region),
+            ov AS (
+              SELECT c.campaign_id,
+                GREATEST(0, LEAST(i.e1, c.ce) - GREATEST(i.s0, c.cs)) AS ov_us
+              FROM i, c)
+            SELECT campaign_id,
+              CAST(SUM(ov_us) AS BIGINT) AS exposure_us,
+              CAST(SUM(CASE WHEN ov_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_islands
+            FROM ov GROUP BY campaign_id
         """,
     }

@@ -4354,3 +4354,54 @@ def last_nonnull_carry(sf_dir: str):
         )
 
     return map_key_buckets(ds, "user_id", carry_b, sort_by=["user_id", "ts", "event_id"])
+
+
+def campaign_exposure_seconds(sf_dir: str, gap_s: int = 300):
+    """Interval-OVERLAP join with duration (ad-exposure attribution): how
+    many microseconds of user ACTIVITY (the gaps-and-islands intervals)
+    fall inside each campaign window — containment (`range_join_campaigns`)
+    tells you IF, this tells you HOW MUCH. Overlap = max(0, min(ends) −
+    max(starts)) per (island, campaign), all integer µs → hash-exact.
+
+    Scale shape: islands form in user-hash buckets (the interval_islands
+    kernel) and are immediately reduced against the 5 broadcast campaign
+    windows INSIDE the bucket — per-bucket output is |campaigns| partial
+    rows, so the driver merges B·5 integers and island rows never leave
+    their bucket."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap_us = gap_s * 1_000_000
+    BASE_US = 1_704_067_200_000_000  # 2024-01-01 UTC
+    DAY_US = 86_400_000_000
+    wins = [(k, BASE_US + k * 5 * DAY_US, BASE_US + (k * 5 + 8) * DAY_US) for k in range(5)]
+
+    def exposure_b(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        s = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        en = s + gap_us
+        d = pd.DataFrame({"u": u, "s": s, "e": en})
+        prev_max = d.groupby("u", sort=False)["e"].cummax().shift(1).to_numpy()
+        first = np.empty(len(d), dtype=bool)
+        if len(d):
+            first[0] = True
+            first[1:] = u[1:] != u[:-1]
+        isl = np.cumsum(first | (s > prev_max)) if len(d) else np.array([], dtype=np.int64)
+        spans = (
+            d.assign(isl=isl).groupby("isl", sort=False).agg(s0=("s", "min"), e1=("e", "max"))
+        )
+        s0, e1 = spans["s0"].to_numpy(), spans["e1"].to_numpy()
+        rows = []
+        for cid, cs, ce in wins:  # 5 vectorized passes over bucket islands
+            ov = np.maximum(0, np.minimum(e1, ce) - np.maximum(s0, cs))
+            rows.append((cid, int(ov.sum()), int((ov > 0).sum())))
+        return pd.DataFrame(rows, columns=["campaign_id", "exposure_us", "n_islands"])
+
+    parts = map_key_buckets(ds, "user_id", exposure_b, sort_by=["user_id", "ts", "event_id"])
+    out = (
+        parts.to_pandas()
+        .groupby("campaign_id", sort=True)[["exposure_us", "n_islands"]]
+        .sum()
+        .reset_index()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -741,3 +741,34 @@ def test_rolling_count_range_boundaries(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert got["n_last_hour"].tolist() == [1, 3, 3, 1, 1]
+
+
+def test_campaign_exposure_partial_overlap(ray_session, tmp_path):
+    """An island straddling a campaign edge earns exactly the inside part;
+    disjoint islands earn zero."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.relational import campaign_exposure_seconds
+
+    BASE = 1_704_067_200_000_000  # campaign 0 = [BASE, BASE+8d)
+    DAY = 86_400_000_000
+    # one event 100s before campaign 0 starts → island [-100s, +200s):
+    # overlap with campaign 0 = 200s exactly
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "user_id": pa.array([7, 8], pa.int64()),
+                "ts": pa.array(
+                    [BASE - 100_000_000, BASE + 40 * DAY], pa.timestamp("us")
+                ),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = _df(campaign_exposure_seconds(str(tmp_path))).set_index("campaign_id")
+    assert got.loc[0, "exposure_us"] == 200_000_000
+    assert got.loc[0, "n_islands"] == 1
+    # user 8's island is far past every window → all other campaigns see
+    # only what campaign 0 saw or nothing
+    assert (got.loc[1:, "exposure_us"] == 0).all()
