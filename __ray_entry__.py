@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_header_features": textops.image_header_features,
         "last_nonnull_carry": relational.last_nonnull_carry,
         "campaign_exposure_seconds": relational.campaign_exposure_seconds,
+        "weighted_quantile_doc_len": training.weighted_quantile_doc_len,
     }
 
 
@@ -1946,5 +1947,21 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CASE WHEN ov_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_islands
             FROM ov GROUP BY campaign_id
+        """,
+        "weighted_quantile_doc_len": """
+            WITH d AS (
+              SELECT strlen(text) AS len,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+              FROM documents),
+            g AS (SELECT len, CAST(SUM(w) AS BIGINT) AS w FROM d GROUP BY len),
+            o AS (
+              SELECT len, SUM(w) OVER (ORDER BY len) AS cum,
+                (SELECT SUM(w) FROM g) AS tot
+              FROM g)
+            SELECT 'p50' AS q, CAST(MIN(len) AS BIGINT) AS weighted_len
+            FROM o WHERE cum * 2 >= tot
+            UNION ALL
+            SELECT 'p90', CAST(MIN(len) AS BIGINT)
+            FROM o WHERE cum * 10 >= tot * 9
         """,
     }

@@ -997,3 +997,48 @@ def ngram_contamination_filter(sf_dir: str, n: int = 5):
         )
 
     return ds.map_batches(scan_train, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_quantile_doc_len(sf_dir: str):
+    """WEIGHTED quantiles (median and p90) of document length where each
+    doc counts by its TOKEN MASS, not once — the "how long is the doc the
+    median training token lives in" question (per-doc quantiles mislead
+    when long docs dominate the token budget). Exact integer rank rule on
+    distinct lengths: the q-quantile is the smallest length L with
+    den·cumw(L) ≥ num·W (cumw = token mass at length ≤ L) — all-integer
+    comparisons, no float rank anywhere.
+
+    Scale shape: the length GRID is bounded by max doc length (a format
+    constant, not corpus size), so ONE weighted-bincount pass per batch +
+    a driver cumsum of grid-sized integer partials answers every q —
+    the ccnet-tertile shape with weights (np.bincount's float64 weight
+    accumulator is exact below 2^53; cast back after)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ln = (
+            pc.binary_length(t.column("text"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        w = _n_tokens(t)
+        mx = int(ln.max()) if len(ln) else 0
+        c = np.bincount(ln, weights=w, minlength=mx + 1)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {
+                "len": pa.array(nz.astype(np.int64)),
+                "w": pa.array(c[nz].astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    grid = parts.groupby("len", sort=True)["w"].sum()
+    cum = grid.cumsum().to_numpy()
+    lens = grid.index.to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q_name, num, den in (("p50", 1, 2), ("p90", 9, 10)):
+        idx = int(np.searchsorted(cum * den, num * total))
+        out.append((q_name, int(lens[idx])))
+    return pd.DataFrame(out, columns=["q", "weighted_len"])

@@ -429,3 +429,28 @@ def test_ngram_contamination_planted(ray_session, tmp_path):
     got = ngram_contamination_filter(str(tmp_path)).to_pandas()
     assert got["doc_id"].tolist() == [tr_a]
     assert got["n_hits"].tolist() == [1]
+
+
+def test_weighted_quantile_tokens_not_docs(ray_session, tmp_path):
+    """One 100-token doc vs ninety-nine 1-token docs: the per-DOC median
+    length is the short doc's, but the token-WEIGHTED median is the long
+    doc's length (100 of 199 token mass ≥ half)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.training import weighted_quantile_doc_len
+
+    long_doc = "w " * 99 + "w"  # 100 tokens, 199 chars
+    docs = [long_doc] + ["x"] * 99
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = weighted_quantile_doc_len(str(tmp_path)).set_index("q")["weighted_len"]
+    assert got["p50"] == 199
+    assert got["p90"] == 199
