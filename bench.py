@@ -210,6 +210,19 @@ QUERY_PANEL = [
     "rolling_extremes_per_user",
     "chunk_passages",
     "inlink_counts",
+    # round-3 continued (second batch): rules / decontamination / windows /
+    # multimodal headers / weighted stats
+    "association_rules_topk",
+    "ngram_contamination_filter",
+    "rolling_count_range_window",
+    "span_corruption_stats",
+    "campaign_exposure_seconds",
+    "image_header_features",
+    "weighted_quantile_doc_len",
+    "last_nonnull_carry",
+    "padding_waste_by_length_tile",
+    "revenue_share_by_priority",
+    "burst_detection_windows",
 ]
 
 
