@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_nonnull_carry": relational.last_nonnull_carry,
         "campaign_exposure_seconds": relational.campaign_exposure_seconds,
         "weighted_quantile_doc_len": training.weighted_quantile_doc_len,
+        "top_tokens_per_doc": textops.top_tokens_per_doc,
     }
 
 
@@ -1963,5 +1964,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'p90', CAST(MIN(len) AS BIGINT)
             FROM o WHERE cum * 10 >= tot * 9
+        """,
+        "top_tokens_per_doc": """
+            WITH t AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            c AS (
+              SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+              FROM t GROUP BY doc_id, tok),
+            r AS (
+              SELECT doc_id, tok, n,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, tok)
+                  AS rn
+              FROM c)
+            SELECT doc_id, tok AS token, n FROM r WHERE rn <= 2
         """,
     }

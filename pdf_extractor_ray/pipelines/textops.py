@@ -1317,3 +1317,45 @@ def image_header_features(sf_dir: str):
         zero_copy_batch=True,
         batch_size=256,
     )
+
+
+def top_tokens_per_doc(sf_dir: str, k: int = 2):
+    """Within-document top-k tokens by frequency (count DESC, token ASC
+    tiebreak) — the per-doc keyword/salience primitive (tfidf_top_terms is
+    the corpus-IDF variant; this is its document-local sibling). Entirely
+    batch-local: docs never straddle batches, so the groupby-head finishes
+    with ZERO shuffle; per-batch work is one flat token explode + two
+    pandas C-kernel groupbys."""
+    import pandas as pd
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = t.column("text").to_pandas().str.split(" ")
+        lens = toks.str.len().to_numpy()
+        df = pd.DataFrame(
+            {"doc_id": np.repeat(ids, lens), "token": np.concatenate(toks.to_numpy())}
+        )
+        c = df.groupby(["doc_id", "token"], sort=False).size().reset_index(name="n")
+        c = c.sort_values(
+            ["doc_id", "n", "token"], ascending=[True, False, True], kind="mergesort"
+        )
+        top = c.groupby("doc_id", sort=False).head(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].to_numpy(dtype=np.int64)),
+                "token": pa.array(top["token"].to_numpy(), pa.string()),
+                "n": pa.array(top["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)

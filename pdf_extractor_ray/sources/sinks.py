@@ -54,3 +54,38 @@ def export_csv(ds, out_dir: str, drop_columns: list[str] | None = None):
         if present:
             ds = ds.drop_columns(present)
     return ds.write_csv(out_dir)
+
+
+def union_by_name(datasets):
+    """Schema-evolution union (UNION ALL BY NAME): align any number of
+    Datasets whose schemas drifted — later snapshots adding or dropping
+    columns — by the UNION of column names, null-filling what each side
+    lacks, preserving each column's type from the first dataset that has
+    it. The data-lake reality `ds.union`'s strict schema match can't
+    serve. One stateless map_batches per input; no shuffle."""
+    import pyarrow as pa
+
+    fields: dict[str, pa.DataType] = {}
+    for ds in datasets:
+        sch = ds.schema()
+        for name, typ in zip(sch.names, sch.types):
+            fields.setdefault(name, typ)
+    names = list(fields)
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = []
+        for n in names:
+            if n in t.column_names:
+                cols.append(t.column(n).cast(fields[n]))
+            else:
+                cols.append(pa.nulls(t.num_rows, fields[n]))
+        return pa.table(dict(zip(names, cols)))
+
+    aligned = [
+        ds.map_batches(align, batch_format="pyarrow", zero_copy_batch=True)
+        for ds in datasets
+    ]
+    out = aligned[0]
+    for ds in aligned[1:]:
+        out = out.union(ds)
+    return out

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
+
 import pyarrow.parquet as pq
 
 from pdf_extractor_ray.sources.csv_source import read_headered_csv, read_wf_bank_positional
@@ -178,3 +180,39 @@ def test_ipc_round_trip(ray_session, tmp_path):
     back = read_ipc_dir(out).to_pandas().sort_values("event_id").reset_index(drop=True)
     want = src.to_pandas().sort_values("event_id").reset_index(drop=True)
     assert back.equals(want[back.columns])
+
+
+def test_union_by_name_schema_evolution(ray_session, tmp_path):
+    """Snapshot B drops 'lang' and adds 'crawl_id': the union carries the
+    superset schema, null-filling what each side lacks, all rows intact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_extractor_ray.sources.sinks import union_by_name
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "lang": pa.array(["en", "fr"], pa.string()),
+            }
+        ),
+        tmp_path / "a.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([3], pa.int64()),
+                "crawl_id": pa.array([7], pa.int64()),
+            }
+        ),
+        tmp_path / "b.parquet",
+    )
+    a = rd.read_parquet(str(tmp_path / "a.parquet"))
+    b = rd.read_parquet(str(tmp_path / "b.parquet"))
+    got = union_by_name([a, b]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert sorted(got.columns) == ["crawl_id", "doc_id", "lang"]
+    assert got["doc_id"].tolist() == [1, 2, 3]
+    assert got["lang"].tolist()[:2] == ["en", "fr"] and pd.isna(got["lang"][2])
+    assert pd.isna(got["crawl_id"][0]) and got["crawl_id"][2] == 7
