@@ -826,10 +826,13 @@ def kcore_nodes(sf_dir: str, k: int = 3, max_rounds: int = 50):
         ).to_pandas()
         if len(drop) == 0:
             return degs.select_columns(["node", "deg"])
-        drop_ref = ray.put(set(drop["node"].tolist()))
+        # the frontier is driver-sized (see docstring); build the Arrow
+        # value_set ONCE and broadcast it — rebuilding a set→list→array per
+        # batch was per-batch Python overhead on the hot filter
+        drop_ref = ray.put(pa.array(np.sort(drop["node"].to_numpy(dtype=np.int64))))
 
         def drop_edges(t: pa.Table, _ref=drop_ref) -> pa.Table:
-            bad = pa.array(list(ray.get(_ref)), pa.int64())
+            bad = ray.get(_ref)
             a = pc.bit_wise_and(
                 pc.shift_right(t.column("ekey"), 32), 0xFFFFFFFF
             )
