@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "campaign_exposure_seconds": relational.campaign_exposure_seconds,
         "weighted_quantile_doc_len": training.weighted_quantile_doc_len,
         "top_tokens_per_doc": textops.top_tokens_per_doc,
+        "topk_with_ties_per_group": relational.topk_with_ties_per_group,
     }
 
 
@@ -1978,5 +1979,14 @@ def oracle_sql() -> dict[str, str]:
                   AS rn
               FROM c)
             SELECT doc_id, tok AS token, n FROM r WHERE rn <= 2
+        """,
+        "topk_with_ties_per_group": """
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity
+            FROM (
+              SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+                RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC)
+                  AS rk
+              FROM lineitem)
+            WHERE rk <= 2
         """,
     }

@@ -4405,3 +4405,29 @@ def campaign_exposure_seconds(sf_dir: str, gap_s: int = 300):
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def topk_with_ties_per_group(sf_dir: str, k: int = 2):
+    """Top-k per group WITH TIES (SQL's FETCH FIRST k WITH TIES / QUALIFY
+    RANK() ≤ k): every row tying the k-th value survives, so group output
+    size is data-dependent — the semantics ``topk_per_group``'s head(k)
+    deliberately truncates. RANK (with gaps) over (quantity DESC) inside
+    supplier-hash buckets; value-only comparison, no tiebreak needed, no
+    rounding (element picks)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"])
+
+    def ranked(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("l_suppkey", sort=False)["l_quantity"].rank(
+            method="min", ascending=False
+        )
+        keep = g[r <= k]
+        return pd.DataFrame(
+            {
+                "l_suppkey": keep["l_suppkey"].to_numpy(dtype=np.int64),
+                "l_orderkey": keep["l_orderkey"].to_numpy(dtype=np.int64),
+                "l_linenumber": keep["l_linenumber"].to_numpy(dtype=np.int64),
+                "l_quantity": keep["l_quantity"].to_numpy(),
+            }
+        )
+
+    return map_key_buckets(ds, "l_suppkey", ranked, sort_by=["l_suppkey", "l_orderkey", "l_linenumber"])

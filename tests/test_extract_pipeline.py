@@ -90,3 +90,17 @@ def test_actor_mode_equals_task_mode(sf_dir):
     )
     for col in ("extracted_text", "status", "n_blocks", "extractor", "part_id"):
         assert (a[col] == b[col]).all(), col
+
+
+def test_extraction_plan_has_no_all_to_all(ray_session):
+    """Scale guard: the flagship extraction path must stay a pure streaming
+    map chain — NO shuffle stage (Sort/Aggregate/AllToAll) may creep into
+    read → synthesize → extract → filter. A shuffle here would turn the
+    100 TB linear pass into an all-to-all exchange."""
+    from pdf_extractor_ray.pipelines.textops import extract_pages_text
+
+    ds = extract_pages_text("/root/testdata/sf0.001")
+    ds = ds.materialize()
+    stats = ds.stats()
+    for marker in ("Sort", "AllToAll", "Aggregate", "Shuffle"):
+        assert marker not in stats, f"extraction plan gained a {marker} stage:\n{stats[:600]}"

@@ -772,3 +772,23 @@ def test_campaign_exposure_partial_overlap(ray_session, tmp_path):
     # user 8's island is far past every window → all other campaigns see
     # only what campaign 0 saw or nothing
     assert (got.loc[1:, "exposure_us"] == 0).all()
+
+
+def test_topk_with_ties_keeps_boundary_ties(ray_session, tmp_path):
+    """Three rows tie the 2nd-highest quantity: all survive (RANK ≤ 2 → 4
+    rows), where head(2) would keep only 2."""
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "l_linenumber": pa.array([1] * 5, pa.int64()),
+                "l_suppkey": pa.array([9] * 5, pa.int64()),
+                "l_quantity": pa.array([10.0, 7.0, 7.0, 7.0, 1.0]),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    from pdf_extractor_ray.pipelines.relational import topk_with_ties_per_group
+
+    got = _df(topk_with_ties_per_group(str(tmp_path)))
+    assert sorted(got["l_orderkey"]) == [1, 2, 3, 4]
