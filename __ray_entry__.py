@@ -287,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_quantile_doc_len": training.weighted_quantile_doc_len,
         "top_tokens_per_doc": textops.top_tokens_per_doc,
         "topk_with_ties_per_group": relational.topk_with_ties_per_group,
+        "weekly_revenue_wow": relational.weekly_revenue_wow,
+        "user_journey_signatures": relational.user_journey_signatures,
     }
 
 
@@ -1988,5 +1990,30 @@ def oracle_sql() -> dict[str, str]:
                   AS rk
               FROM lineitem)
             WHERE rk <= 2
+        """,
+        "weekly_revenue_wow": """
+            WITH w AS (
+              SELECT date_trunc('week', o_orderdate) AS ws,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS revenue_cents
+              FROM orders GROUP BY 1)
+            SELECT strftime(ws, '%Y-%m-%d') AS week_start, revenue_cents,
+              CAST(CASE WHEN date_diff('day', LAG(ws) OVER (ORDER BY ws), ws) = 7
+                   THEN revenue_cents - LAG(revenue_cents) OVER (ORDER BY ws)
+                   ELSE 0 END AS BIGINT) AS wow_delta_cents
+            FROM w
+        """,
+        "user_journey_signatures": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS rn
+              FROM events),
+            s AS (
+              SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS sig
+              FROM r WHERE rn <= 5 GROUP BY user_id)
+            SELECT sig AS signature, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM s GROUP BY sig
+            ORDER BY n_users DESC, signature LIMIT 20
         """,
     }

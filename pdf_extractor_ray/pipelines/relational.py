@@ -4431,3 +4431,78 @@ def topk_with_ties_per_group(sf_dir: str, k: int = 2):
         )
 
     return map_key_buckets(ds, "l_suppkey", ranked, sort_by=["l_suppkey", "l_orderkey", "l_linenumber"])
+
+
+def weekly_revenue_wow(sf_dir: str):
+    """Period-over-period BI delta: revenue per ISO week (exact integer
+    cents) with the week-over-week difference — the trend/regression
+    readout every ops dashboard leads with. Per-batch (week, cents)
+    partials; the aggregated table is weeks-sized, so the LAG finishes on
+    the driver in epoch-week order (a Ray sort on dozens of rows costs
+    seconds — NOTES driver-finish rule). All integer: epoch_us // 7-day
+    weeks anchored to the Unix epoch's Thursday→Monday offset exactly as
+    the oracle computes it."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    WEEK_US = 7 * 86_400_000_000
+    # Unix epoch (1970-01-01) is a THURSDAY; shift +3 days so week buckets
+    # start on Monday, matching date_trunc('week') in the oracle
+    SHIFT_US = 3 * 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate").cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        wk = (ts.astype(np.int64) + SHIFT_US) // WEEK_US
+        cents = np.round(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame({"wk": wk, "c": cents}).groupby("wk", sort=False)["c"].sum()
+        return pa.table(
+            {
+                "wk": pa.array(df.index.to_numpy(dtype=np.int64)),
+                "c": pa.array(df.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    agg = parts.groupby("wk", sort=True)["c"].sum()
+    weeks = agg.index.to_numpy(dtype=np.int64)
+    cents = agg.to_numpy(dtype=np.int64)
+    prev = np.concatenate(([0], cents[:-1]))
+    has_prev = np.concatenate(([False], (weeks[1:] - weeks[:-1]) == 1))
+    wow = np.where(has_prev, cents - prev, 0)
+    start_us = weeks * WEEK_US - SHIFT_US
+    return pd.DataFrame(
+        {
+            "week_start": pd.to_datetime(start_us, unit="us").strftime("%Y-%m-%d"),
+            "revenue_cents": cents,
+            "wow_delta_cents": np.where(has_prev, wow, np.int64(0)).astype(np.int64),
+        }
+    )
+
+
+def user_journey_signatures(sf_dir: str, k: int = 5, top_n: int = 20):
+    """User-journey mining: each user's first k event types (ordered by
+    ts, event_id) joined into a path signature ('view>click>…'), then the
+    top-N most common journeys — the product-analytics "how do sessions
+    actually start" question funnel_conversion (fixed pattern) can't
+    answer. Per-user head(k) + ordered join inside user-hash buckets
+    (string_agg_by_source precedent: the per-group join is inherent to
+    ordered string aggregation); per-bucket (signature, n_users) partials
+    make the final merge signature-cardinality-sized (≤ |types|^k)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def sigs(g: pd.DataFrame) -> pd.DataFrame:
+        head = g.groupby("user_id", sort=False).head(k)
+        s = head.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        a = s.value_counts()
+        return pd.DataFrame(
+            {"signature": a.index.to_numpy(), "n_users": a.to_numpy(dtype=np.int64)}
+        )
+
+    parts = map_key_buckets(ds, "user_id", sigs, sort_by=["user_id", "ts", "event_id"])
+    agg = parts.to_pandas().groupby("signature", sort=False)["n_users"].sum().reset_index()
+    agg["n_users"] = agg["n_users"].astype(np.int64)
+    return (
+        agg.sort_values(["n_users", "signature"], ascending=[False, True], kind="mergesort")
+        .head(top_n)
+        .reset_index(drop=True)
+    )

@@ -792,3 +792,53 @@ def test_topk_with_ties_keeps_boundary_ties(ray_session, tmp_path):
 
     got = _df(topk_with_ties_per_group(str(tmp_path)))
     assert sorted(got["l_orderkey"]) == [1, 2, 3, 4]
+
+
+def test_weekly_wow_gap_yields_zero_delta(ray_session, tmp_path):
+    """A missing week breaks the WoW chain: the week after a gap reports 0,
+    consecutive weeks report the exact cents difference."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.relational import weekly_revenue_wow
+
+    # Mondays: 2024-01-01, 2024-01-08, (skip 01-15), 2024-01-22
+    days = ["2024-01-01", "2024-01-08", "2024-01-22"]
+    prices = [100.0, 150.5, 80.25]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderdate": pa.array(pd.to_datetime(days), pa.timestamp("us")),
+                "o_totalprice": pa.array(prices),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    got = _df(weekly_revenue_wow(str(tmp_path)))
+    assert got["week_start"].tolist() == days
+    assert got["revenue_cents"].tolist() == [10000, 15050, 8025]
+    assert got["wow_delta_cents"].tolist() == [0, 5050, 0]
+
+
+def test_journey_signature_orders_within_user(ray_session, tmp_path):
+    """Signatures respect per-user event-time order and cap at the first 5."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.relational import user_journey_signatures
+
+    t0 = 1_000_000_000_000_000
+    types = ["view", "click", "purchase", "view", "view", "error"]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(list(range(6)), pa.int64()),
+                "user_id": pa.array([7] * 6, pa.int64()),
+                "ts": pa.array([t0 + i for i in range(6)], pa.timestamp("us")),
+                "event_type": pa.array(types, pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = _df(user_journey_signatures(str(tmp_path)))
+    assert got.to_dict("records") == [
+        {"signature": "view>click>purchase>view>view", "n_users": 1}
+    ]
