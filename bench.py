@@ -223,6 +223,10 @@ QUERY_PANEL = [
     "padding_waste_by_length_tile",
     "revenue_share_by_priority",
     "burst_detection_windows",
+    "top_tokens_per_doc",
+    "topk_with_ties_per_group",
+    "weekly_revenue_wow",
+    "user_journey_signatures",
 ]
 
 
