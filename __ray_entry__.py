@@ -75,17 +75,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_campaigns": relational.range_join_campaigns,
         "pivot_event_counts": relational.pivot_event_counts,
         "percentile_by_group": relational.percentile_by_group,
-        "rolling_avg_per_user": relational.rolling_avg_per_user,
-        "mode_by_group": relational.mode_by_group,
+        "ccnet_perplexity_buckets": textops.ccnet_perplexity_buckets,
+        "relational_division": relational.relational_division,
         "running_total": relational.running_total,
         # sorts / top-k / distinct / stats (§2.6, §2.7, §2.5)
         "topk_per_group": relational.topk_per_group,
-        "distinct_pairs": relational.distinct_pairs,
+        "decayed_count_by_type": relational.decayed_count_by_type,
         "distinct_count_by_group": relational.distinct_count_by_group,
         "mean_std_agg": relational.mean_std_agg,
-        "median_by_group": relational.median_by_group,
+        "chunk_passages": textops.chunk_passages,
         "string_agg_by_source": relational.string_agg_by_source,
-        "rank_in_group": relational.rank_in_group,
+        "ngram_contamination_filter": training.ngram_contamination_filter,
         "corr_by_group": relational.corr_by_group,
         # higher-moment / information-theoretic aggregates + basket mining (r3)
         "moment_stats_by_group": relational.moment_stats_by_group,
@@ -101,7 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_ffill_hourly": relational.resample_ffill_hourly,
         "event_transition_matrix": relational.event_transition_matrix,
         # outer-join completeness + percent_rank window (r3)
-        "left_join_null_fill": relational.left_join_null_fill,
+        "burst_detection_windows": relational.burst_detection_windows,
         "percent_rank_in_group": relational.percent_rank_in_group,
         # CUBE grouping sets + collocation mining (r3)
         "cube_counts": relational.cube_counts,
@@ -110,7 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": relational.snapshot_diff,
         # general shuffle-hash join / interval union / global ranking (r3)
         "shuffle_join_detail": relational.shuffle_join_detail,
-        "interval_islands": relational.interval_islands,
+        "rolling_count_range_window": relational.rolling_count_range_window,
         "global_row_number": relational.global_row_number,
         # graded-prefix slots favor FAMILY diversity: the set-op / rank /
         # robust-stat siblings (except_custkeys, dense_rank, mad, unpivot,
@@ -129,7 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_export_audit": textops.training_export_audit,
         "late_event_filter": relational.late_event_filter,
         "tumbling_distinct_users": relational.tumbling_distinct_users,
-        "sliding_distinct_users": relational.sliding_distinct_users,
+        "image_header_features": textops.image_header_features,
         # substring-dedup coverage, BFS, integrity, skyline (r3)
         "dup_span_coverage": search.dup_span_coverage,
         "bfs_hops": graph.bfs_hops,
@@ -142,6 +142,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_independence": relational.chi2_independence,
         "benford_first_digit": relational.benford_first_digit,
         # family siblings of in-prefix representatives (past the 50 cut)
+        "rolling_avg_per_user": relational.rolling_avg_per_user,
+        "mode_by_group": relational.mode_by_group,
+        "distinct_pairs": relational.distinct_pairs,
+        "median_by_group": relational.median_by_group,
+        "rank_in_group": relational.rank_in_group,
+        "sliding_distinct_users": relational.sliding_distinct_users,
+        "left_join_null_fill": relational.left_join_null_fill,
+        "interval_islands": relational.interval_islands,
         "running_distinct_types": relational.running_distinct_types,
         "windowed_topk_types": relational.windowed_topk_types,
         "except_custkeys": relational.except_custkeys,
@@ -262,8 +270,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_predict": textops.langid_predict,
         "fingerprint_rolling": textops.fingerprint_rolling,
         # --- r3 late additions (appended: graded prefix stays stable) ------
-        "relational_division": relational.relational_division,
-        "decayed_count_by_type": relational.decayed_count_by_type,
         "word_len_stats_by_source": relational.word_len_stats_by_source,
         "exact_distinct_tokens_by_source": relational.exact_distinct_tokens_by_source,
         # rows-only: DEFLATE has no SQL form; k-core is iterative. Both are
@@ -271,17 +277,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio_signal": textops.compression_ratio_signal,
         "kcore_nodes": graph.kcore_nodes,
         "rolling_extremes_per_user": relational.rolling_extremes_per_user,
-        "ccnet_perplexity_buckets": textops.ccnet_perplexity_buckets,
-        "chunk_passages": textops.chunk_passages,
         "inlink_counts": textops.inlink_counts,
         "revenue_share_by_priority": relational.revenue_share_by_priority,
-        "burst_detection_windows": relational.burst_detection_windows,
         "padding_waste_by_length_tile": training.padding_waste_by_length_tile,
         "span_corruption_stats": training.span_corruption_stats,
         "association_rules_topk": relational.association_rules_topk,
-        "ngram_contamination_filter": training.ngram_contamination_filter,
-        "rolling_count_range_window": relational.rolling_count_range_window,
-        "image_header_features": textops.image_header_features,
         "last_nonnull_carry": relational.last_nonnull_carry,
         "campaign_exposure_seconds": relational.campaign_exposure_seconds,
         "weighted_quantile_doc_len": training.weighted_quantile_doc_len,
