@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_with_ties_per_group": relational.topk_with_ties_per_group,
         "weekly_revenue_wow": relational.weekly_revenue_wow,
         "user_journey_signatures": relational.user_journey_signatures,
+        "events_since_purchase": relational.events_since_purchase,
     }
 
 
@@ -2015,5 +2016,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT sig AS signature, CAST(COUNT(*) AS BIGINT) AS n_users
             FROM s GROUP BY sig
             ORDER BY n_users DESC, signature LIMIT 20
+        """,
+        "events_since_purchase": """
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS seg
+              FROM events)
+            SELECT event_id,
+              CASE WHEN seg = 0 THEN NULL
+                   ELSE CAST(ROW_NUMBER() OVER (
+                          PARTITION BY user_id, seg ORDER BY ts, event_id)
+                        - 1 AS BIGINT) END AS n_since_purchase
+            FROM o
         """,
     }

@@ -4506,3 +4506,30 @@ def user_journey_signatures(sf_dir: str, k: int = 5, top_n: int = 20):
         .head(top_n)
         .reset_index(drop=True)
     )
+
+
+def events_since_purchase(sf_dir: str):
+    """Reset-on-event counter: for every event, how many events since the
+    user's most recent PURCHASE (purchase rows reset to 0; rows before a
+    user's first purchase are NULL) — the recency state recommender
+    feature pipelines keep per key, and a window shape none of the
+    existing frames cover (the frame boundary is DATA-dependent, not a
+    row/time offset). In-bucket: grouped cumsum of the purchase flag
+    segments each user's history; cumcount within (user, segment) is the
+    counter — both pandas C kernels, integer-exact."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def counter_b(g: pd.DataFrame) -> pd.DataFrame:
+        p = (g["event_type"] == "purchase").astype(np.int64)
+        seg = p.groupby(g["user_id"], sort=False).cumsum()  # aligned to g
+        n = g.groupby([g["user_id"], seg], sort=False).cumcount()
+        out = n.to_numpy(dtype=np.float64)
+        out[seg.to_numpy() == 0] = np.nan  # before the first purchase
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "n_since_purchase": out,
+            }
+        )
+
+    return map_key_buckets(ds, "user_id", counter_b, sort_by=["user_id", "ts", "event_id"])

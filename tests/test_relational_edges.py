@@ -842,3 +842,33 @@ def test_journey_signature_orders_within_user(ray_session, tmp_path):
     assert got.to_dict("records") == [
         {"signature": "view>click>purchase>view>view", "n_users": 1}
     ]
+
+
+def test_events_since_purchase_reset_and_prefix_null(ray_session, tmp_path):
+    """Counter resets to 0 AT each purchase, counts 1,2,… after it, and is
+    NULL for every event before the user's first purchase."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.relational import events_since_purchase
+
+    t0 = 1_000_000_000_000_000
+    types = ["view", "click", "purchase", "view", "view", "purchase", "view"]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(list(range(7)), pa.int64()),
+                "user_id": pa.array([7] * 7, pa.int64()),
+                "ts": pa.array([t0 + i for i in range(7)], pa.timestamp("us")),
+                "event_type": pa.array(types, pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = (
+        _df(events_since_purchase(str(tmp_path)))
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    vals = got["n_since_purchase"].tolist()
+    assert pd.isna(vals[0]) and pd.isna(vals[1])
+    assert vals[2:] == [0.0, 1.0, 2.0, 0.0, 1.0]
