@@ -227,6 +227,7 @@ QUERY_PANEL = [
     "topk_with_ties_per_group",
     "weekly_revenue_wow",
     "user_journey_signatures",
+    "events_since_purchase",
 ]
 
 
