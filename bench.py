@@ -7,8 +7,14 @@ queries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
 ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32), and
 prints ONE JSON line::
 
-    {"metric": "...", "value": <headline sec>, "unit": "sec",
-     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+    {"metric": "...", "value": <headline sec>, "unit": "sec", "docs": ...,
+     "docs_per_sec": ..., "sf": ..., "num_cpus": N, "panel_count": ...,
+     "queries": {<12-entry digest>}}
+
+The line is kept deliberately short (headline keys first, 12-query digest)
+because the driver tail-captures stdout and a full-panel line gets its head
+truncated (r3 lost its headline to parsed:null that way). The complete
+per-query panel is written to ``BENCH_PANEL.json`` beside this script.
 
 ``--scaling``: runs the headline pipeline twice in FRESH processes at
 num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
@@ -246,7 +252,7 @@ def run_panel() -> dict[str, float]:
     out = {}
     for name in QUERY_PANEL:
         best = float("inf")
-        for _ in range(attempts):  # min-of-2: same node-noise rationale
+        for _ in range(attempts):  # min-of-N (default 3): same node-noise rationale
             t0 = time.time()
             res = qs[name](SF_DIR)
             if not isinstance(res, pd.DataFrame):  # Datasets are lazy — consume
@@ -256,22 +262,67 @@ def run_panel() -> dict[str, float]:
     return out
 
 
+# The stdout line must stay COMPACT: the r3 driver tail-captured the output
+# and the 105-entry panel pushed the line past the capture window, so the
+# head (with "metric"/"value") was cut off and BENCH_r03.json recorded
+# parsed:null (VERDICT r3 wrong #5). The line therefore carries the headline
+# numbers first plus a small representative query digest; the FULL panel is
+# written to BENCH_PANEL.json next to this script.
+PANEL_DIGEST = [
+    "extract_pages_text",
+    "dedup_replicated_corpus",
+    "corpus_near_dup_pipeline",
+    "minhash_near_dup",
+    "pricing_summary",
+    "tumbling_window_agg",
+    "ann_topk",
+    "bfs_hops",
+    "triangle_count",
+    "ccnet_perplexity_buckets",
+    "association_rules_topk",
+    "classifier_auc",
+]
+
+
 def main() -> None:
     import ray
 
     _init_ray(NUM_CPUS)
     h = headline(NUM_CPUS)
-    queries = run_panel()
+    panel = run_panel()
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PANEL.json"
+    )
+    with open(sidecar, "w") as f:
+        json.dump(
+            {
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "docs": h["docs"],
+                "headline_sec": round(h["sec"], 3),
+                "docs_per_sec": round(h["docs_per_sec"], 1),
+                "extract_only_docs_per_sec": round(
+                    h["extract_only_docs_per_sec"], 1
+                ),
+                "queries": panel,
+            },
+            f,
+            indent=1,
+        )
+    # headline-first key order so even a tail-truncated capture parses the
+    # metric; queries = fixed 12-entry digest, full panel in the sidecar
     result = {
         "metric": "extraction_headline_sec",
         "value": round(h["sec"], 3),
         "unit": "sec",
-        "queries": queries,
-        "sf": SF_DIR,
-        "num_cpus": NUM_CPUS,
         "docs": h["docs"],
         "docs_per_sec": round(h["docs_per_sec"], 1),
         "extract_only_docs_per_sec": round(h["extract_only_docs_per_sec"], 1),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "panel_count": len(panel),
+        "panel_file": "BENCH_PANEL.json",
+        "queries": {k: panel[k] for k in PANEL_DIGEST if k in panel},
     }
     ray.shutdown()
     print(json.dumps(result))
