@@ -939,11 +939,9 @@ def simhash_dup_groups(sf_dir: str):
             .aggregate([("doc_id", "count"), ("doc_id", "min")])
             .rename_columns(["simhash", "n_docs", "rep_doc"])
         )
-        bucket = np.fromiter(
-            (int(s[:8], 16) % 64 for s in p.column("simhash").to_pylist()),
-            dtype=np.int64,
-            count=p.num_rows,
-        )
+        from ..functions.hashing import hex_prefix_int64
+
+        bucket = hex_prefix_int64(p.column("simhash")) % 64
         return p.append_column("_bucket", pa.array(bucket))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -69,10 +69,10 @@ def dedup_extracted_by_url(extracted_ds):
     (first by (status, doc_id) — prefers an ok row over an error row for the
     same url, then the lowest doc_id). Used on re-crawled corpora where the
     unique-url input invariant does not hold."""
-    import zlib
-
     import numpy as np
     import pandas as pd
+
+    from ..functions.hashing import fnv1a64_arrow
 
     n_buckets = 64
 
@@ -93,10 +93,10 @@ def dedup_extracted_by_url(extracted_ds):
         if doc.size and int(doc.max()) >= (1 << 52):
             raise ValueError("dedup_extracted_by_url: doc_id >= 2^52 breaks the packed rank key")
         key = rank * np.int64(1 << 52) + doc
-        bucket = np.fromiter(
-            (zlib.crc32(u.encode()) % n_buckets for u in t.column("url").to_pylist()),
-            dtype=np.int64,
-            count=t.num_rows,
+        # vectorized buffer-view hash (bucket id only — any stable hash
+        # works; the old zlib.crc32 fromiter was a per-row Python trip)
+        bucket = (fnv1a64_arrow(t.column("url")) % np.uint64(n_buckets)).astype(
+            np.int64
         )
         return t.append_column("_rank_key", pa.array(key)).append_column(
             "_bucket", pa.array(bucket)

@@ -183,7 +183,7 @@ def split_contamination(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
     only ≤ 2·B partial count rows leave the shuffle (driver merges ~128
     scalars). Composes ``split_assign``'s hash arithmetic with
     ``dedup_exact``'s sha bucketing."""
-    from ..functions.hashing import sha256_hex
+    from ..functions.hashing import hex_prefix_int64, sha256_hex
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     lo, hi = train_pct, train_pct + val_pct
@@ -198,11 +198,8 @@ def split_contamination(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
                 "sha": pa.array(sha, pa.string()),
                 "split": pa.array(split),
                 "_bucket": pa.array(
-                    np.fromiter(
-                        (int(s[:8], 16) % N_KEY_BUCKETS for s in sha),
-                        dtype=np.int64,
-                        count=len(sha),
-                    )
+                    hex_prefix_int64(pa.array(sha, type=pa.string()))
+                    % N_KEY_BUCKETS
                 ),
             }
         )

@@ -62,9 +62,15 @@ def union_by_name(datasets):
     columns — by the UNION of column names, null-filling what each side
     lacks, preserving each column's type from the first dataset that has
     it. The data-lake reality `ds.union`'s strict schema match can't
-    serve. One stateless map_batches per input; no shuffle."""
+    serve. One stateless map_batches per input; no shuffle.
+
+    Assumes a column's type in every later dataset is Arrow-castable to the
+    first owner's type (int widening, string↔large_string); an incompatible
+    drift (e.g. string → struct) fails inside the per-dataset align cast."""
     import pyarrow as pa
 
+    if not datasets:
+        raise ValueError("union_by_name: need at least one dataset")
     fields: dict[str, pa.DataType] = {}
     for ds in datasets:
         sch = ds.schema()

@@ -148,6 +148,13 @@ class ExtractDocuments:
         for ex, idxs, pls in batched.values():
             try:
                 results = ex.extract_batch(pls)
+                if len(results) != len(pls):
+                    # a short/long result list would leave None placeholders
+                    # that surface later as an opaque Arrow error (ADVICE r3)
+                    raise RuntimeError(
+                        f"extract_batch returned {len(results)} results for "
+                        f"{len(pls)} payloads"
+                    )
             except Exception:
                 # batch kernel failure degrades to the per-row guard path —
                 # one pathological batch must not fail the task

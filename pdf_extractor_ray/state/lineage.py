@@ -107,22 +107,23 @@ class PassCheckpointer:
         return os.path.join(self._pass_dir(name), "data")
 
     def done(self, name: str) -> bool:
-        d = self._pass_dir(name)
-        if not os.path.isdir(d):
-            return False
-        for f in sorted(os.listdir(d)):
-            if f.startswith("_done-"):
-                with open(os.path.join(d, f)) as fh:
-                    return fh.read() == self.fingerprint
-        return False
+        # ANY marker with a matching fingerprint counts (ADVICE r3: checking
+        # only the first sorted marker could disagree with committed_run_id
+        # if stale markers ever coexist; commit also clears old markers now)
+        return self.committed_run_id(name) is not None
 
     def committed_run_id(self, name: str) -> str | None:
+        """run_id of the marker whose fingerprint MATCHES, else None — the
+        same match rule done() uses, so the two can never disagree about
+        which commit is authoritative."""
         d = self._pass_dir(name)
         if not os.path.isdir(d):
             return None
         for f in sorted(os.listdir(d)):
             if f.startswith("_done-"):
-                return f[len("_done-"):]
+                with open(os.path.join(d, f)) as fh:
+                    if fh.read() == self.fingerprint:
+                        return f[len("_done-"):]
         return None
 
     def write_pass(self, name: str, ds, run_id: str) -> None:
@@ -138,6 +139,11 @@ class PassCheckpointer:
         data = self.data_dir(name)
         os.makedirs(data, exist_ok=True)
         ds.write_parquet(data)
+        # a re-commit over an already-done pass must not leave two markers
+        # (done()/committed_run_id could then disagree — ADVICE r3)
+        for f in os.listdir(self._pass_dir(name)):
+            if f.startswith("_done-"):
+                os.remove(os.path.join(self._pass_dir(name), f))
         marker = os.path.join(self._pass_dir(name), f"_done-{run_id}")
         # tmp name must NOT share the `_done-` prefix: a crash between create
         # and rename would otherwise read as a committed pass (and garbage

@@ -275,3 +275,42 @@ def test_unigram_logprob_score_semantics(ray_session):
     assert len(df) == 500
     assert (df.lm_score < 0).all() and (df.lm_score >= np.log(0.001) - 1e-9).all()
     assert df.lm_score.nunique() > 10  # a real signal, not a constant
+
+
+def test_hex_prefix_int64_matches_scalar_parse():
+    """Buffer-view hex parse == int(s[:8], 16), including on a SLICED column
+    (non-zero col.offset) and a large_string column (int64 offsets)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_extractor_ray.functions.hashing import hex_prefix_int64, sha256_hex
+
+    shas = [sha256_hex(f"doc {i}") for i in range(257)] + ["0000000012ab", "ffffffffff"]
+    want = np.array([int(s[:8], 16) for s in shas], dtype=np.int64)
+    for typ in (pa.string(), pa.large_string()):
+        col = pa.array(shas, type=typ)
+        assert (hex_prefix_int64(col) == want).all()
+        assert (hex_prefix_int64(col.slice(3, 100)) == want[3:103]).all()
+    chunked = pa.chunked_array([shas[:100], shas[100:]], type=pa.string())
+    assert (hex_prefix_int64(chunked) == want).all()
+    assert hex_prefix_int64(pa.array([], type=pa.string())).shape == (0,)
+
+
+def test_fnv1a64_arrow_matches_scalar():
+    """Arrow-buffer FNV == the scalar fnv1a64 per element (the bit-identity
+    contract every sketch kernel in this repo carries), on sliced and
+    large_string columns, ragged lengths, and empty strings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_extractor_ray.functions.hashing import fnv1a64, fnv1a64_arrow
+
+    urls = [
+        f"https://host{i % 7}.example/path/{'x' * (i % 23)}?q={i}" for i in range(211)
+    ] + ["", "a", "éléphant-unicode"]
+    want = np.array([fnv1a64(u.encode("utf-8")) for u in urls], dtype=np.uint64)
+    for typ in (pa.string(), pa.large_string()):
+        col = pa.array(urls, type=typ)
+        assert (fnv1a64_arrow(col) == want).all()
+        assert (fnv1a64_arrow(col.slice(5, 50)) == want[5:55]).all()
+    assert fnv1a64_arrow(pa.array([], type=pa.string())).shape == (0,)

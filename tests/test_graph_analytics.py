@@ -348,3 +348,40 @@ def test_compression_ratio_reimplementation_and_monotonicity(ray_session, tmp_pa
         assert got["n_bytes"][i] == 4096
         assert got["n_compressed"][i] == len(zlib.compress(t.encode(), 6))
     assert got["compression_ratio"][1] < 0.05 < got["compression_ratio"][0]
+
+
+def test_triangle_count_cogroup_path_matches_broadcast(ray_session, tmp_path):
+    """``broadcast_nodes=0`` forces the degree-attach CO-GROUP (the scale
+    path — the full degree table must never be ray.put when the node set is
+    webgraph-sized): identical output to the broadcast path on K4 and on
+    the real sf0.001 co-occurrence graph."""
+    sf = _write_lineitem(tmp_path, {1: [1, 2, 3], 2: [2, 3, 4], 3: [1, 4]})
+    got = triangle_count(sf, broadcast_nodes=0)
+    assert got.iloc[0].to_dict() == {"n_nodes": 4, "n_edges": 6, "n_triangles": 4}
+    sf2 = "/root/testdata/sf0.001"
+    assert (
+        triangle_count(sf2, broadcast_nodes=0).iloc[0].to_dict()
+        == triangle_count(sf2).iloc[0].to_dict()
+    )
+
+
+def test_kcore_cogroup_frontier_matches_broadcast(ray_session, tmp_path):
+    """``frontier_broadcast=0`` forces the per-endpoint anti-join co-groups
+    every round (round-1 frontiers are all sub-k nodes — potentially most
+    of the graph — so the scale path must not assume a driver-sized set):
+    identical peel result on the cascading path graph and at sf0.001."""
+    import pandas as pd
+
+    from pdf_extractor_ray.pipelines.graph import kcore_nodes
+
+    sf = _write_lineitem(tmp_path, {1: [1, 2], 2: [2, 3], 3: [3, 4]})
+    assert len(kcore_nodes(sf, k=2, frontier_broadcast=0).to_pandas()) == 0
+    sf2 = "/root/testdata/sf0.001"
+    a = kcore_nodes(sf2, k=3).to_pandas().sort_values("node").reset_index(drop=True)
+    b = (
+        kcore_nodes(sf2, k=3, frontier_broadcast=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
