@@ -964,8 +964,27 @@ def simhash_dup_groups(sf_dir: str):
 #: candidate generator for max_hamming ≤ 3
 SIMHASH_BANDS = 4
 
+#: widened-banding escape hatch (VERDICT r3 #8): 6 chunks of widths
+#: 11/11/11/11/10/10 and one band per 3-chunk combination (C(6,3) = 20
+#: bands of ~32-bit keys — Manku/Jain/Sarma WWW'07's block-permutation
+#: shape). For Hamming ≤ 3 at most 3 chunks change, so ≥ 3 survive and
+#: some 3-combination is fully unchanged — completeness holds while the
+#: bucket key space grows 2^16 → ~2^32, collapsing the per-bucket k² pair
+#: blow-up (expected occupancy n/2^32 instead of n/2^16 per band).
+SIMHASH_WIDE_CHUNKS = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+SIMHASH_WIDE_COMBOS = [
+    (i, j, k)
+    for i in range(6)
+    for j in range(i + 1, 6)
+    for k in range(j + 1, 6)
+]  # 20 bands
+#: docs above which the wide banding kicks in: at the threshold the narrow
+#: 16-bit buckets hold ~2e6/6.5e4 ≈ 30 docs/band-bucket — the point where
+#: per-bucket pair generation starts to dominate the verify stage
+SIMHASH_WIDEN_DOCS = 2_000_000
 
-def simhash_near_dup_ds(fp_ds, max_hamming: int = 3):
+
+def simhash_near_dup_ds(fp_ds, max_hamming: int = 3, widen_docs: int | None = None):
     """(doc_id, fp:int64) Dataset → near-dup pairs at Hamming ≤ max_hamming
     (VERDICT r2 #5 — completes the near-dup family's third modality as a
     bucketed scale path; Hamming-0 exact buckets remain simhash_dup_groups).
@@ -976,27 +995,54 @@ def simhash_near_dup_ds(fp_ds, max_hamming: int = 3):
     the band row (8 bytes), so the popcount verify runs INSIDE the pair
     group — no second text/fingerprint join stage at all. Duplicate pairs
     from multi-band collisions collapse after verify (``_dedup_verified``).
-    Partitioning assumption: a 16-bit chunk bucket holds ~n/2^16 docs per
-    band; for corpora where that k² pair blow-up bites, extend the chunk
-    width (more bands of wider chunks) before sharding the bucket."""
+
+    Partitioning: a 16-bit chunk bucket holds ~n/2^16 docs per band, so
+    above ``widen_docs`` documents (default ``SIMHASH_WIDEN_DOCS``) the
+    band keys switch to the WIDENED scheme (``SIMHASH_WIDE_CHUNKS`` /
+    ``SIMHASH_WIDE_COMBOS``: 20 bands of 3-of-6-chunk ~32-bit keys) —
+    completeness for Hamming ≤ 3 is preserved by the same pigeonhole
+    argument while expected bucket occupancy drops to n/2^32. Both
+    schemes produce identical verified pairs (pinned by tests with
+    ``widen_docs=0``)."""
     import ray
 
     from ..functions.sketches import popcount64_vec
 
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash banding (narrow and wide) is complete only for "
+            f"max_hamming <= 3, got {max_hamming}"
+        )
+    if widen_docs is None:
+        widen_docs = SIMHASH_WIDEN_DOCS
+
+    fp_ds = fp_ds.materialize()  # 2 int columns; counted for the gate, re-read for bands
+    wide = fp_ds.count() > widen_docs
+
     def band_rows(t: pa.Table) -> pa.Table:
         fp = t.column("fp").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         doc = t.column("doc_id").to_numpy(zero_copy_only=False)
-        n = len(fp)
-        buckets = [
-            (((fp >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-             | np.int64((b + 1) << 16))
-            for b in range(SIMHASH_BANDS)
-        ]
+        if wide:
+            chunks = [
+                ((fp >> np.uint64(off)) & np.uint64((1 << w) - 1)).astype(np.int64)
+                for off, w in SIMHASH_WIDE_CHUNKS
+            ]
+            buckets = [
+                (np.int64(b) << 34) | (chunks[i] << 22) | (chunks[j] << 11) | chunks[k]
+                for b, (i, j, k) in enumerate(SIMHASH_WIDE_COMBOS)
+            ]
+        else:
+            buckets = [
+                (((fp >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+                 | np.int64((b + 1) << 16))
+                for b in range(SIMHASH_BANDS)
+            ]
+        n_bands = len(buckets)
         return pa.table(
             {
                 "bucket": pa.array(np.concatenate(buckets), type=pa.int64()),
-                "doc_id": pa.array(np.tile(doc, SIMHASH_BANDS), type=pa.int64()),
-                "fp": pa.array(np.tile(fp.view(np.int64), SIMHASH_BANDS), type=pa.int64()),
+                "doc_id": pa.array(np.tile(doc, n_bands), type=pa.int64()),
+                "fp": pa.array(np.tile(fp.view(np.int64), n_bands), type=pa.int64()),
             }
         )
 

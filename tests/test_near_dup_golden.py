@@ -166,3 +166,75 @@ def test_simhash_dup_groups_constructed_duplicates(tmp_path):
 
     got = _canon(simhash_dup_groups(str(tmp_path)))
     pd.testing.assert_frame_equal(got, _canon(want), check_exact=True, check_dtype=False)
+
+
+def test_simhash_wide_banding_complete_and_matches_narrow():
+    """The widened 3-of-6-chunk banding (forced via ``widen_docs=0``) is
+    COMPLETE for Hamming ≤ 3 and produces exactly the narrow path's
+    verified pairs — on the constructed 1..4-flip fingerprints AND on a
+    constructed HOT narrow bucket (40 docs sharing the low 16-bit chunk,
+    which the narrow scheme piles into one k² bucket)."""
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_extractor_ray.functions.sketches import hamming64
+    from pdf_extractor_ray.pipelines.dedup import simhash_near_dup_ds
+
+    def to_i64(f: int) -> int:
+        return f - (1 << 64) if f >= (1 << 63) else f
+
+    base = 0x0123456789ABCDEF
+    fps = [
+        base,
+        base ^ 0b1,
+        base ^ (0b11 << 20),
+        base ^ (0b111 << 40),
+        base ^ (0b1 | (1 << 16) | (1 << 32) | (1 << 48)),
+        base ^ 0b1111,
+        0xFEDCBA9876543210,
+    ]
+    # hot narrow bucket: 40 docs agree on the low 16 bits (narrow band 0
+    # collides for all of them) but differ by >3 elsewhere; plus two true
+    # near-dups inside the hot set (flips within the low chunk + one high)
+    rng = np.random.default_rng(42)
+    shared_low = 0xBEEF
+    hot = [
+        (int(x) << 16) | shared_low for x in rng.integers(0, 1 << 48, 40, dtype=np.uint64)
+    ]
+    hot.append(hot[0] ^ 0b1)                       # Hamming 1
+    hot.append(hot[1] ^ ((1 << 17) | (1 << 40)))   # Hamming 2, spread high
+    fps = fps + hot
+
+    expected = sorted(
+        (a, b, hamming64(fps[a], fps[b]))
+        for a in range(len(fps))
+        for b in range(a + 1, len(fps))
+        if hamming64(fps[a], fps[b]) <= 3
+    )
+    assert len(expected) >= 6
+
+    def run(widen):
+        ds = rd.from_items(
+            [{"doc_id": i, "fp": to_i64(f)} for i, f in enumerate(fps)]
+        )
+        out = simhash_near_dup_ds(ds, widen_docs=widen).to_pandas()
+        return sorted(
+            (int(a), int(b), int(h))
+            for a, b, h in zip(out.doc_a, out.doc_b, out.hamming)
+        )
+
+    wide = run(0)           # force the widened scheme
+    narrow = run(10**9)     # force the narrow scheme
+    assert wide == expected
+    assert narrow == expected
+
+
+def test_simhash_wide_rejects_hamming_above_3(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from pdf_extractor_ray.pipelines.dedup import simhash_near_dup_ds
+
+    ds = rd.from_items([{"doc_id": 0, "fp": 1}])
+    with pytest.raises(ValueError):
+        simhash_near_dup_ds(ds, max_hamming=4)
