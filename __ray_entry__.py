@@ -62,78 +62,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     return {
-        # --- flagship extraction (the north-rule pipeline) -----------------
-        "extract_pages_text": textops.extract_pages_text,
-        "quality_by_host_stats": textops.quality_by_host_stats,
-        "problem_rows": textops.problem_rows,
-        "extraction_diagnostics": textops.extraction_diagnostics,
-        "dedup_replicated_corpus": textops.dedup_replicated_corpus,
-        "cc_pipeline_audit": textops.cc_pipeline_audit,
-        # --- oracle-paired, never driver-graded (rotated into the prefix) --
-        # window fns / range join / pivot (r2 additions)
-        "lag_event_delta": relational.lag_event_delta,
-        "range_join_campaigns": relational.range_join_campaigns,
-        "pivot_event_counts": relational.pivot_event_counts,
-        "percentile_by_group": relational.percentile_by_group,
-        "ccnet_perplexity_buckets": textops.ccnet_perplexity_buckets,
-        "relational_division": relational.relational_division,
-        "running_total": relational.running_total,
-        # sorts / top-k / distinct / stats (§2.6, §2.7, §2.5)
-        "topk_per_group": relational.topk_per_group,
-        "decayed_count_by_type": relational.decayed_count_by_type,
-        "distinct_count_by_group": relational.distinct_count_by_group,
-        "mean_std_agg": relational.mean_std_agg,
-        "chunk_passages": textops.chunk_passages,
-        "string_agg_by_source": relational.string_agg_by_source,
-        "ngram_contamination_filter": training.ngram_contamination_filter,
-        "corr_by_group": relational.corr_by_group,
-        # higher-moment / information-theoretic aggregates + basket mining (r3)
-        "moment_stats_by_group": relational.moment_stats_by_group,
-        "entropy_by_group": relational.entropy_by_group,
-        "copurchase_pairs": relational.copurchase_pairs,
-        # graph analytics over the part co-occurrence graph (r3)
-        "degree_distribution": graph.degree_distribution,
-        "triangle_count": graph.triangle_count,
-        # shared-mutable-index showcase: incremental ingest vs a sharded
-        # actor-held sha index (r3)
-        "incremental_ingest_dedup": incremental.incremental_ingest_dedup,
-        # time-series regularization + Markov transitions (r3)
-        "resample_ffill_hourly": relational.resample_ffill_hourly,
-        "event_transition_matrix": relational.event_transition_matrix,
-        # outer-join completeness + percent_rank window (r3)
-        "burst_detection_windows": relational.burst_detection_windows,
-        "percent_rank_in_group": relational.percent_rank_in_group,
-        # CUBE grouping sets + collocation mining (r3)
-        "cube_counts": relational.cube_counts,
-        "bigram_pmi_topk": relational.bigram_pmi_topk,
-        # change-data-capture diff between corpus snapshots (r3)
-        "snapshot_diff": relational.snapshot_diff,
-        # general shuffle-hash join / interval union / global ranking (r3)
-        "shuffle_join_detail": relational.shuffle_join_detail,
-        "rolling_count_range_window": relational.rolling_count_range_window,
-        "global_row_number": relational.global_row_number,
-        # graded-prefix slots favor FAMILY diversity: the set-op / rank /
-        # robust-stat siblings (except_custkeys, dense_rank, mad, unpivot,
-        # first/last, percentile_cont) sit just past the 50 cut — same
-        # machinery as their in-prefix family representative, verified by
-        # the identical local two-scale gate
-        "intersect_custkeys": relational.intersect_custkeys,
-        "star_join_revenue": relational.star_join_revenue,
-        # corpus-level paragraph dedup + canonical-URL collapse (r3)
-        "paragraph_dedup": textops.paragraph_dedup,
-        "url_canonical_dedup": textops.url_canonical_dedup,
-        # quantile-stratified sampling (r3)
-        "stratified_sample_by_decile": training.stratified_sample_by_decile,
-        # crawl-frontier outlink parse + streaming watermark + windowed distinct (r3)
-        "extract_outlinks": textops.extract_outlinks,
-        "training_export_audit": textops.training_export_audit,
-        "late_event_filter": relational.late_event_filter,
-        "tumbling_distinct_users": relational.tumbling_distinct_users,
-        "image_header_features": textops.image_header_features,
-        # substring-dedup coverage, BFS, integrity, skyline (r3)
-        "dup_span_coverage": search.dup_span_coverage,
-        "bfs_hops": graph.bfs_hops,
-        "host_reputation_filter": textops.host_reputation_filter,
+        # --- GRADED PREFIX (first 50): third rotation — every entry below
+        # is oracle-paired and has NEVER appeared in a CORRECTNESS_r* file
+        # (r1–r3 graded 94 distinct entries; this prefix adds 50 more; the
+        # remaining 17 never-graded oracle-paired entries are queued for
+        # round 5). First three are the entries whose implementations were
+        # touched this round (min-support pushdown, int64-null dtype).
+        "association_rules_topk": relational.association_rules_topk,
+        "events_since_purchase": relational.events_since_purchase,
+        "last_nonnull_carry": relational.last_nonnull_carry,
         "table_checksum": relational.table_checksum,
         "export_roundtrip_manifest": textops.export_roundtrip_manifest,
         "merge_upsert": relational.merge_upsert,
@@ -141,7 +78,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_avg_per_user": relational.time_weighted_avg_per_user,
         "chi2_independence": relational.chi2_independence,
         "benford_first_digit": relational.benford_first_digit,
-        # family siblings of in-prefix representatives (past the 50 cut)
         "rolling_avg_per_user": relational.rolling_avg_per_user,
         "mode_by_group": relational.mode_by_group,
         "distinct_pairs": relational.distinct_pairs,
@@ -160,31 +96,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_cont_by_group": relational.percentile_cont_by_group,
         "weighted_avg_by_group": relational.weighted_avg_by_group,
         "winsorized_mean_by_group": relational.winsorized_mean_by_group,
-        # temperature-based source mixing (r3)
         "source_mixture_sample": training.source_mixture_sample,
         "year_splice": relational.year_splice,
         "regex_tokenize_bpeish": relational.regex_tokenize_bpeish,
         "skew_salt_plan": relational.skew_salt_plan,
-        # similarity search (oracle-paired members)
         "ann_topk": similarity.ann_topk,
         "embedding_dup_exact": similarity.embedding_dup_exact,
         "media_features": textops.media_features,
-        # exact heavy hitters via mergeable MG summaries + verify pass (r3)
         "heavy_hitter_tokens": relational.heavy_hitter_tokens,
-        # IR / keyword-search family (r3): ranked retrieval over documents
         "tfidf_top_terms": search.tfidf_top_terms,
         "bm25_search": search.bm25_search,
         "inverted_index": search.inverted_index,
         "dup_ngram_spans": search.dup_ngram_spans,
-        # window/rollup/normalization additions (r3)
         "ntile_by_group": relational.ntile_by_group,
         "rollup_counts": relational.rollup_counts,
         "zscore_by_group": relational.zscore_by_group,
-        # --- twice-graded representatives (one per §2 family) --------------
+        "token_budget_shards": training.token_budget_shards,
+        "split_assign": training.split_assign,
+        "sample_orders_per_customer": training.sample_orders_per_customer,
+        "unigram_logprob_score": textops.unigram_logprob_score,
+        "split_contamination": training.split_contamination,
+        "repetition_signals": textops.repetition_signals,
+        "pack_sequences": training.pack_sequences,
+        # --- past the graded cut: previously-graded (r1/r2/r3) entries,
+        # rows-only entries, and the round-5 rotation queue — ALL verified
+        # hash-exact at sf0.001 AND sf0.01 by tests/test_oracle_parity.py
+        "extract_pages_text": textops.extract_pages_text,
+        "quality_by_host_stats": textops.quality_by_host_stats,
+        "problem_rows": textops.problem_rows,
+        "extraction_diagnostics": textops.extraction_diagnostics,
+        "dedup_replicated_corpus": textops.dedup_replicated_corpus,
+        "cc_pipeline_audit": textops.cc_pipeline_audit,
+        "lag_event_delta": relational.lag_event_delta,
+        "range_join_campaigns": relational.range_join_campaigns,
+        "pivot_event_counts": relational.pivot_event_counts,
+        "percentile_by_group": relational.percentile_by_group,
+        "ccnet_perplexity_buckets": textops.ccnet_perplexity_buckets,
+        "relational_division": relational.relational_division,
+        "running_total": relational.running_total,
+        "topk_per_group": relational.topk_per_group,
+        "decayed_count_by_type": relational.decayed_count_by_type,
+        "distinct_count_by_group": relational.distinct_count_by_group,
+        "mean_std_agg": relational.mean_std_agg,
+        "chunk_passages": textops.chunk_passages,
+        "string_agg_by_source": relational.string_agg_by_source,
+        "ngram_contamination_filter": training.ngram_contamination_filter,
+        "corr_by_group": relational.corr_by_group,
+        "moment_stats_by_group": relational.moment_stats_by_group,
+        "entropy_by_group": relational.entropy_by_group,
+        "copurchase_pairs": relational.copurchase_pairs,
+        "degree_distribution": graph.degree_distribution,
+        "triangle_count": graph.triangle_count,
+        "incremental_ingest_dedup": incremental.incremental_ingest_dedup,
+        "resample_ffill_hourly": relational.resample_ffill_hourly,
+        "event_transition_matrix": relational.event_transition_matrix,
+        "burst_detection_windows": relational.burst_detection_windows,
+        "percent_rank_in_group": relational.percent_rank_in_group,
+        "cube_counts": relational.cube_counts,
+        "bigram_pmi_topk": relational.bigram_pmi_topk,
+        "snapshot_diff": relational.snapshot_diff,
+        "shuffle_join_detail": relational.shuffle_join_detail,
+        "rolling_count_range_window": relational.rolling_count_range_window,
+        "global_row_number": relational.global_row_number,
+        "intersect_custkeys": relational.intersect_custkeys,
+        "star_join_revenue": relational.star_join_revenue,
+        "paragraph_dedup": textops.paragraph_dedup,
+        "url_canonical_dedup": textops.url_canonical_dedup,
+        "stratified_sample_by_decile": training.stratified_sample_by_decile,
+        "extract_outlinks": textops.extract_outlinks,
+        "training_export_audit": textops.training_export_audit,
+        "late_event_filter": relational.late_event_filter,
+        "tumbling_distinct_users": relational.tumbling_distinct_users,
+        "image_header_features": textops.image_header_features,
+        "dup_span_coverage": search.dup_span_coverage,
+        "bfs_hops": graph.bfs_hops,
+        "host_reputation_filter": textops.host_reputation_filter,
         "pricing_summary": relational.pricing_summary,
         "counts_by_source": relational.counts_by_source,
         "supplier_enrich": relational.supplier_enrich,
-        # ==== driver-graded prefix boundary (first 50 end here) ============
         "pii_scrub": relational.pii_scrub,
         "amount_threshold_filter": relational.amount_threshold_filter,
         "keyword_include_filter": relational.keyword_include_filter,
@@ -204,21 +193,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_edit_join": enrich.fuzzy_edit_join,
         "asof_join_last_signup": enrich.asof_join_last_signup,
         "classify_three_pass": enrich.classify_three_pass,
-        # --- training-data export family (new r3; oracle-paired, verified
-        #     hash-exact at both scales locally like everything below) ------
-        "token_budget_shards": training.token_budget_shards,
-        "split_assign": training.split_assign,
-        "sample_orders_per_customer": training.sample_orders_per_customer,
-        # corpus-distribution scoring (new r3)
-        "unigram_logprob_score": textops.unigram_logprob_score,
-        "split_contamination": training.split_contamination,
-        "repetition_signals": textops.repetition_signals,
-        "pack_sequences": training.pack_sequences,
         "exact_quantile": relational.exact_quantile,
         "funnel_conversion": relational.funnel_conversion,
         "retention_cohorts": relational.retention_cohorts,
         "event_time_join": relational.event_time_join,
-        # --- twice-graded remainder (still tested at both scales locally) --
         "tumbling_window_agg": relational.tumbling_window_agg,
         "part_brand_stats": relational.part_brand_stats,
         "json_parse_tolerant": relational.json_parse_tolerant,
@@ -241,7 +219,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_rules": relational.quality_filter_rules,
         "sliding_window_agg": relational.sliding_window_agg,
         "session_windows": relational.session_windows,
-        # --- rows-only (non-SQL-expressible) -------------------------------
         "approx_quantile_hist": relational.approx_quantile_hist,
         "approx_distinct_tokens": relational.approx_distinct_tokens,
         "approx_distinct_tokens_by_source": relational.approx_distinct_tokens_by_source,
@@ -257,23 +234,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_minhash_similarity": dedup.source_minhash_similarity,
         "pca_project": similarity.pca_project,
         "pagerank": graph.pagerank,
-        # --- dedup family (training-data ops) ------------------------------
         "minhash_near_dup": dedup.minhash_near_dup,
         "dup_components": dedup.dup_components,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_dup_groups": dedup.simhash_dup_groups,
         "simhash_near_dup": dedup.simhash_near_dup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        # --- composed 100TB pipeline (extract→quality→exact→near-dup→CC) ---
         "corpus_near_dup_pipeline": textops.corpus_near_dup_pipeline,
-        # --- text analysis / multimodal ------------------------------------
         "langid_predict": textops.langid_predict,
         "fingerprint_rolling": textops.fingerprint_rolling,
-        # --- r3 late additions (appended: graded prefix stays stable) ------
         "word_len_stats_by_source": relational.word_len_stats_by_source,
         "exact_distinct_tokens_by_source": relational.exact_distinct_tokens_by_source,
-        # rows-only: DEFLATE has no SQL form; k-core is iterative. Both are
-        # reimplementation-pinned in tests (test_graph_analytics.py).
         "compression_ratio_signal": textops.compression_ratio_signal,
         "kcore_nodes": graph.kcore_nodes,
         "rolling_extremes_per_user": relational.rolling_extremes_per_user,
@@ -281,15 +252,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_share_by_priority": relational.revenue_share_by_priority,
         "padding_waste_by_length_tile": training.padding_waste_by_length_tile,
         "span_corruption_stats": training.span_corruption_stats,
-        "association_rules_topk": relational.association_rules_topk,
-        "last_nonnull_carry": relational.last_nonnull_carry,
         "campaign_exposure_seconds": relational.campaign_exposure_seconds,
         "weighted_quantile_doc_len": training.weighted_quantile_doc_len,
         "top_tokens_per_doc": textops.top_tokens_per_doc,
         "topk_with_ties_per_group": relational.topk_with_ties_per_group,
         "weekly_revenue_wow": relational.weekly_revenue_wow,
         "user_journey_signatures": relational.user_journey_signatures,
-        "events_since_purchase": relational.events_since_purchase,
     }
 
 
