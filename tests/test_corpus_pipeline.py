@@ -79,6 +79,18 @@ def test_corpus_pipeline_cogrouped_survivor_path_matches(sf_dir, monkeypatch):
     pd.testing.assert_frame_equal(default, forced)
 
 
+def test_corpus_pipeline_distributed_audit_matches(sf_dir, monkeypatch):
+    """Forcing the distributed audit finish (AUDIT_DRIVER_PAIRS=0: member
+    count + bucket-distinct cluster count as scalars, label table never on
+    the driver) must give the identical audit row."""
+    from pdf_extractor_ray.pipelines import textops
+
+    default = corpus_near_dup_pipeline(sf_dir)
+    monkeypatch.setattr(textops, "AUDIT_DRIVER_PAIRS", 0)
+    forced = corpus_near_dup_pipeline(sf_dir)
+    pd.testing.assert_frame_equal(default, forced)
+
+
 def test_corpus_pipeline_audit_and_brute_force(sf_dir):
     import ray.data as rd
 
