@@ -124,6 +124,7 @@ class ExtractDocuments:
         # extract_batch are grouped and handed over in ONE call (r3: the
         # vectorized HTML scanner amortizes over the whole batch)
         batched: dict[int, tuple] = {}  # id(ex) -> (ex, [row_idx], [payload])
+        fast = _fast_enabled()  # one environ lookup per batch, not per row
         for i, (url, payload) in enumerate(zip(urls, payloads)):
             payload = payload or b""
             head = payload[:64]  # sniffed ONCE, shared by kind + routing
@@ -139,7 +140,7 @@ class ExtractDocuments:
                 })
                 continue
             out["extractor"][i] = ex.name
-            if hasattr(ex, "extract_batch") and _fast_enabled():
+            if fast and hasattr(ex, "extract_batch"):
                 grp = batched.setdefault(id(ex), (ex, [], []))
                 grp[1].append(i)
                 grp[2].append(payload)

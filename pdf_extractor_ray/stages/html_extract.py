@@ -57,9 +57,22 @@ _SKIP_TAGS = frozenset("script style noscript template svg head title".split())
 _WS_RE = re.compile(r"\s+")
 
 # fast scanner: one pass over the document — comments, markup declarations,
-# tags, text runs, and a trailing unterminated '<' fragment (truncated docs)
-_TOKEN_RE = re.compile(r"<!--.*?(?:-->|$)|<![^>]*>|<[^>]*>|[^<]+|<[^>]*$", re.DOTALL)
-_TAG_NAME_RE = re.compile(r"^<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+# named tags (slash + name CAPTURED so the scanner never runs a second
+# regex or slices a head per token — r4 profile: the secondary
+# _TAG_NAME_RE.match was ~1.2M extra match calls + match-object/head-slice
+# allocations per 20k docs), other '<…>' garbage, text runs, and a trailing
+# unterminated '<' fragment (truncated docs). The named-tag alternative's
+# `(?:>|$)` keeps truncated named tags (`<a hre` at EOF) classified as tags,
+# exactly as the old two-pass scanner did via _TAG_NAME_RE on the fragment.
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"
+    r"|<![^>]*>"
+    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)[^>]*(?:>|$)"
+    r"|<[^>]*>"
+    r"|[^<]+"
+    r"|<[^>]*$",
+    re.DOTALL,
+)
 def _anchor_close_positions(doc: str) -> dict[int, int]:
     """open-tag position → matching close-tag position for every PAIRED
     ``<a>`` in the document (stack pairing). Used lazily by the scanner to
@@ -74,29 +87,23 @@ def _anchor_close_positions(doc: str) -> dict[int, int]:
     stack: list[int] = []
     skip_tag: str | None = None
     for m in _TOKEN_RE.finditer(doc):
-        start = m.start()
-        if doc[start] != "<":
+        name = m.group(2)
+        if name is None:  # text / comment / declaration / '<' garbage
             continue
-        head = doc[start : start + 24]
+        closing = m.group(1) == "/"
+        name = name.lower()
         if skip_tag is not None:
-            tm = _TAG_NAME_RE.match(head)
-            if tm and tm.group(1) == "/" and tm.group(2).lower() == skip_tag:
+            if closing and name == skip_tag:
                 skip_tag = None
             continue
-        if head.startswith("<!"):
-            continue
-        tm = _TAG_NAME_RE.match(head)
-        if tm is None:
-            continue
-        closing, name = tm.group(1) == "/", tm.group(2).lower()
         if not closing and name in _SKIP_TAGS and not doc.startswith("/>", m.end() - 2):
             skip_tag = name
         elif name == "a":
             if closing:
                 if stack:
-                    pairs[stack.pop()] = start
+                    pairs[stack.pop()] = m.start()
             else:
-                stack.append(start)
+                stack.append(m.start())
     return pairs
 
 
@@ -156,40 +163,38 @@ def _scan_blocks(doc: str) -> list[dict]:
         b_end = end
 
     for m in _TOKEN_RE.finditer(doc):
-        start = m.start()
-        # allocation discipline: slice only what each branch needs — full
-        # text runs, but at most a short prefix of tag tokens (long href
-        # attributes never materialize as Python strings)
-        if doc[start] != "<":
-            if skip_tag is not None:
-                continue
-            tok = m.group()
-            add(unescape(tok) if "&" in tok else tok, start, m.end())
+        # allocation discipline: the tag slash+name come straight out of the
+        # token match (no head slice, no second regex); only text runs ever
+        # materialize as Python strings (long href attributes never do)
+        name = m.group(2)
+        if name is None:
+            start = m.start()
+            if doc[start] != "<":  # text run
+                if skip_tag is not None:
+                    continue
+                tok = m.group()
+                add(unescape(tok) if "&" in tok else tok, start, m.end())
+            # else: comment / declaration / '<' garbage — skipped
             continue
-        head = doc[start : start + 24]
+        closing = m.group(1) == "/"
+        name = name.lower()
         if skip_tag is not None:
             # raw-content mode: ignore everything until the matching close tag
-            tm = _TAG_NAME_RE.match(head)
-            if tm and tm.group(1) == "/" and tm.group(2).lower() == skip_tag:
+            if closing and name == skip_tag:
                 skip_tag = None
             continue
-        if head.startswith("<!"):  # comment / doctype / CDATA-ish declaration
-            continue
-        tm = _TAG_NAME_RE.match(head)
-        if tm is None:  # '<' garbage or truncated fragment
-            continue
-        closing, name = tm.group(1) == "/", tm.group(2).lower()
         if not closing and name in _SKIP_TAGS and not doc.startswith("/>", m.end() - 2):
             skip_tag = name
         elif name in _BLOCK_TAGS:
-            flush(start)
+            flush(m.start())
         elif name == "a":
             if closing:
                 if anchor_stack:
                     anchor_stack.pop()
             else:
-                anchor_stack.append(start)
+                anchor_stack.append(m.start())
         elif name == "br":
+            start = m.start()
             add(" ", start, start)
     flush(len(doc))
     return blocks
