@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_by_group": relational.percentile_by_group,
         "ccnet_perplexity_buckets": textops.ccnet_perplexity_buckets,
         "relational_division": relational.relational_division,
+        "lineitems_above_avg_qty": relational.lineitems_above_avg_qty,
+        "histogram_orders_cents": relational.histogram_orders_cents,
+        "iqr_outliers_by_priority": relational.iqr_outliers_by_priority,
         "running_total": relational.running_total,
         "topk_per_group": relational.topk_per_group,
         "decayed_count_by_type": relational.decayed_count_by_type,
@@ -161,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_custkeys": relational.intersect_custkeys,
         "star_join_revenue": relational.star_join_revenue,
         "paragraph_dedup": textops.paragraph_dedup,
+        "boilerplate_line_removal": textops.boilerplate_line_removal,
         "url_canonical_dedup": textops.url_canonical_dedup,
         "stratified_sample_by_decile": training.stratified_sample_by_decile,
         "extract_outlinks": textops.extract_outlinks,
@@ -1104,6 +1108,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, string_agg(para, ' ' ORDER BY ci) AS text_dedup
             FROM rk WHERE rn = 1 GROUP BY doc_id
         """,
+        "boilerplate_line_removal": f"""
+            WITH d AS (SELECT doc_id, {host} AS host,
+                              string_split(text, ' ') AS w FROM documents),
+            ex AS (SELECT doc_id, host, w,
+              unnest(range(0, CAST(ceil(len(w) / 20.0) AS BIGINT))) AS ci FROM d),
+            ch AS (SELECT doc_id, host, ci,
+              CASE WHEN doc_id % 3 = 0 AND ci = 0
+                   THEN 'copyright ' || host || ' all rights reserved'
+                   WHEN doc_id % 100 = 7 AND ci = 1
+                   THEN 'limited time offer act now'
+                   ELSE array_to_string(list_slice(w, ci * 20 + 1, ci * 20 + 20), ' ')
+              END AS para
+              FROM ex),
+            cnt AS (SELECT host, para, COUNT(DISTINCT doc_id) AS nd
+                    FROM ch GROUP BY host, para)
+            SELECT ch.doc_id, string_agg(ch.para, ' ' ORDER BY ch.ci) AS text_clean
+            FROM ch JOIN cnt ON ch.host = cnt.host AND ch.para = cnt.para
+            WHERE cnt.nd < 5
+            GROUP BY ch.doc_id
+        """,
         "url_canonical_dedup": f"""
             WITH g AS (
               SELECT doc_id, doc_id - doc_id % 3 AS gid FROM documents),
@@ -1644,6 +1668,44 @@ def oracle_sql() -> dict[str, str]:
                      AS lm_score
             FROM toks t LEFT JOIN vocab v USING (token)
             GROUP BY t.doc_id
+        """,
+        "lineitems_above_avg_qty": """
+            WITH s AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+                     COUNT(*) AS n
+              FROM lineitem GROUP BY l_partkey)
+            SELECT l.l_partkey,
+              CAST(SUM(CASE WHEN CAST(l.l_quantity AS BIGINT) * s.n > s.sq
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+            FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
+            GROUP BY l.l_partkey
+        """,
+        "histogram_orders_cents": """
+            WITH c AS (
+              SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                     // 1000000 AS bin
+              FROM orders)
+            SELECT bin, bin * 1000000 AS lo_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM c GROUP BY bin
+        """,
+        "iqr_outliers_by_priority": """
+            WITH c AS (
+              SELECT o_orderpriority,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders),
+            q AS (
+              SELECT o_orderpriority,
+                     CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1_cents,
+                     CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3_cents
+              FROM c GROUP BY o_orderpriority)
+            SELECT c.o_orderpriority, q.q1_cents, q.q3_cents,
+              CAST(SUM(CASE WHEN 2 * c.cents < 3 * q.q1_cents - q.q3_cents
+                              OR 2 * c.cents > 3 * q.q3_cents - q.q1_cents
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM c JOIN q ON c.o_orderpriority = q.o_orderpriority
+            GROUP BY c.o_orderpriority, q.q1_cents, q.q3_cents
         """,
         "relational_division": """
             WITH pr AS (

@@ -181,6 +181,10 @@ QUERY_PANEL = [
     "dense_rank_in_group",
     "unpivot_measures",
     "paragraph_dedup",
+    "boilerplate_line_removal",
+    "lineitems_above_avg_qty",
+    "histogram_orders_cents",
+    "iqr_outliers_by_priority",
     "url_canonical_dedup",
     "stratified_sample_by_decile",
     "logreg_quality_train",

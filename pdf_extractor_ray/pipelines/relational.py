@@ -4557,3 +4557,171 @@ def events_since_purchase(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def lineitems_above_avg_qty(sf_dir: str):
+    """Correlated-subquery decorrelation: per part, how many lineitems
+    order MORE than that part's OWN average quantity (`WHERE l_quantity >
+    (SELECT AVG(...) ... WHERE l_partkey = outer.l_partkey)` — the classic
+    correlated aggregate every SQL engine decorrelates into a
+    group-stats + re-join plan). Distributed shape: quantities are small
+    integers (1..50), so per-batch partials are (partkey, qty, n) count
+    rows — a ≤50-row-per-partkey-per-batch histogram, never raw rows —
+    merged in ONE partkey-hash bucket co-group where the comparison runs
+    in EXACT integer arithmetic: qty·n_total > sum_qty avoids the float
+    division entirely (the avg is never materialized, so there is no
+    rounding boundary to disagree on).
+
+    Scale: the shuffle carries count partials bounded by
+    |distinct qty| × partkeys, not lineitem rows; no broadcast; one
+    grouped stage over 64 buckets."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey")
+        q = pc.cast(t.column("l_quantity"), pa.int64())  # integer-valued by data contract
+        tt = pa.table(
+            {
+                "l_partkey": pk,
+                "qty": q,
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            tt.group_by(["l_partkey", "qty"])
+            .aggregate([("one", "sum")])
+            .rename_columns(["l_partkey", "qty", "n"])
+        )
+
+    def merge_b(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["l_partkey", "qty"], sort=False)["n"].sum().reset_index()
+        grp = s.groupby("l_partkey", sort=False)
+        tot = grp["n"].transform("sum").to_numpy()
+        sq = (
+            (s["qty"] * s["n"]).groupby(s["l_partkey"], sort=False).transform("sum")
+        ).to_numpy()
+        above = np.where(s["qty"].to_numpy() * tot > sq, s["n"].to_numpy(), 0)
+        res = (
+            s.assign(_a=above).groupby("l_partkey", sort=False)["_a"].sum().reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "l_partkey": res["l_partkey"].to_numpy(dtype=np.int64),
+                "n_above": res["_a"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_buckets(parts, "l_partkey", merge_b)
+
+
+def histogram_orders_cents(sf_dir: str, bin_cents: int = 1_000_000):
+    """Equi-width histogram of order totals (the profiling / data-quality
+    primitive behind WIDTH_BUCKET): bin = integer-cents // bin_cents —
+    all-integer arithmetic, so the bin boundary can never disagree with
+    the oracle the way float width division can. Per-batch np.bincount
+    partials (one dense int64 vector per batch, length = max bin seen),
+    merged with a tiny grouped sum — order rows never shuffle."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)  # exact 2-dec grid
+        b = cents // bin_cents
+        cnt = np.bincount(b)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = parts.groupby("bin").aggregate(Sum("n", alias_name="n_orders"))
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "bin": t.column("bin"),
+                "lo_cents": pc.multiply(t.column("bin"), pa.scalar(bin_cents, pa.int64())),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def iqr_outliers_by_priority(sf_dir: str):
+    """Tukey-fence outlier audit per group (the data-quality primitive
+    behind box plots): per order priority, Q1/Q3 of the order total and
+    the count of orders outside [Q1 − k·IQR, Q3 + k·IQR]. k = 0.5 here
+    (Tukey's 1.5 flags nothing on this light-tailed synthetic corpus —
+    both fence branches must actually fire for the parity check to mean
+    anything). Everything runs on the exact integer-cents grid, and k
+    never becomes a float: fences are compared in DOUBLED cents
+    (2·cents < 3·Q1 − Q3), so the half-cent boundary is integer-exact
+    on both engines.
+    quantile_disc parity: q = 1/4 and 3/4 are dyadic — exactly
+    representable doubles, so DuckDB's float rank arithmetic cannot
+    diverge from the Fraction ceil-rank rule (NOTES: safe-q analysis).
+
+    Scale shape: pass 1 = the 5-group quantile pick (groups far below the
+    tiny-group trap); pass 2 = stateless per-batch outlier-count partials
+    against the 5-entry fence table captured in the closure (constant-
+    size, not corpus-size) + a 5-row driver finish."""
+    from fractions import Fraction
+    from math import ceil
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"o_orderpriority": t.column("o_orderpriority"), "cents": pa.array(cents)}
+        )
+
+    cds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["cents"].to_numpy())
+        n = len(v)
+        q1 = int(v[ceil(Fraction(1, 4) * n) - 1])
+        q3 = int(v[ceil(Fraction(3, 4) * n) - 1])
+        return pd.DataFrame(
+            {"o_orderpriority": [g["o_orderpriority"].iloc[0]], "q1": [q1], "q3": [q3]}
+        )
+
+    fences = (
+        cds.groupby("o_orderpriority").map_groups(pick, batch_format="pandas").to_pandas()
+    )
+    fmap = {
+        r.o_orderpriority: (int(r.q1), int(r.q3)) for r in fences.itertuples(index=False)
+    }
+
+    def count_part(t: pa.Table) -> pa.Table:
+        pr = t.column("o_orderpriority").to_pandas()
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(pr)
+        q1a = np.array([fmap[u][0] for u in uniq], dtype=np.int64)
+        q3a = np.array([fmap[u][1] for u in uniq], dtype=np.int64)
+        lo2 = (3 * q1a - q3a)[codes]
+        hi2 = (3 * q3a - q1a)[codes]
+        out = (2 * cents < lo2) | (2 * cents > hi2)
+        n_out = np.bincount(codes, weights=out).astype(np.int64)
+        return pa.table(
+            {"o_orderpriority": pa.array(list(uniq)), "n": pa.array(n_out)}
+        )
+
+    parts = cds.map_batches(count_part, batch_format="pyarrow", zero_copy_batch=True)
+    tot = parts.to_pandas().groupby("o_orderpriority", sort=False)["n"].sum()
+    return pd.DataFrame(
+        {
+            "o_orderpriority": fences["o_orderpriority"].to_numpy(),
+            "q1_cents": fences["q1"].to_numpy(dtype=np.int64),
+            "q3_cents": fences["q3"].to_numpy(dtype=np.int64),
+            "n_outliers": tot.reindex(fences["o_orderpriority"]).to_numpy(dtype=np.int64),
+        }
+    )

@@ -738,6 +738,91 @@ def paragraph_dedup(sf_dir: str, n_buckets: int = 64):
     )
 
 
+RARE_PROMO_LINE = "limited time offer act now"
+
+
+def boilerplate_line_removal(sf_dir: str, min_docs: int = 5, n_buckets: int = 64):
+    """CCNet-style HOST-scoped boilerplate LINE removal: a line (20-word
+    chunk) appearing in >= ``min_docs`` DISTINCT documents of the SAME
+    host is site-template text (copyright footers, nav) — remove EVERY
+    occurrence, including the first (paragraph_dedup keeps the first;
+    this is the frequency-threshold policy, not dedup), then reassemble
+    each doc's surviving text in order. Deterministic injections let
+    both oracle sides derive identical boilerplate: every 3rd doc's
+    first chunk becomes its host's copyright line, and every 100th
+    doc's second chunk a rare promo line whose per-host count may land
+    on either side of the threshold — both engines replicate the RULE,
+    so the boundary is data-driven but parity-exact. Lifts the
+    reference's static per-extractor phrase blacklist
+    (/root/reference/dataextractai/parsers_core, BOILERPLATE-style
+    lists) to a data-driven host-conditional rule.
+
+    Scale shape (paragraph_dedup's 2-shuffle skeleton): explode → ONE
+    line-hash bucket co-group (per-(host,line) distinct-doc counts via
+    a vectorized transform INSIDE the bucket; frequent lines die there)
+    → ONE doc-hash bucket co-group for ordered reassembly. Survivors
+    only cross the second shuffle; the boilerplate set is never
+    collected or broadcast."""
+    from ..functions.hashing import token_hashes
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = corpus.hosts_for_docs(ids)
+        texts = t.column("text").to_pylist()
+        out_id: list[int] = []
+        out_ci: list[int] = []
+        out_para: list[str] = []
+        out_host: list[str] = []
+        for d, h, tx in zip(ids, hosts, texts):
+            words = tx.split(" ")
+            for ci in range((len(words) + PARA_WORDS - 1) // PARA_WORDS or 1):
+                if d % 3 == 0 and ci == 0:
+                    para = "copyright " + h + " all rights reserved"
+                elif d % 100 == 7 and ci == 1:
+                    para = RARE_PROMO_LINE
+                else:
+                    para = " ".join(words[ci * PARA_WORDS : (ci + 1) * PARA_WORDS])
+                out_id.append(int(d))
+                out_ci.append(ci)
+                out_para.append(para)
+                out_host.append(h)
+        # bucket by line hash alone: every occurrence of a given para (and
+        # hence of every (host, para) pair) lands in one bucket
+        b = (token_hashes(out_para) % n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(b),
+                "doc_id": pa.array(np.asarray(out_id, dtype=np.int64)),
+                "ci": pa.array(np.asarray(out_ci, dtype=np.int64)),
+                "host": pa.array(out_host, type=pa.string()),
+                "para": pa.array(out_para, type=pa.string()),
+            }
+        )
+
+    import pandas as pd
+
+    def drop_frequent(g: "pd.DataFrame") -> "pd.DataFrame":
+        nd = g.groupby(["host", "para"], sort=False)["doc_id"].transform("nunique")
+        keep = g.loc[nd.to_numpy() < min_docs, ["doc_id", "ci", "para"]].copy()
+        keep["_b2"] = keep["doc_id"].to_numpy() % n_buckets
+        return keep
+
+    def reassemble(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["doc_id", "ci"], kind="mergesort")
+        out = g.groupby("doc_id", sort=False)["para"].agg(" ".join).reset_index()
+        return out.rename(columns={"para": "text_clean"})
+
+    return (
+        docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(drop_frequent, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
 def canonicalize_urls(u: pa.Array) -> pa.Array:
     """Vectorized URL canonicalization kernel (crawl-dedup policy): strip
     fragment, strip the whole query (aggressive policy — utm-only stripping

@@ -872,3 +872,102 @@ def test_events_since_purchase_reset_and_prefix_null(ray_session, tmp_path):
     vals = got["n_since_purchase"].tolist()
     assert pd.isna(vals[0]) and pd.isna(vals[1])
     assert vals[2:] == [0.0, 1.0, 2.0, 0.0, 1.0]
+
+
+def test_boilerplate_line_removal_all_occurrences_die(ray_session, tmp_path):
+    """Host-scoped frequency rule: a line in >= min_docs distinct docs of
+    the SAME host is removed EVERYWHERE (including its first occurrence —
+    the policy distinction vs paragraph_dedup), while the identical line
+    on a host below threshold survives; the rare-promo injection survives
+    at count 1."""
+    from pdf_extractor_ray.pipelines.textops import (
+        RARE_PROMO_LINE,
+        boilerplate_line_removal,
+    )
+
+    w = lambda s, n: " ".join([s] * n)  # noqa: E731
+    # ids 0,3,6,9,30 -> big-portal, %3==0: chunk0 becomes the host copyright
+    # line (5 distinct docs >= threshold -> removed); unique tail survives.
+    # ids 1,11,14,17,19 -> big-portal, %3!=0: SAME natural chunk0 in 5 docs
+    # -> all five occurrences removed (no first-occurrence survivor).
+    # id 27 -> tiny-c, %3==0: its copyright line has 1 doc -> survives.
+    # id 7 -> %100==7: promo injected at ci=1, count 1 -> survives.
+    ids, texts = [], []
+    for i in (0, 3, 6, 9, 30):
+        ids.append(i)
+        texts.append(w(f"u{i}", 20) + " " + w(f"tail{i}", 20))
+    for i in (1, 11, 14, 17, 19):
+        ids.append(i)
+        texts.append(w("common", 20) + " " + w(f"solo{i}", 20))
+    ids.append(27)
+    texts.append(w("onlychunk", 20))
+    ids.append(7)
+    texts.append(w("seven", 20) + " " + w("eight", 20))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        tmp_path / "documents.parquet",
+    )
+    got = _df(boilerplate_line_removal(str(tmp_path))).set_index("doc_id")["text_clean"]
+    for i in (0, 3, 6, 9, 30):
+        assert got[i] == w(f"tail{i}", 20)  # copyright chunk gone
+    for i in (1, 11, 14, 17, 19):
+        assert got[i] == w(f"solo{i}", 20)  # frequent natural chunk gone in ALL docs
+    assert got[27] == "copyright tiny-c.example.xyz all rights reserved"
+    assert got[7] == w("seven", 20) + " " + RARE_PROMO_LINE
+
+
+def test_lineitems_above_avg_qty_constructed(ray_session, tmp_path):
+    """part 1: qty [1,2,3] -> avg 2, one strictly above; part 2: all equal
+    -> zero above (strict > excludes the average itself)."""
+    from pdf_extractor_ray.pipelines.relational import lineitems_above_avg_qty
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "l_quantity": pa.array([1.0, 2.0, 3.0, 5.0, 5.0]),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    got = _df(lineitems_above_avg_qty(str(tmp_path))).set_index("l_partkey")["n_above"]
+    assert got[1] == 1
+    assert got[2] == 0
+
+
+def test_histogram_orders_cents_boundaries(ray_session, tmp_path):
+    """Half-cent rounding boundary: 9999.995 rounds UP to exactly the bin
+    edge (bin 1); 9999.994 stays in bin 0; counts sum to the row count."""
+    from pdf_extractor_ray.pipelines.relational import histogram_orders_cents
+
+    pq.write_table(
+        pa.table({"o_totalprice": pa.array([9999.994, 9999.995, 0.01, 25000.0])}),
+        tmp_path / "orders.parquet",
+    )
+    got = _df(histogram_orders_cents(str(tmp_path))).set_index("bin")
+    assert got.loc[0, "n_orders"] == 2  # 9999.994 and 0.01
+    assert got.loc[1, "n_orders"] == 1  # 9999.995 -> cents 1_000_000
+    assert got.loc[2, "n_orders"] == 1  # 25000.00
+    assert got["n_orders"].sum() == 4
+    assert (got["lo_cents"] == got.index * 1_000_000).all()
+
+
+def test_iqr_outliers_constructed(ray_session, tmp_path):
+    """n=5 cents [100,200,300,400,10000]: Q1=200, Q3=400 (ceil-rank picks),
+    k=0.5 fences [100, 500] — the boundary value 100 is NOT an outlier
+    (strict <), 10000 is."""
+    from pdf_extractor_ray.pipelines.relational import iqr_outliers_by_priority
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderpriority": pa.array(["P"] * 5),
+                "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0, 100.0]),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    got = _df(iqr_outliers_by_priority(str(tmp_path)))
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["q1_cents"], r["q3_cents"], r["n_outliers"]) == (200, 400, 1)
