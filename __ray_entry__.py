@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_agg": relational.sliding_window_agg,
         "session_windows": relational.session_windows,
         "approx_quantile_hist": relational.approx_quantile_hist,
+        "throttle_events_cooldown": relational.throttle_events_cooldown,
+        "countmin_token_counts": relational.countmin_token_counts,
         "approx_distinct_tokens": relational.approx_distinct_tokens,
         "approx_distinct_tokens_by_source": relational.approx_distinct_tokens_by_source,
         "ann_topk_ivf": similarity.ann_topk_ivf,

@@ -4725,3 +4725,126 @@ def iqr_outliers_by_priority(sf_dir: str):
             "n_outliers": tot.reindex(fences["o_orderpriority"]).to_numpy(dtype=np.int64),
         }
     )
+
+
+def throttle_events_cooldown(sf_dir: str, cooldown_s: int = 3600):
+    """Streaming cooldown suppression (rate-limiter / notification dedup):
+    per user, ordered by (ts, event_id), an event is EMITTED only if its
+    ts >= last EMITTED ts + cooldown; the first event always emits. Each
+    decision depends on the previous EMISSION, not the previous row — a
+    data-dependent recurrence no SQL window frame expresses (rows-only
+    check + brute-force pin, the fingerprint_rolling category; a
+    recursive CTE could state it but not over this scale). In-bucket
+    cost: one searchsorted jump per EMITTED event — O(emitted · log n)
+    per user, not O(rows) Python; burst-heavy corpora (the ones that
+    need throttling) have emitted ≪ rows by construction."""
+    cd_us = cooldown_s * 1_000_000
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def throttle_b(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        keep = np.zeros(n, dtype=bool)
+        if n:
+            starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+            ends = np.r_[starts[1:], n]
+            for s, e in zip(starts, ends):
+                i = s
+                while i < e:
+                    keep[i] = True
+                    i = s + int(np.searchsorted(ts[s:e], ts[i] + cd_us, side="left"))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[keep],
+                "user_id": uid[keep].astype(np.int64),
+            }
+        )
+
+    return map_key_buckets(
+        ds, "user_id", throttle_b, sort_by=["user_id", "ts", "event_id"]
+    )
+
+
+def countmin_token_counts(sf_dir: str, width: int = 8192, depth: int = 4):
+    """Count-min sketch token counts audited against the exact pass: the
+    second mergeable frequency sketch next to Misra-Gries
+    (heavy_hitter_tokens) — CM answers point queries for ANY key after
+    one pass, MG only tracks the top set. Per-batch partials are the
+    sketch's nonzero cells over a bounded depth×width grid (token keys
+    never shuffle; the ≤32k-cell grid does), merged in 64 idx-hash
+    buckets, and the merged sketch — constant-size by design — is the
+    only thing the driver ever holds. Estimates are queried for exactly
+    the tokens heavy_hitter_tokens proves exact, so the one-sided bound
+    (est ≥ true; est ≤ true + N/width w.h.p. per row, min over rows) is
+    checkable row by row."""
+    from ..functions.sketches import fnv1a64_batch, splitmix64_vec
+
+    seeds = np.array(
+        [
+            0x9E3779B97F4A7C15,
+            0xBF58476D1CE4E5B9,
+            0x94D049BB133111EB,
+            0xD6E8FEB86659FD93,
+        ],
+        dtype=np.uint64,
+    )[:depth]
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def cm_rows(tok_arr: np.ndarray) -> np.ndarray:
+        """(depth, n_tokens) flat cell indices for a token array."""
+        h = fnv1a64_batch([s.encode() for s in tok_arr])
+        return np.stack(
+            [
+                (splitmix64_vec(h ^ seeds[r]) % np.uint64(width)).astype(np.int64)
+                + r * width
+                for r in range(len(seeds))
+            ]
+        )
+
+    def cm_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        toks = " ".join(texts).split(" ") if texts else []
+        vc = pd.Series(toks, dtype="object").value_counts()
+        flat = np.zeros(len(seeds) * width, dtype=np.int64)
+        if len(vc):
+            idx = cm_rows(vc.index.to_numpy(dtype=object))
+            cnt = vc.to_numpy(dtype=np.int64)
+            for r in range(len(seeds)):
+                np.add.at(flat, idx[r], cnt)
+        nz = np.nonzero(flat)[0]
+        return pa.table({"idx": pa.array(nz), "n": pa.array(flat[nz])})
+
+    parts = ds.map_batches(cm_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge_cells(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("idx", sort=False)["n"].sum()
+        return pd.DataFrame({"idx": m.index.to_numpy(dtype=np.int64), "n": m.to_numpy()})
+
+    cells = map_key_buckets(parts, "idx", merge_cells).to_pandas()
+    flat = np.zeros(len(seeds) * width, dtype=np.int64)
+    flat[cells["idx"].to_numpy()] = cells["n"].to_numpy()
+
+    exact = heavy_hitter_tokens(sf_dir)
+    exact = exact if isinstance(exact, pd.DataFrame) else exact.to_pandas()
+    if len(exact) == 0:
+        return pd.DataFrame(
+            {
+                "token": pd.Series([], dtype="object"),
+                "n_exact": pd.Series([], dtype="int64"),
+                "n_est": pd.Series([], dtype="int64"),
+            }
+        )
+    idx = cm_rows(exact["token"].to_numpy(dtype=object))
+    est = flat[idx].min(axis=0)
+    out = pd.DataFrame(
+        {
+            "token": exact["token"].to_numpy(),
+            "n_exact": exact["n_occurrences"].to_numpy(dtype=np.int64),
+            "n_est": est.astype(np.int64),
+        }
+    )
+    return out.sort_values(["n_exact", "token"], ascending=[False, True]).reset_index(
+        drop=True
+    )

@@ -971,3 +971,64 @@ def test_iqr_outliers_constructed(ray_session, tmp_path):
     assert len(got) == 1
     r = got.iloc[0]
     assert (r["q1_cents"], r["q3_cents"], r["n_outliers"]) == (200, 400, 1)
+
+
+def test_throttle_cooldown_semantics(ray_session, tmp_path):
+    """Greedy emission recurrence: boundary ts == last_emitted + cooldown
+    EMITS (>=); equal-ts burst keeps only the first; suppression chains
+    from EMITTED events, not from suppressed ones."""
+    from pdf_extractor_ray.pipelines.relational import throttle_events_cooldown
+
+    S = 1_000_000  # 1s in us
+    # user 1: 0s (emit), 30s (suppressed), 45s (suppressed — 45 < 0+60),
+    #         60s (emit: boundary >=), 119s (suppressed), 121s (emit)
+    # user 2: three equal-ts events -> only lowest event_id... NOTE: equal
+    #         ts, sort by (ts, event_id) -> first emits, rest suppressed
+    rows = [
+        (10, 1, 0), (11, 1, 30 * S), (12, 1, 45 * S),
+        (13, 1, 60 * S), (14, 1, 119 * S), (15, 1, 121 * S),
+        (20, 2, 5 * S), (21, 2, 5 * S), (22, 2, 5 * S),
+    ]
+    _write_events(tmp_path, rows)
+    got = _df(throttle_events_cooldown(str(tmp_path), cooldown_s=60))
+    assert sorted(got["event_id"].tolist()) == [10, 13, 15, 20]
+
+
+def test_throttle_matches_bruteforce_sf0001(ray_session):
+    """Distributed throttle == single-process greedy scan over the real
+    sf0.001 events table."""
+    import pyarrow.parquet as pq_mod
+
+    from pdf_extractor_ray.pipelines.relational import throttle_events_cooldown
+
+    sf = "/root/testdata/sf0.001"
+    t = pq_mod.read_table(sf + "/events.parquet", columns=["event_id", "user_id", "ts"])
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    C = 3600 * 1_000_000
+    want = []
+    for _, g in df.groupby("user_id", sort=False):
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        last = None
+        for eid, tt in zip(g["event_id"].to_numpy(), ts):
+            if last is None or tt >= last + C:
+                want.append(int(eid))
+                last = tt
+    got = sorted(_df(throttle_events_cooldown(sf))["event_id"].tolist())
+    assert got == sorted(want)
+
+
+def test_countmin_bound_holds(ray_session):
+    """CM one-sided error: est >= exact for every audited heavy hitter,
+    and the min-over-rows estimate stays within a loose eN/width band."""
+    import pyarrow.parquet as pq_mod
+
+    from pdf_extractor_ray.pipelines.relational import countmin_token_counts
+
+    sf = "/root/testdata/sf0.001"
+    out = countmin_token_counts(sf)
+    assert len(out) > 0
+    assert (out["n_est"].to_numpy() >= out["n_exact"].to_numpy()).all()
+    t = pq_mod.read_table(sf + "/documents.parquet", columns=["text"])
+    n_tokens = sum(len(s.split(" ")) for s in t.column("text").to_pylist())
+    slack = 3.0 * n_tokens / 8192  # e/width bound with generous constant
+    assert ((out["n_est"] - out["n_exact"]).to_numpy() <= slack).all()
