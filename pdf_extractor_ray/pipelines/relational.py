@@ -3069,9 +3069,21 @@ def global_row_number(sf_dir: str, n_buckets: int = N_KEY_BUCKETS):
         b = ((hi - p) / span * n_buckets).astype(np.int64)
         return np.clip(b, 0, n_buckets - 1)
 
-    def count_partial(t: pa.Table) -> pa.Table:
+    def add_bucket(t: pa.Table) -> pa.Table:
         p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
-        c = np.bincount(bucket_of(p), minlength=n_buckets)
+        return t.append_column("_bucket", pa.array(bucket_of(p)))
+
+    # ONE parquet decode + ONE bucket_of: materialize the bucketed
+    # projection, then the offset pre-pass counts from the already-computed
+    # _bucket column over object-store blocks (NOTES r4 candidate — the
+    # first version paid a second full read+hash for the counts)
+    bucketed = ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        b = t.column("_bucket").to_numpy(zero_copy_only=False)
+        c = np.bincount(b, minlength=n_buckets)
         return pa.table(
             {
                 "_bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
@@ -3079,17 +3091,13 @@ def global_row_number(sf_dir: str, n_buckets: int = N_KEY_BUCKETS):
             }
         )
 
-    parts = ds.map_batches(
+    parts = bucketed.map_batches(
         count_partial, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
     counts = (
         parts.groupby("_bucket")["n"].sum().reindex(range(n_buckets), fill_value=0).to_numpy()
     )
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
-        return t.append_column("_bucket", pa.array(bucket_of(p)))
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         b = int(g["_bucket"].iloc[0])
@@ -3101,11 +3109,7 @@ def global_row_number(sf_dir: str, n_buckets: int = N_KEY_BUCKETS):
             {"o_orderkey": g["o_orderkey"].to_numpy(dtype=np.int64), "rn": rn}
         )
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_bucket")
-        .map_groups(rank_bucket, batch_format="pandas")
-    )
+    return bucketed.groupby("_bucket").map_groups(rank_bucket, batch_format="pandas")
 
 
 def dense_rank_in_group(sf_dir: str):
