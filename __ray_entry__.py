@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_replicated_corpus": textops.dedup_replicated_corpus,
         "cc_pipeline_audit": textops.cc_pipeline_audit,
         "lag_event_delta": relational.lag_event_delta,
+        "lead_event_delta": relational.lead_event_delta,
+        "cume_dist_by_supplier": relational.cume_dist_by_supplier,
         "range_join_campaigns": relational.range_join_campaigns,
         "pivot_event_counts": relational.pivot_event_counts,
         "percentile_by_group": relational.percentile_by_group,
@@ -524,6 +526,19 @@ def oracle_sql() -> dict[str, str]:
               CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS delta_us
             FROM events
+        """,
+        "lead_event_delta": """
+            SELECT event_id,
+              CAST(LEAD(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                   - epoch_us(ts) AS BIGINT) AS delta_us
+            FROM events
+        """,
+        "cume_dist_by_supplier": """
+            SELECT l_orderkey, l_linenumber,
+              CUME_DIST() OVER (PARTITION BY l_suppkey ORDER BY l_quantity)
+                AS cume
+            FROM lineitem
         """,
         "range_join_campaigns": """
             WITH campaigns AS (

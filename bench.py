@@ -182,6 +182,8 @@ QUERY_PANEL = [
     "unpivot_measures",
     "paragraph_dedup",
     "boilerplate_line_removal",
+    "lead_event_delta",
+    "cume_dist_by_supplier",
     "lineitems_above_avg_qty",
     "histogram_orders_cents",
     "iqr_outliers_by_priority",

@@ -4852,3 +4852,60 @@ def countmin_token_counts(sf_dir: str, width: int = 8192, depth: int = 4):
     return out.sort_values(["n_exact", "token"], ascending=[False, True]).reset_index(
         drop=True
     )
+
+
+def lead_event_delta(sf_dir: str):
+    """LEAD window function (time until the NEXT event per key — the
+    forward-looking twin of ``lag_event_delta``, with the null on each
+    key's LAST row instead of its first; churn/inactivity features read
+    this direction). Same bucket shape; the segment-wise kernel is a
+    groupby-shift(-1) subtraction."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def lead_b(g: pd.DataFrame) -> pd.DataFrame:
+        us = pd.Series(
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64), index=g.index
+        )
+        nxt = us.groupby(g["user_id"].to_numpy()).shift(-1)  # aligned to g
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "delta_us": (nxt - us).to_numpy(),  # NaN on each last row → null
+            }
+        )
+
+    out = map_key_buckets(ds, "user_id", lead_b, sort_by=["user_id", "ts", "event_id"])
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "delta_us": pc.cast(t.column("delta_us"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def cume_dist_by_supplier(sf_dir: str):
+    """CUME_DIST window (fraction of the partition with a value ≤ the
+    current row's — ties count each other, unlike PERCENT_RANK's
+    rank−1/n−1): lineitem quantity within supplier. The in-bucket kernel
+    is pandas ``rank(method="max")`` segment-wise (count of ≤ = max rank
+    over the tie group) divided by the segment size — one int/int IEEE
+    division on both engines, so the float is bit-identical without any
+    rounding step."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"])
+
+    def cume_b(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("l_suppkey", sort=False)
+        rmax = grp["l_quantity"].rank(method="max").to_numpy()
+        n = grp["l_quantity"].transform("size").to_numpy()
+        return pd.DataFrame(
+            {
+                "l_orderkey": g["l_orderkey"].to_numpy(dtype=np.int64),
+                "l_linenumber": g["l_linenumber"].to_numpy(dtype=np.int64),
+                "cume": rmax / n,
+            }
+        )
+
+    return map_key_buckets(ds, "l_suppkey", cume_b)
