@@ -1259,6 +1259,11 @@ def approx_distinct_tokens(sf_dir: str, p: int = 12):
 
 
 def heavy_hitter_tokens(sf_dir: str, phi: float = 0.002):
+    """Public surface of :func:`_heavy_hitters_and_total` (result only)."""
+    return _heavy_hitters_and_total(sf_dir, phi)[0]
+
+
+def _heavy_hitters_and_total(sf_dir: str, phi: float = 0.002):
     """EXACT φ-heavy-hitter tokens (count > φ·N) without ever shuffling the
     full token key space — the shape that finds hot vocabulary / hot hosts
     at 100 TB where ``groupby(token)`` means one exchange row (and one Ray
@@ -1277,7 +1282,12 @@ def heavy_hitter_tokens(sf_dir: str, phi: float = 0.002):
 
     The verify pass makes the answer exact (oracle-paired), not sketchy;
     the sketch only bounds what moves. Two passes over the text are the
-    price of exactness with bounded state."""
+    price of exactness with bounded state.
+
+    Returns ``(result, n_total)`` — the MG pass already counts the corpus
+    token total via its sentinel rows, so consumers that need N
+    (unigram_logprob_score) fold away their own counting scan (NOTES r4
+    materialize/fold rule)."""
     import ray
 
     from ..functions.sketches import fnv1a64_batch
@@ -1334,11 +1344,14 @@ def heavy_hitter_tokens(sf_dir: str, phi: float = 0.002):
         .to_pandas()["token"]
     )
     if len(cands) == 0:
-        return pd.DataFrame(
-            {
-                "token": pd.Series([], dtype="object"),
-                "n_occurrences": pd.Series([], dtype="int64"),
-            }
+        return (
+            pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype="object"),
+                    "n_occurrences": pd.Series([], dtype="int64"),
+                }
+            ),
+            n_total,
         )
     cand_ref = ray.put(set(cands))
 
@@ -1365,7 +1378,8 @@ def heavy_hitter_tokens(sf_dir: str, phi: float = 0.002):
     return (
         ds.map_batches(exact_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_bucket")
-        .map_groups(exact_merge, batch_format="pandas")
+        .map_groups(exact_merge, batch_format="pandas"),
+        n_total,
     )
 
 
@@ -4687,7 +4701,12 @@ def iqr_outliers_by_priority(sf_dir: str):
             {"o_orderpriority": t.column("o_orderpriority"), "cents": pa.array(cents)}
         )
 
-    cds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    # two consumers (quantile pick, outlier count) — materialize the cents
+    # projection so the second pass reads object-store blocks, not parquet
+    # (NOTES r4 materialize-then-rescan rule)
+    cds = ds.map_batches(
+        to_cents, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(g["cents"].to_numpy())

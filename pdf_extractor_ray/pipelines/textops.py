@@ -530,20 +530,15 @@ def unigram_logprob_score(sf_dir: str, phi: float = 0.001):
     import pandas as pd
     import ray
 
-    from .relational import heavy_hitter_tokens
+    from .relational import _heavy_hitters_and_total
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        n = pc.sum(pc.add(pc.count_substring(t.column("text"), pattern=" "), 1))
-        return pa.table({"n": pa.array([n.as_py() or 0], pa.int64())})
-
-    n_total = float(
-        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .sum("n")
-    )
-
-    hh = heavy_hitter_tokens(sf_dir, phi=phi)
+    # the MG pass inside the heavy-hitter core already counts the corpus
+    # token total (sentinel rows) — reusing it drops the separate counting
+    # scan this op used to pay (4 corpus passes → 3, NOTES r4 fold rule)
+    hh, n_tok = _heavy_hitters_and_total(sf_dir, phi=phi)
+    n_total = float(n_tok)
     vocab = hh if isinstance(hh, pd.DataFrame) else hh.to_pandas()
     logp = pd.Series(
         np.log(vocab["n_occurrences"].to_numpy(dtype=np.float64) / n_total),
