@@ -216,3 +216,54 @@ def test_union_by_name_schema_evolution(ray_session, tmp_path):
     assert got["doc_id"].tolist() == [1, 2, 3]
     assert got["lang"].tolist()[:2] == ["en", "fr"] and pd.isna(got["lang"][2])
     assert pd.isna(got["crawl_id"][0]) and got["crawl_id"][2] == 7
+
+
+def test_partition_pruned_read_never_touches_pruned_dirs(ray_session, tmp_path):
+    """Path-level pruning proof: a CORRUPT parquet file planted in a
+    non-selected partition cannot break the read (a scan-then-filter
+    reader would die on it); selected rows round-trip exactly and the
+    partition column is re-attached."""
+    import ray.data as rd
+
+    from pdf_extractor_ray.sources.partitioned import (
+        list_partitions,
+        read_partitioned_parquet,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "lang": ["en", "de", "fr"] * 4,
+            "n": [i * 10 for i in range(12)],
+        }
+    )
+    root = str(tmp_path / "lake")
+    rd.from_pandas(df).write_parquet(root, partition_cols=["lang"])
+    assert list_partitions(root, "lang") == ["de", "en", "fr"]
+
+    # poison a partition the query will NOT select
+    with open(os.path.join(root, "lang=fr", "garbage.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    got = (
+        read_partitioned_parquet(root, "lang", values=["en", "de"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        df[df["lang"].isin(["en", "de"])]
+        .astype({"lang": str})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sorted(got.columns) == sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+    # misspelled partition fails loudly, not silently-empty
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_partitioned_parquet(root, "lang", values=["zz"])
