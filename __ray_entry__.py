@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_counts": relational.cube_counts,
         "bigram_pmi_topk": relational.bigram_pmi_topk,
         "snapshot_diff": relational.snapshot_diff,
+        "scd2_history": relational.scd2_history,
         "shuffle_join_detail": relational.shuffle_join_detail,
         "rolling_count_range_window": relational.rolling_count_range_window,
         "global_row_number": relational.global_row_number,
@@ -1528,6 +1529,32 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'changed' END AS change
             FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
             WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.n_chars <> b.n_chars
+        """,
+        "scd2_history": """
+            WITH a AS (SELECT doc_id, n_chars FROM documents),
+            b AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, n_chars
+              FROM documents WHERE doc_id % 11 = 0
+            ),
+            j AS (
+              SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     a.n_chars AS na, b.n_chars AS nb
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(na AS BIGINT) AS n_chars,
+                   CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to
+            FROM j WHERE na IS NOT NULL AND (nb IS NULL OR na <> nb)
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), CAST(na AS BIGINT),
+                   CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+            FROM j WHERE na IS NOT NULL AND nb = na
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), CAST(nb AS BIGINT),
+                   CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+            FROM j WHERE nb IS NOT NULL AND (na IS NULL OR na <> nb)
         """,
         "left_join_null_fill": """
             SELECT c.c_custkey, c.c_mktsegment,

@@ -183,6 +183,7 @@ QUERY_PANEL = [
     "paragraph_dedup",
     "boilerplate_line_removal",
     "lead_event_delta",
+    "scd2_history",
     "cume_dist_by_supplier",
     "lineitems_above_avg_qty",
     "histogram_orders_cents",

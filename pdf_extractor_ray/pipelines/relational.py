@@ -2906,19 +2906,11 @@ def bigram_pmi_topk(sf_dir: str, min_count: int = 5, k: int = 30):
     )
 
 
-def snapshot_diff(sf_dir: str):
-    """Change-data-capture between two corpus snapshots: emit (doc_id,
-    change) for every row added, removed, or content-changed from snapshot
-    A to snapshot B — the incremental-crawl diff primitive. Snapshot B is
-    DERIVED deterministically from A (doc_id % 7 == 0 rows deleted;
-    doc_id % 5 == 0 rows get n_chars+1, i.e. changed; doc_id % 11 == 0
-    rows re-appear as new ids +10_000_000, i.e. added) so both sides build
-    the identical pair of snapshots.
-
-    Scale shape: a FULL OUTER join as a kind-tagged union co-grouped in
-    doc_id-hash buckets (the PageRank/left-join layout); the in-bucket
-    classify is one vectorized pandas outer-merge. Unchanged rows are
-    dropped inside the bucket, so output is change-volume-sized."""
+def _snapshot_pair(sf_dir: str):
+    """Kind-tagged union of the two DERIVED corpus snapshots (rules in the
+    snapshot_diff docstring: %7 deletes, %5 content-changes, %11 re-adds
+    at +10M), bucketed by doc-hash — shared by snapshot_diff (change list)
+    and scd2_history (versioned dimension build)."""
     B = N_KEY_BUCKETS
     ADD_OFF = 10_000_000
     docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
@@ -2953,9 +2945,87 @@ def snapshot_diff(sf_dir: str):
             }
         )
 
-    both = docs.map_batches(side_a, batch_format="pyarrow", zero_copy_batch=True).union(
+    return docs.map_batches(side_a, batch_format="pyarrow", zero_copy_batch=True).union(
         docs.map_batches(side_b, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def scd2_history(sf_dir: str):
+    """Slowly-Changing-Dimension TYPE 2 build over the same derived
+    snapshot pair as ``snapshot_diff`` — but instead of a change LIST it
+    emits the versioned dimension table a warehouse keeps: one row per
+    (key, version) with [valid_from, valid_to) epochs. Unchanged keys stay
+    open (valid_to NULL); a changed key closes its T1 row at epoch 2 and
+    opens a T2 row; deletes close; adds open at 2. ``valid_to`` is
+    int64-with-nulls (the ADVICE BIGINT dtype rule).
+
+    Scale shape: identical kind-tagged union + ONE doc-hash bucket
+    co-group; the in-bucket build is one vectorized outer merge emitting
+    every version row — output is ≤ 2 rows per key by construction."""
+    both = _snapshot_pair(sf_dir)
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["is_b"] == 0][["doc_id", "n_chars"]]
+        b = g[g["is_b"] == 1][["doc_id", "n_chars"]]
+        m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"))
+        na = m["n_chars_a"].to_numpy(dtype=np.float64, na_value=np.nan)
+        nb = m["n_chars_b"].to_numpy(dtype=np.float64, na_value=np.nan)
+        ids = m["doc_id"].to_numpy(dtype=np.int64)
+        in_a, in_b = ~np.isnan(na), ~np.isnan(nb)
+        closed_a = in_a & (~in_b | (na != nb))  # changed or deleted: close T1 row
+        open_a = in_a & in_b & (na == nb)  # unchanged: T1 row stays open
+        open_b = in_b & (~in_a | (na != nb))  # changed or added: open T2 row
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([ids[closed_a], ids[open_a], ids[open_b]]),
+                "n_chars": np.concatenate(
+                    [na[closed_a], na[open_a], nb[open_b]]
+                ).astype(np.int64),
+                "valid_from": np.concatenate(
+                    [
+                        np.ones(int(closed_a.sum()), dtype=np.int64),
+                        np.ones(int(open_a.sum()), dtype=np.int64),
+                        np.full(int(open_b.sum()), 2, dtype=np.int64),
+                    ]
+                ),
+                "valid_to": np.concatenate(
+                    [
+                        np.full(int(closed_a.sum()), 2.0),
+                        np.full(int(open_a.sum()), np.nan),
+                        np.full(int(open_b.sum()), np.nan),
+                    ]
+                ),
+            }
+        )
+
+    res = both.groupby("_bucket").map_groups(build, batch_format="pandas")
+    return res.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("n_chars"),
+                "valid_from": t.column("valid_from"),
+                "valid_to": pc.cast(t.column("valid_to"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def snapshot_diff(sf_dir: str):
+    """Change-data-capture between two corpus snapshots: emit (doc_id,
+    change) for every row added, removed, or content-changed from snapshot
+    A to snapshot B — the incremental-crawl diff primitive. Snapshot B is
+    DERIVED deterministically from A (doc_id % 7 == 0 rows deleted;
+    doc_id % 5 == 0 rows get n_chars+1, i.e. changed; doc_id % 11 == 0
+    rows re-appear as new ids +10_000_000, i.e. added) so both sides build
+    the identical pair of snapshots.
+
+    Scale shape: a FULL OUTER join as a kind-tagged union co-grouped in
+    doc_id-hash buckets (the PageRank/left-join layout); the in-bucket
+    classify is one vectorized pandas outer-merge. Unchanged rows are
+    dropped inside the bucket, so output is change-volume-sized."""
+    both = _snapshot_pair(sf_dir)
 
     def classify(g: pd.DataFrame) -> pd.DataFrame:
         a = g[g["is_b"] == 0][["doc_id", "n_chars"]]

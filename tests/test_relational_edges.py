@@ -1032,3 +1032,35 @@ def test_countmin_bound_holds(ray_session):
     n_tokens = sum(len(s.split(" ")) for s in t.column("text").to_pylist())
     slack = 3.0 * n_tokens / 8192  # e/width bound with generous constant
     assert ((out["n_est"] - out["n_exact"]).to_numpy() <= slack).all()
+
+
+def test_scd2_history_constructed(ray_session, tmp_path):
+    """All four SCD2 row kinds from a tiny snapshot pair (derivation rules:
+    %7 delete, %5 change, %11 re-add at +10M): unchanged stays open,
+    changed closes T1 + opens T2, delete closes, add opens at 2."""
+    from pdf_extractor_ray.pipelines.relational import scd2_history
+
+    # ids: 1 unchanged; 5 changed (%5); 7 deleted (%7); 11 changed (%11
+    # keeps original AND re-adds at 10000011); 3 unchanged
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 3, 5, 7, 11], pa.int64()),
+                "n_chars": pa.array([100, 300, 500, 700, 1100], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = _df(scd2_history(str(tmp_path)))
+    rows = {
+        (r.doc_id, r.n_chars, r.valid_from): r.valid_to for r in got.itertuples()
+    }
+    assert pd.isna(rows[(1, 100, 1)])  # unchanged, open
+    assert pd.isna(rows[(3, 300, 1)])
+    assert rows[(5, 500, 1)] == 2  # changed: T1 closed
+    assert pd.isna(rows[(5, 501, 2)])  # changed: T2 open
+    assert rows[(7, 700, 1)] == 2  # deleted: closed, no successor
+    assert not any(k[0] == 7 and k[2] == 2 for k in rows)
+    assert pd.isna(rows[(11, 1100, 1)])  # original 11 unchanged
+    assert pd.isna(rows[(10000011, 1100, 2)])  # re-add opens at 2
+    assert len(got) == 7
