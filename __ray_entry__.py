@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": relational.approx_distinct_tokens,
         "approx_distinct_tokens_by_source": relational.approx_distinct_tokens_by_source,
         "ann_topk_ivf": similarity.ann_topk_ivf,
+        "pq_ann_topk": similarity.pq_ann_topk,
         "embedding_near_dup": similarity.embedding_near_dup,
         "kmeans_clusters": similarity.kmeans_clusters,
         "semdedup": similarity.semdedup,

@@ -527,3 +527,18 @@ def test_kmeans_resumable_crash_and_bit_identity(ray_session, tmp_path):
     # fingerprint invalidation: same out_dir, different n_iters → no reuse
     res3 = kmeans_clusters_resumable(SF_EMB, out, k=4, n_iters=7)
     assert res3["iters_skipped"] == 0 and res3["iters_run"] == 7
+
+
+def test_pq_adc_rerank_recall_against_exact(sf_dir):
+    """Product-quantization ANN: the ADC code scan builds a shortlist and
+    the exact re-rank finishes — recall@10 vs brute-force cosine must
+    clear 0.7 at the defaults (m=8 subspaces × 4-bit codes packed in one
+    int64, R=100 shortlist); every returned id must also be IN the ADC
+    shortlist by construction (rank column dense 1..k)."""
+    from pdf_extractor_ray.pipelines.similarity import ann_topk, pq_ann_topk
+
+    pq = pq_ann_topk(sf_dir)
+    brute = ann_topk(sf_dir)
+    assert list(pq["rank"]) == list(range(1, len(pq) + 1))
+    recall = len(set(pq.vec_id) & set(brute.vec_id)) / len(brute)
+    assert recall >= 0.7, f"PQ recall@10 {recall} below pin"
