@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi_topk": relational.bigram_pmi_topk,
         "snapshot_diff": relational.snapshot_diff,
         "scd2_history": relational.scd2_history,
+        "temperature_mixture_allocation": training.temperature_mixture_allocation,
         "shuffle_join_detail": relational.shuffle_join_detail,
         "rolling_count_range_window": relational.rolling_count_range_window,
         "global_row_number": relational.global_row_number,
@@ -1500,6 +1501,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
               'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+        """,
+        "temperature_mixture_allocation": """
+            WITH c AS (
+              SELECT source, CAST(SUM(n_chars) AS BIGINT) AS size_chars
+              FROM documents GROUP BY source),
+            w AS (
+              SELECT source, size_chars,
+                CAST(FLOOR(SQRT(size_chars * 1000000000000.0)) AS BIGINT)
+                  AS weight_grid
+              FROM c),
+            t AS (SELECT SUM(weight_grid) AS wsum FROM w),
+            q AS (
+              SELECT w.*, (100000 * weight_grid) // t.wsum AS base,
+                     (100000 * weight_grid) % t.wsum AS rem
+              FROM w, t),
+            d AS (SELECT 100000 - SUM(base) AS deficit FROM q),
+            r AS (
+              SELECT q.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+              FROM q)
+            SELECT source, size_chars, weight_grid,
+              CAST(base + CASE WHEN rk <= d.deficit THEN 1 ELSE 0 END
+                   AS BIGINT) AS alloc
+            FROM r, d
         """,
         "source_mixture_sample": """
             WITH h AS (

@@ -1039,3 +1039,59 @@ def weighted_quantile_doc_len(sf_dir: str):
         idx = int(np.searchsorted(cum * den, num * total))
         out.append((q_name, int(lens[idx])))
     return pd.DataFrame(out, columns=["q", "weighted_len"])
+
+
+def temperature_mixture_allocation(sf_dir: str, budget: int = 100_000):
+    """Temperature-scaled training-mix allocation (the T5 / Pile mixing
+    rule with temperature 2, i.e. weights ∝ size^(1/2)): given per-source
+    corpus sizes (chars here; tokens in production), allocate an integer
+    document budget so small sources are up-weighted relative to raw
+    proportions, with the largest-remainder method making the allocation
+    sum EXACTLY to the budget.
+
+    Every step is cross-engine exact: weights live on an integer grid via
+    w = ⌊√(size·10¹²)⌋ (IEEE sqrt is correctly rounded on both engines and
+    size·10¹² stays under 2⁵³), and base/remainder are pure int64 division
+    against W = Σw — no float share ever compared. Deficit seats go to the
+    largest remainders (source name tiebreak).
+
+    Scale shape: one partial-agg pass (per-batch per-source char sums →
+    sources-sized merge); the allocation itself is a sources-sized driver
+    computation, like skew_salt_plan's plan table."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by("source")
+            .aggregate([("n_chars", "sum")])
+            .rename_columns(["source", "sz"])
+        )
+
+    sizes = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("sz", alias_name="size_chars"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    sz = sizes["size_chars"].to_numpy(dtype=np.int64)
+    w = np.floor(np.sqrt(sz.astype(np.float64) * 1e12)).astype(np.int64)
+    W = int(w.sum())
+    base = budget * w // W
+    rem = budget * w % W
+    deficit = budget - int(base.sum())
+    # largest remainder, source-name tiebreak — deterministic seats
+    order = np.lexsort((sizes["source"].to_numpy(), -rem))
+    alloc = base.copy()
+    alloc[order[:deficit]] += 1
+    return pd.DataFrame(
+        {
+            "source": sizes["source"].to_numpy(),
+            "size_chars": sz,
+            "weight_grid": w,
+            "alloc": alloc.astype(np.int64),
+        }
+    )

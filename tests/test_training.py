@@ -454,3 +454,28 @@ def test_weighted_quantile_tokens_not_docs(ray_session, tmp_path):
     got = weighted_quantile_doc_len(str(tmp_path)).set_index("q")["weighted_len"]
     assert got["p50"] == 199
     assert got["p90"] == 199
+
+
+def test_temperature_mixture_sqrt_upweights_small_sources(ray_session, tmp_path):
+    """Temperature-2 mixing: a source with 4x the chars gets only ~2x the
+    allocation (sqrt weights), the total is EXACTLY the budget, and seats
+    from the largest-remainder step keep every allocation within 1 of its
+    exact quota."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.training import temperature_mixture_allocation
+
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array(["big"] * 4 + ["small"]),
+                "n_chars": pa.array([1000, 1000, 1000, 1000, 1000], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = temperature_mixture_allocation(str(tmp_path), budget=999).set_index("source")
+    assert out["alloc"].sum() == 999
+    # sizes 4000 vs 1000 -> sqrt weights 2:1 -> allocs ~666:333
+    assert abs(out.loc["big", "alloc"] - 2 * out.loc["small", "alloc"]) <= 2
