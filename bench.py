@@ -184,6 +184,10 @@ QUERY_PANEL = [
     "boilerplate_line_removal",
     "lead_event_delta",
     "scd2_history",
+    "temperature_mixture_allocation",
+    "pq_ann_topk",
+    "throttle_events_cooldown",
+    "countmin_token_counts",
     "cume_dist_by_supplier",
     "lineitems_above_avg_qty",
     "histogram_orders_cents",
