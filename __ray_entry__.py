@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": relational.session_windows,
         "approx_quantile_hist": relational.approx_quantile_hist,
         "throttle_events_cooldown": relational.throttle_events_cooldown,
+        "kmv_user_overlap": relational.kmv_user_overlap,
         "countmin_token_counts": relational.countmin_token_counts,
         "approx_distinct_tokens": relational.approx_distinct_tokens,
         "approx_distinct_tokens_by_source": relational.approx_distinct_tokens_by_source,

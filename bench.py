@@ -188,6 +188,7 @@ QUERY_PANEL = [
     "pq_ann_topk",
     "throttle_events_cooldown",
     "countmin_token_counts",
+    "kmv_user_overlap",
     "cume_dist_by_supplier",
     "lineitems_above_avg_qty",
     "histogram_orders_cents",

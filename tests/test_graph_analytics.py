@@ -385,3 +385,38 @@ def test_kcore_cogroup_frontier_matches_broadcast(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_kmv_overlap_exact_when_exhaustive_and_banded_when_not(ray_session):
+    """KMV set-operation sketch: when every per-type distinct-user count
+    fits the sample (sf0.001, k=256) all four estimates are EXACT; when
+    the estimator engages (sf0.01, k=64) every estimate stays inside a
+    2×-s.e. band of the true set-algebra answer."""
+    import numpy as np
+    import pyarrow.parquet as pq_mod
+
+    from pdf_extractor_ray.pipelines.relational import kmv_user_overlap
+
+    def true_sets(sf):
+        t = pq_mod.read_table(
+            sf + "/events.parquet", columns=["user_id", "event_type"]
+        ).to_pandas()
+        return {k: set(g["user_id"]) for k, g in t.groupby("event_type")}
+
+    sf = "/root/testdata/sf0.001"
+    sets = true_sets(sf)
+    for r in kmv_user_overlap(sf).itertuples(index=False):
+        A, B = sets[r.type_a], sets[r.type_b]
+        assert (r.est_a, r.est_b, r.est_union, r.est_inter) == (
+            len(A), len(B), len(A | B), len(A & B)
+        )
+
+    sf = "/root/testdata/sf0.01"
+    sets = true_sets(sf)
+    for r in kmv_user_overlap(sf, k=64).itertuples(index=False):
+        A, B = sets[r.type_a], sets[r.type_b]
+        for est, true in (
+            (r.est_a, len(A)), (r.est_b, len(B)),
+            (r.est_union, len(A | B)), (r.est_inter, len(A & B)),
+        ):
+            assert abs(est - true) / max(true, 1) <= 0.25, (r, est, true)
