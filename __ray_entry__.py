@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantile_hist": relational.approx_quantile_hist,
         "throttle_events_cooldown": relational.throttle_events_cooldown,
         "kmv_user_overlap": relational.kmv_user_overlap,
+        "capped_session_windows": relational.capped_session_windows,
         "countmin_token_counts": relational.countmin_token_counts,
         "approx_distinct_tokens": relational.approx_distinct_tokens,
         "approx_distinct_tokens_by_source": relational.approx_distinct_tokens_by_source,

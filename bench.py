@@ -189,6 +189,7 @@ QUERY_PANEL = [
     "throttle_events_cooldown",
     "countmin_token_counts",
     "kmv_user_overlap",
+    "capped_session_windows",
     "cume_dist_by_supplier",
     "lineitems_above_avg_qty",
     "histogram_orders_cents",

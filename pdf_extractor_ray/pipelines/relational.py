@@ -5112,3 +5112,51 @@ def kmv_user_overlap(sf_dir: str, k: int = 256):
         rows,
         columns=["type_a", "type_b", "est_a", "est_b", "est_union", "est_inter"],
     )
+
+
+def capped_session_windows(sf_dir: str, gap_s: int = 1800, cap_s: int = 14400):
+    """Dual-condition sessionization: a session ends on an idle gap
+    (> gap_s between consecutive events) OR when it reaches a maximum
+    duration (cap_s since the SESSION START — the analytics-grade rule;
+    a steady drip of sub-gap events never splits under gap-only
+    ``session_windows``, so one 'session' can span days). The cap makes
+    the split a data-dependent recurrence (each boundary depends on the
+    previous boundary), the throttle/fingerprint category — rows-only,
+    brute-force-pinned. In-bucket cost: one searchsorted + one gap-index
+    lookup per SESSION, not per row.
+
+    Returns (event_id, session_seq) with session_seq numbering each
+    user's sessions from 0 in time order."""
+    gap_us = gap_s * 1_000_000
+    cap_us = cap_s * 1_000_000
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessionize_b(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        seq = np.zeros(n, dtype=np.int64)
+        if n:
+            starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+            ends = np.r_[starts[1:], n]
+            gap_break = np.flatnonzero(np.r_[False, np.diff(ts) > gap_us])
+            for s, e in zip(starts, ends):
+                gb = gap_break[(gap_break > s) & (gap_break < e)]
+                i, sid, gpos = s, 0, 0
+                while i < e:
+                    cap_end = s + int(
+                        np.searchsorted(ts[s:e], ts[i] + cap_us, side="right")
+                    )
+                    while gpos < len(gb) and gb[gpos] <= i:
+                        gpos += 1
+                    gap_end = int(gb[gpos]) if gpos < len(gb) else e
+                    nxt = min(cap_end, gap_end, e)
+                    seq[i:nxt] = sid
+                    i, sid = nxt, sid + 1
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(dtype=np.int64), "session_seq": seq}
+        )
+
+    return map_key_buckets(
+        ds, "user_id", sessionize_b, sort_by=["user_id", "ts", "event_id"]
+    )

@@ -1064,3 +1064,54 @@ def test_scd2_history_constructed(ray_session, tmp_path):
     assert pd.isna(rows[(11, 1100, 1)])  # original 11 unchanged
     assert pd.isna(rows[(10000011, 1100, 2)])  # re-add opens at 2
     assert len(got) == 7
+
+
+def test_capped_sessions_split_steady_drip(ray_session, tmp_path):
+    """The cap catches what gap-only sessionization cannot: a steady
+    sub-gap drip splits at the duration cap; boundary semantics — an
+    event AT start+cap stays in the session (strict >), an event at
+    exactly gap stays joined (strict >); gap splits reset the cap
+    clock."""
+    from pdf_extractor_ray.pipelines.relational import capped_session_windows
+
+    S = 1_000_000
+    # user 1: events every 600s (< gap 1800s) for 5 hours -> gap rule never
+    # splits; cap 14400s splits at t > 14400: events at 0..18000 step 600.
+    rows = [(i, 1, i * 600 * S) for i in range(31)]  # t = 0 .. 18000s
+    # user 2: two gap-split sessions, each short of the cap
+    rows += [(100, 2, 0), (101, 2, 100 * S), (102, 2, 5000 * S), (103, 2, 5100 * S)]
+    _write_events(tmp_path, rows)
+    got = _df(capped_session_windows(str(tmp_path))).set_index("event_id")["session_seq"]
+    # user 1: t=14400 (event 24) is AT start+cap -> stays in session 0;
+    # t=15000 (event 25) exceeds -> session 1
+    assert got[24] == 0 and got[25] == 1
+    assert got[0] == 0 and got[30] == 1
+    # user 2: gap split at event 102
+    assert got[100] == 0 and got[101] == 0 and got[102] == 1 and got[103] == 1
+
+
+def test_capped_sessions_match_bruteforce_sf0001(ray_session):
+    """Distributed capped sessionization == single-process greedy scan."""
+    import pyarrow.parquet as pq_mod
+
+    from pdf_extractor_ray.pipelines.relational import capped_session_windows
+
+    sf = "/root/testdata/sf0.001"
+    t = pq_mod.read_table(sf + "/events.parquet", columns=["event_id", "user_id", "ts"])
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    GAP, CAP = 1800 * 1_000_000, 14400 * 1_000_000
+    want = {}
+    for _, g in df.groupby("user_id", sort=False):
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        eid = g["event_id"].to_numpy()
+        sid, start, prev = 0, None, None
+        for e, tt in zip(eid, ts):
+            if start is None:
+                start = tt
+            elif tt - prev > GAP or tt - start > CAP:
+                sid += 1
+                start = tt
+            want[int(e)] = sid
+            prev = tt
+    got = _df(capped_session_windows(sf)).set_index("event_id")["session_seq"].to_dict()
+    assert got == want
