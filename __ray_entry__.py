@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle_events_cooldown": relational.throttle_events_cooldown,
         "kmv_user_overlap": relational.kmv_user_overlap,
         "capped_session_windows": relational.capped_session_windows,
+        "rfm_quartile_segments": relational.rfm_quartile_segments,
         "countmin_token_counts": relational.countmin_token_counts,
         "approx_distinct_tokens": relational.approx_distinct_tokens,
         "approx_distinct_tokens_by_source": relational.approx_distinct_tokens_by_source,
@@ -1556,6 +1557,41 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'changed' END AS change
             FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
             WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.n_chars <> b.n_chars
+        """,
+        "rfm_quartile_segments": """
+            WITH m AS (
+              SELECT o_custkey,
+                MAX(epoch_us(o_orderdate)) AS last_us,
+                CAST(COUNT(*) AS BIGINT) AS f_orders,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS m_cents
+              FROM orders GROUP BY o_custkey),
+            g AS (SELECT MAX(last_us) AS gmax FROM m),
+            r AS (
+              SELECT o_custkey AS c_custkey,
+                CAST((g.gmax - last_us) // 86400000000 AS BIGINT) AS r_days,
+                f_orders, m_cents
+              FROM m, g),
+            t AS (
+              SELECT
+                quantile_disc(r_days, 0.25) AS r1, quantile_disc(r_days, 0.5) AS r2,
+                quantile_disc(r_days, 0.75) AS r3,
+                quantile_disc(f_orders, 0.25) AS f1, quantile_disc(f_orders, 0.5) AS f2,
+                quantile_disc(f_orders, 0.75) AS f3,
+                quantile_disc(m_cents, 0.25) AS m1, quantile_disc(m_cents, 0.5) AS m2,
+                quantile_disc(m_cents, 0.75) AS m3
+              FROM r)
+            SELECT c_custkey, r_days, f_orders, m_cents,
+              CAST(1 + CASE WHEN r_days > t.r1 THEN 1 ELSE 0 END
+                     + CASE WHEN r_days > t.r2 THEN 1 ELSE 0 END
+                     + CASE WHEN r_days > t.r3 THEN 1 ELSE 0 END AS BIGINT) AS r_score,
+              CAST(1 + CASE WHEN f_orders > t.f1 THEN 1 ELSE 0 END
+                     + CASE WHEN f_orders > t.f2 THEN 1 ELSE 0 END
+                     + CASE WHEN f_orders > t.f3 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+              CAST(1 + CASE WHEN m_cents > t.m1 THEN 1 ELSE 0 END
+                     + CASE WHEN m_cents > t.m2 THEN 1 ELSE 0 END
+                     + CASE WHEN m_cents > t.m3 THEN 1 ELSE 0 END AS BIGINT) AS m_score
+            FROM r, t
         """,
         "scd2_history": """
             WITH a AS (SELECT doc_id, n_chars FROM documents),

@@ -190,6 +190,7 @@ QUERY_PANEL = [
     "countmin_token_counts",
     "kmv_user_overlap",
     "capped_session_windows",
+    "rfm_quartile_segments",
     "cume_dist_by_supplier",
     "lineitems_above_avg_qty",
     "histogram_orders_cents",

@@ -1877,26 +1877,45 @@ def exact_quantile(sf_dir: str, qs=(0.5, 0.9, 0.99), n_bins: int = 1024):
     (round-trip exact in float64 below 10^13), so bucket arithmetic and
     the final cents/100 reconstruction are exact. All qs share each scan.
     Returns (q, val) float64, matching ``quantile_disc``."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def to_cents_t(t: pa.Table) -> pa.Table:
+        v = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({"cents": pa.array(np.round(v * 100.0).astype(np.int64))})
+
+    cds = ds.map_batches(to_cents_t, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    vals = _exact_int_quantiles(cds, "cents", qs, n_bins=n_bins)
+    if vals is None:
+        return pa.table({"q": pa.array([], pa.float64()), "val": pa.array([], pa.float64())})
+    return pa.table(
+        {
+            "q": pa.array([float(q) for q in vals], pa.float64()),
+            "val": pa.array([v / 100.0 for v in vals.values()], pa.float64()),
+        }
+    )
+
+
+def _exact_int_quantiles(ds, col: str, qs, n_bins: int = 1024):
+    """EXACT quantile_disc over an int64 Dataset column by distributed
+    selection (the iterative histogram narrowing documented in
+    ``exact_quantile``, generalized in r4 so any integer metric — cents,
+    days, counts — can get exact thresholds without a sort). ``ds`` should
+    be materialized when it has expensive lineage (it is scanned
+    ~log_B(range)+1 times). Returns {q: int} in ``qs`` order, or None on
+    an empty column."""
     import math
 
     from ray.data.aggregate import Count, Max, Min
 
-    ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).materialize()
-
-    def to_cents(t: pa.Table) -> np.ndarray:
-        v = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        return np.round(v * 100.0).astype(np.int64)
-
     agg = ds.aggregate(
-        Count("l_extendedprice", alias_name="n"),
-        Min("l_extendedprice", alias_name="mn"),
-        Max("l_extendedprice", alias_name="mx"),
+        Count(col, alias_name="n"),
+        Min(col, alias_name="mn"),
+        Max(col, alias_name="mx"),
     )
     n = int(agg["n"])
     if n == 0:
-        return pa.table({"q": pa.array([], pa.float64()), "val": pa.array([], pa.float64())})
-    glo = int(np.round(agg["mn"] * 100.0))
-    ghi = int(np.round(agg["mx"] * 100.0))
+        return None
+    glo, ghi = int(agg["mn"]), int(agg["mx"])
 
     # state per q: (lo, hi, rank-within-[lo,hi])
     state = {float(q): [glo, ghi, max(math.ceil(float(q) * n), 1)] for q in qs}
@@ -1905,7 +1924,7 @@ def exact_quantile(sf_dir: str, qs=(0.5, 0.9, 0.99), n_bins: int = 1024):
         ranges = sorted({(lo, hi) for lo, hi, _ in state.values() if lo != hi})
 
         def hist(t: pa.Table, ranges=ranges) -> pa.Table:
-            c = to_cents(t)
+            c = t.column(col).to_numpy(zero_copy_only=False)
             rows = {"range_id": [], "counts": []}
             for rid, (lo, hi) in enumerate(ranges):
                 width = hi - lo + 1
@@ -1945,12 +1964,7 @@ def exact_quantile(sf_dir: str, qs=(0.5, 0.9, 0.99), n_bins: int = 1024):
             if lo2 == hi2:
                 continue
 
-    return pa.table(
-        {
-            "q": pa.array([float(q) for q in state], pa.float64()),
-            "val": pa.array([lo / 100.0 for lo, _, _ in state.values()], pa.float64()),
-        }
-    )
+    return {q: lo for q, (lo, _, _) in state.items()}
 
 
 def funnel_conversion(sf_dir: str, steps=("view", "click", "purchase")):
@@ -5160,3 +5174,92 @@ def capped_session_windows(sf_dir: str, gap_s: int = 1800, cap_s: int = 14400):
     return map_key_buckets(
         ds, "user_id", sessionize_b, sort_by=["user_id", "ts", "event_id"]
     )
+
+
+def rfm_quartile_segments(sf_dir: str):
+    """RFM customer segmentation (the classic CRM scoring): per customer
+    Recency (days since their last order, vs the corpus max order date),
+    Frequency (order count) and Monetary (lifetime cents), each scored
+    1–4 by EXACT quartile thresholds over the customer population.
+    Quartiles are the parity-safe q (dyadic — NOTES quantile_disc rule);
+    scores are 1 + Σ(v > t_q) so ties sit below the boundary identically
+    on both engines; all metrics integer (µs → floor-div days, cents).
+
+    Scale shape: per-batch per-customer partials (max date, count, cents
+    sum) → ONE customer-bucket merge (customers never become Ray groups);
+    global max date is a scalar reduce; the three quartile thresholds
+    come from the r4 generalized distributed selection
+    (``_exact_int_quantiles`` — ~3 histogram scans of the CUSTOMER-sized
+    metric table, no sort); scoring is a stateless broadcast-threshold
+    pass."""
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ck": t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64),
+                "us": t.column("o_orderdate")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64),
+                "cents": np.floor(
+                    t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("ck", sort=False).agg(
+            last_us=("us", "max"), f_orders=("ck", "size"), m_cents=("cents", "sum")
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(g.index.to_numpy(dtype=np.int64)),
+                "last_us": pa.array(g["last_us"].to_numpy(dtype=np.int64)),
+                "f_orders": pa.array(g["f_orders"].to_numpy(dtype=np.int64)),
+                "m_cents": pa.array(g["m_cents"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def merge_b(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("o_custkey", sort=False).agg(
+            last_us=("last_us", "max"), f_orders=("f_orders", "sum"), m_cents=("m_cents", "sum")
+        )
+        return m.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = map_key_buckets(parts, "o_custkey", merge_b).materialize()
+    gmax = int(merged.max("last_us"))
+
+    def add_days(t: pa.Table) -> pa.Table:
+        last = t.column("last_us").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "r_days": pa.array((gmax - last) // DAY_US),
+                "f_orders": t.column("f_orders"),
+                "m_cents": t.column("m_cents"),
+            }
+        )
+
+    metrics = merged.map_batches(
+        add_days, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    QS = (0.25, 0.5, 0.75)
+    thr = {
+        col: list(_exact_int_quantiles(metrics, col, QS).values())
+        for col in ("r_days", "f_orders", "m_cents")
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        cols = {"c_custkey": t.column("c_custkey")}
+        for col in ("r_days", "f_orders", "m_cents"):
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            cols[col] = t.column(col)
+            s = np.ones(len(v), dtype=np.int64)
+            for tq in thr[col]:
+                s += (v > tq).astype(np.int64)
+            cols[col.split("_")[0][0] + "_score"] = pa.array(s)
+        return pa.table(cols)
+
+    return metrics.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -1115,3 +1115,43 @@ def test_capped_sessions_match_bruteforce_sf0001(ray_session):
             prev = tt
     got = _df(capped_session_windows(sf)).set_index("event_id")["session_seq"].to_dict()
     assert got == want
+
+
+def test_rfm_quartile_scores_constructed(ray_session, tmp_path):
+    """4 customers with strictly ordered R/F/M metrics score exactly
+    1..4 in each dimension; the boundary customer AT a threshold scores
+    below it (strict >)."""
+    from pdf_extractor_ray.pipelines.relational import rfm_quartile_segments
+
+    BASE = 1_704_067_200_000_000  # 2024-01-01 in us
+    DAY = 86_400_000_000
+    rows = []
+    # cust k (1..4): k orders, last order (4-k) days before the corpus max,
+    # each order 100*k dollars -> R,F,M all strictly ordered
+    okey = 0
+    for k in (1, 2, 3, 4):
+        for j in range(k):
+            rows.append((okey, k, BASE + (4 - k) * -DAY + j * 0, 100.0 * k))
+            okey += 1
+    import numpy as np
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderdate": pa.array(
+                    np.array([r[2] for r in rows], dtype="datetime64[us]")
+                ),
+                "o_totalprice": pa.array([r[3] for r in rows]),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    got = _df(rfm_quartile_segments(str(tmp_path))).set_index("c_custkey")
+    # cust 4 is most recent (r_days 0), most frequent, highest monetary
+    assert got.loc[4, "r_days"] == 0 and got.loc[1, "r_days"] == 3
+    assert list(got.sort_index()["f_score"]) == [1, 2, 3, 4]
+    assert list(got.sort_index()["m_score"]) == [1, 2, 3, 4]
+    # r_days: cust1=3d..cust4=0d -> staler = higher r_score
+    assert got.loc[1, "r_score"] == 4 and got.loc[4, "r_score"] == 1
