@@ -75,3 +75,54 @@ def read_partitioned_parquet(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def compact_parquet_dir(
+    in_dir: str,
+    out_dir: str,
+    target_rows_per_file: int = 100_000,
+    columns: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the data-lake maintenance pass every
+    streaming writer eventually needs (a day of micro-batches leaves
+    thousands of KB-sized files whose per-file open/footer cost dominates
+    reads). Reads the directory, repartitions to ~target_rows_per_file
+    blocks, and writes CONTENT-ADDRESSED files (name = sha256 of the
+    file's own bytes, the orc_ipc sink convention) — so re-running a
+    crashed compaction converges on the identical output set instead of
+    duplicating it, and a concurrent reader never sees a torn file
+    (os.replace of a same-dir temp).
+
+    Returns {"files_in", "files_out", "rows"} for the maintenance log.
+    Scale shape: one streaming read → repartition (block exchange, no
+    row shuffle) → one write task per output block."""
+    import hashlib
+    import io
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    files_in = sum(1 for n in os.listdir(in_dir) if n.endswith(".parquet"))
+    ds = rd.read_parquet(in_dir, columns=columns)
+    rows = ds.count()
+    n_out = max(1, -(-rows // target_rows_per_file))  # ceil
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t):
+        if t.num_rows == 0:
+            return t.slice(0, 0)
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        data = buf.getvalue()
+        name = hashlib.sha256(data).hexdigest()[:16]
+        tmp = os.path.join(out_dir, f".tmp-{name}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(out_dir, f"{name}.parquet"))
+        return t.slice(0, 0)
+
+    ds.repartition(n_out).map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    files_out = sum(1 for n in os.listdir(out_dir) if n.endswith(".parquet"))
+    return {"files_in": files_in, "files_out": files_out, "rows": rows}

@@ -267,3 +267,29 @@ def test_partition_pruned_read_never_touches_pruned_dirs(ray_session, tmp_path):
 
     with _pytest.raises(ValueError):
         read_partitioned_parquet(root, "lang", values=["zz"])
+
+
+def test_compact_parquet_dir_idempotent_roundtrip(ray_session, tmp_path):
+    """Many tiny files -> few target-sized files; rows/values round-trip;
+    re-running the compaction converges on the IDENTICAL output set
+    (content-addressed names — no duplicates from a crashed retry)."""
+    import ray.data as rd
+
+    from pdf_extractor_ray.sources.partitioned import compact_parquet_dir
+
+    src = tmp_path / "small"
+    df = pd.DataFrame({"k": range(1000), "v": [i * 3 for i in range(1000)]})
+    rd.from_pandas(df).repartition(50).write_parquet(str(src))
+    n_small = sum(1 for n in os.listdir(src) if n.endswith(".parquet"))
+    assert n_small >= 20  # genuinely fragmented input
+
+    out = tmp_path / "compact"
+    r1 = compact_parquet_dir(str(src), str(out), target_rows_per_file=400)
+    assert r1["rows"] == 1000
+    assert r1["files_out"] <= 4  # ceil(1000/400)=3 blocks (+slack)
+    got = rd.read_parquet(str(out)).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, df, check_dtype=False)
+
+    before = sorted(os.listdir(out))
+    r2 = compact_parquet_dir(str(src), str(out), target_rows_per_file=400)
+    assert sorted(os.listdir(out)) == before  # idempotent re-run
