@@ -1896,37 +1896,56 @@ def exact_quantile(sf_dir: str, qs=(0.5, 0.9, 0.99), n_bins: int = 1024):
 
 
 def _exact_int_quantiles(ds, col: str, qs, n_bins: int = 1024):
-    """EXACT quantile_disc over an int64 Dataset column by distributed
-    selection (the iterative histogram narrowing documented in
-    ``exact_quantile``, generalized in r4 so any integer metric — cents,
-    days, counts — can get exact thresholds without a sort). ``ds`` should
-    be materialized when it has expensive lineage (it is scanned
-    ~log_B(range)+1 times). Returns {q: int} in ``qs`` order, or None on
-    an empty column."""
+    """Single-column wrapper over :func:`_exact_int_quantiles_multi`.
+    Returns {q: int} in ``qs`` order, or None on an empty column."""
+    out = _exact_int_quantiles_multi(ds, {col: qs}, n_bins=n_bins)
+    return out.get(col)
+
+
+def _exact_int_quantiles_multi(ds, cols_qs: dict, n_bins: int = 1024):
+    """EXACT quantile_disc over MULTIPLE int64 Dataset columns by shared
+    distributed selection (the iterative histogram narrowing documented in
+    ``exact_quantile``, generalized in r4): every column's still-active
+    [lo, hi] ranges are histogrammed in the SAME scan, so k columns × m
+    quantiles cost the max narrowing depth, not the sum (RFM's three
+    metrics pay ~3 scans total instead of 3×3). ``ds`` should be
+    materialized when its lineage is expensive. Returns
+    {col: {q: int}}; a column with no rows is absent from the result."""
     import math
 
     from ray.data.aggregate import Count, Max, Min
 
-    agg = ds.aggregate(
-        Count(col, alias_name="n"),
-        Min(col, alias_name="mn"),
-        Max(col, alias_name="mx"),
-    )
-    n = int(agg["n"])
-    if n == 0:
-        return None
-    glo, ghi = int(agg["mn"]), int(agg["mx"])
+    aggs = []
+    for col in cols_qs:
+        aggs += [
+            Count(col, alias_name=f"n_{col}"),
+            Min(col, alias_name=f"mn_{col}"),
+            Max(col, alias_name=f"mx_{col}"),
+        ]
+    agg = ds.aggregate(*aggs)
 
-    # state per q: (lo, hi, rank-within-[lo,hi])
-    state = {float(q): [glo, ghi, max(math.ceil(float(q) * n), 1)] for q in qs}
+    # state per (col, q): (lo, hi, rank-within-[lo,hi])
+    state: dict = {}
+    for col, qs in cols_qs.items():
+        n = int(agg[f"n_{col}"])
+        if n == 0:
+            continue
+        glo, ghi = int(agg[f"mn_{col}"]), int(agg[f"mx_{col}"])
+        for q in qs:
+            state[(col, float(q))] = [glo, ghi, max(math.ceil(float(q) * n), 1)]
 
     while any(lo != hi for lo, hi, _ in state.values()):
-        ranges = sorted({(lo, hi) for lo, hi, _ in state.values() if lo != hi})
+        ranges = sorted(
+            {(col, lo, hi) for (col, _), (lo, hi, _) in state.items() if lo != hi}
+        )
 
         def hist(t: pa.Table, ranges=ranges) -> pa.Table:
-            c = t.column(col).to_numpy(zero_copy_only=False)
             rows = {"range_id": [], "counts": []}
-            for rid, (lo, hi) in enumerate(ranges):
+            cache: dict = {}
+            for rid, (col, lo, hi) in enumerate(ranges):
+                if col not in cache:
+                    cache[col] = t.column(col).to_numpy(zero_copy_only=False)
+                c = cache[col]
                 width = hi - lo + 1
                 sel = c[(c >= lo) & (c <= hi)]
                 b = (sel - lo) * n_bins // width
@@ -1944,27 +1963,26 @@ def _exact_int_quantiles(ds, col: str, qs, n_bins: int = 1024):
             rid: np.sum(np.stack([np.asarray(v) for v in g["counts"]]), axis=0)
             for rid, g in parts.groupby("range_id")
         }
-        for q, (lo, hi, rank) in state.items():
+        for (col, q), (lo, hi, rank) in state.items():
             if lo == hi:
                 continue
-            rid = ranges.index((lo, hi))
+            rid = ranges.index((col, lo, hi))
             width = hi - lo + 1
             cum = np.cumsum(totals[rid])
             b = int(np.searchsorted(cum, rank))
             below = int(cum[b - 1]) if b else 0
-            state[q] = [
+            state[(col, q)] = [
                 lo + (b * width + n_bins - 1) // n_bins,
                 lo + ((b + 1) * width - 1) // n_bins,
                 rank - below,
             ]
-            # single-count bucket whose bounds still straddle: collapse
-            lo2, hi2, _ = state[q]
             if int(totals[rid][b]) == 0:
                 raise AssertionError("rank fell in an empty bucket — narrowing bug")
-            if lo2 == hi2:
-                continue
 
-    return {q: lo for q, (lo, _, _) in state.items()}
+    out: dict = {}
+    for (col, q), (lo, _, _) in state.items():
+        out.setdefault(col, {})[q] = lo
+    return out
 
 
 def funnel_conversion(sf_dir: str, steps=("view", "click", "purchase")):
@@ -5246,10 +5264,10 @@ def rfm_quartile_segments(sf_dir: str):
     ).materialize()
 
     QS = (0.25, 0.5, 0.75)
-    thr = {
-        col: list(_exact_int_quantiles(metrics, col, QS).values())
-        for col in ("r_days", "f_orders", "m_cents")
-    }
+    multi = _exact_int_quantiles_multi(
+        metrics, {c: QS for c in ("r_days", "f_orders", "m_cents")}
+    )
+    thr = {col: list(multi[col].values()) for col in ("r_days", "f_orders", "m_cents")}
 
     def score(t: pa.Table) -> pa.Table:
         cols = {"c_custkey": t.column("c_custkey")}
