@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_detection_windows": relational.burst_detection_windows,
         "percent_rank_in_group": relational.percent_rank_in_group,
         "cube_counts": relational.cube_counts,
+        "grouping_sets_counts": relational.grouping_sets_counts,
         "bigram_pmi_topk": relational.bigram_pmi_topk,
         "snapshot_diff": relational.snapshot_diff,
         "scd2_history": relational.scd2_history,
@@ -1058,6 +1059,15 @@ def oracle_sql() -> dict[str, str]:
               CAST(COUNT(*) AS BIGINT) AS n,
               ROUND(SUM(o_totalprice), 2) AS sum_price
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "grouping_sets_counts": """
+            SELECT o_orderstatus, o_orderpriority,
+              CAST(GROUPING(o_orderstatus) * 2
+                   + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """,
         "bigram_pmi_topk": """
             WITH toks AS (

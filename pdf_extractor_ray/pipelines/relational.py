@@ -2758,12 +2758,10 @@ def percent_rank_in_group(sf_dir: str):
     return ds.groupby("o_orderpriority").map_groups(pr, batch_format="pandas")
 
 
-def cube_counts(sf_dir: str):
-    """GROUP BY CUBE(status, priority) — all four grouping sets from the
-    same ONE finest-level pass as ``rollup_counts`` (per-batch partials →
-    tiny |s|×|p| merge); the (NULL, p), (s, NULL) and (NULL, NULL) levels
-    are derived driver-side from the UNROUNDED finest sums in sorted key
-    order, and every level rounds once at the end."""
+def _status_priority_fine(sf_dir: str) -> "pd.DataFrame":
+    """Shared finest-level (status, priority) partial-sum pass for the
+    CUBE / GROUPING SETS family: per-batch partials → tiny |s|×|p| merge,
+    returned sorted so driver-side level derivation is order-stable."""
     ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -2779,7 +2777,7 @@ def cube_counts(sf_dir: str):
             }
         )
 
-    fine = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["o_orderstatus", "o_orderpriority"])
         .sum(["psum", "pn"])
@@ -2787,6 +2785,15 @@ def cube_counts(sf_dir: str):
         .rename(columns={"sum(psum)": "psum", "sum(pn)": "pn"})
         .sort_values(["o_orderstatus", "o_orderpriority"], kind="stable")
     )
+
+
+def cube_counts(sf_dir: str):
+    """GROUP BY CUBE(status, priority) — all four grouping sets from the
+    same ONE finest-level pass as ``rollup_counts`` (per-batch partials →
+    tiny |s|×|p| merge); the (NULL, p), (s, NULL) and (NULL, NULL) levels
+    are derived driver-side from the UNROUNDED finest sums in sorted key
+    order, and every level rounds once at the end."""
+    fine = _status_priority_fine(sf_dir)
 
     def level(df, s_col, p_col):
         return pd.DataFrame(
@@ -5281,3 +5288,48 @@ def rfm_quartile_segments(sf_dir: str):
         return pa.table(cols)
 
     return metrics.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouping_sets_counts(sf_dir: str):
+    """GROUP BY GROUPING SETS ((status), (priority), ()) WITH a
+    GROUPING()-derived id column — the piece ROLLUP/CUBE don't show: an
+    ARBITRARY set list, and the grouping id that lets consumers tell a
+    rolled-up NULL from a data NULL (gid = GROUPING(status)·2 +
+    GROUPING(priority): 1 for the status rows, 2 for priority, 3 for the
+    grand total). Same one finest-pass machinery as cube_counts
+    (`_status_priority_fine`); levels derive driver-side from unrounded
+    sums in sorted key order, one ROUND at the end."""
+    fine = _status_priority_fine(sf_dir)
+
+    by_s = (
+        fine.groupby("o_orderstatus", sort=True)
+        .agg(pn=("pn", "sum"), psum=("psum", "sum"))
+        .reset_index()
+    )
+    by_p = (
+        fine.groupby("o_orderpriority", sort=True)
+        .agg(pn=("pn", "sum"), psum=("psum", "sum"))
+        .reset_index()
+    )
+
+    def level(status, priority, gid, pn, psum):
+        return pd.DataFrame(
+            {
+                "o_orderstatus": status,
+                "o_orderpriority": priority,
+                "gid": np.full(len(pn), gid, dtype=np.int64),
+                "n": np.asarray(pn, dtype=np.int64),
+                "_sum": np.asarray(psum, dtype=np.float64),
+            }
+        )
+
+    out = pd.concat(
+        [
+            level(by_s["o_orderstatus"].to_numpy(), None, 1, by_s["pn"], by_s["psum"]),
+            level(None, by_p["o_orderpriority"].to_numpy(), 2, by_p["pn"], by_p["psum"]),
+            level([None], [None], 3, [int(fine["pn"].sum())], [float(by_s["psum"].sum())]),
+        ],
+        ignore_index=True,
+    )
+    out["sum_price"] = np.round(out.pop("_sum").to_numpy(dtype=np.float64), 2)
+    return out
