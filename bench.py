@@ -191,6 +191,7 @@ QUERY_PANEL = [
     "kmv_user_overlap",
     "capped_session_windows",
     "rfm_quartile_segments",
+    "grouping_sets_counts",
     "cume_dist_by_supplier",
     "lineitems_above_avg_qty",
     "histogram_orders_cents",
