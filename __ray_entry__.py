@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_in_group": relational.percent_rank_in_group,
         "cube_counts": relational.cube_counts,
         "grouping_sets_counts": relational.grouping_sets_counts,
+        "chi2_cell_residuals": relational.chi2_cell_residuals,
         "bigram_pmi_topk": relational.bigram_pmi_topk,
         "snapshot_diff": relational.snapshot_diff,
         "scd2_history": relational.scd2_history,
@@ -1059,6 +1060,26 @@ def oracle_sql() -> dict[str, str]:
               CAST(COUNT(*) AS BIGINT) AS n,
               ROUND(SUM(o_totalprice), 2) AS sum_price
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "chi2_cell_residuals": """
+            WITH c AS (
+              SELECT o_orderstatus, o_orderpriority,
+                     CAST(COUNT(*) AS BIGINT) AS observed
+              FROM orders GROUP BY o_orderstatus, o_orderpriority),
+            m AS (
+              SELECT c.*,
+                SUM(observed) OVER (PARTITION BY o_orderstatus) AS row_n,
+                SUM(observed) OVER (PARTITION BY o_orderpriority) AS col_n,
+                SUM(observed) OVER () AS n
+              FROM c)
+            SELECT o_orderstatus, o_orderpriority, observed,
+              ROUND(CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                AS expected_r,
+              ROUND((CAST(observed AS DOUBLE)
+                     - CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE))
+                    / SQRT(CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                AS residual_r
+            FROM m
         """,
         "grouping_sets_counts": """
             SELECT o_orderstatus, o_orderpriority,

@@ -192,6 +192,7 @@ QUERY_PANEL = [
     "capped_session_windows",
     "rfm_quartile_segments",
     "grouping_sets_counts",
+    "chi2_cell_residuals",
     "cume_dist_by_supplier",
     "lineitems_above_avg_qty",
     "histogram_orders_cents",

@@ -5333,3 +5333,39 @@ def grouping_sets_counts(sf_dir: str):
     )
     out["sum_price"] = np.round(out.pop("_sum").to_numpy(dtype=np.float64), 2)
     return out
+
+
+def chi2_cell_residuals(sf_dir: str):
+    """Chi-square POST-HOC cell analysis (the step after
+    ``chi2_independence`` says "dependent": WHICH cells drive it):
+    per (status, priority) cell the observed count, expected count under
+    independence and the Pearson standardized residual (o − e)/√e.
+    Everything is IEEE-bit-identical across engines with no rounding
+    tricks needed until the final 6dp: counts are ints, e = (row·col)/n
+    is one exact-int product (< 2⁵³) and one double division, √ is
+    correctly rounded — the same-expression rule.
+
+    Scale shape: the shared cube-family finest pass
+    (`_status_priority_fine`) — one partial-agg scan; the |s|×|p| cell
+    table finishes driver-side."""
+    fine = _status_priority_fine(sf_dir)
+    o = fine["pn"].to_numpy(dtype=np.int64)
+    s = fine["o_orderstatus"].to_numpy()
+    p = fine["o_orderpriority"].to_numpy()
+    row = fine.groupby("o_orderstatus")["pn"].transform("sum").to_numpy(dtype=np.int64)
+    col = fine.groupby("o_orderpriority")["pn"].transform("sum").to_numpy(dtype=np.int64)
+    n = int(o.sum())
+    e = (row * col).astype(np.float64) / float(n)
+    resid = (o.astype(np.float64) - e) / np.sqrt(e)
+    return pd.DataFrame(
+        {
+            "o_orderstatus": s,
+            "o_orderpriority": p,
+            "observed": o,
+            # expected is a ratio of integers — can land an exact 6dp .5
+            # tie, so round half-away (CLAUDE.md rule); the residual has a
+            # √ factor, so ties are unrealizable and np.round is safe
+            "expected_r": np.floor(e * 1e6 + 0.5) / 1e6,
+            "residual_r": np.round(resid, 6),
+        }
+    )

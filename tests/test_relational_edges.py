@@ -1155,3 +1155,36 @@ def test_rfm_quartile_scores_constructed(ray_session, tmp_path):
     assert list(got.sort_index()["m_score"]) == [1, 2, 3, 4]
     # r_days: cust1=3d..cust4=0d -> staler = higher r_score
     assert got.loc[1, "r_score"] == 4 and got.loc[4, "r_score"] == 1
+
+
+def test_chi2_residuals_zero_under_independence(ray_session, tmp_path):
+    """A perfectly independent contingency table has residual 0 in every
+    cell (observed == expected exactly); a planted excess cell goes
+    positive and its row/column partners negative."""
+    from pdf_extractor_ray.pipelines.relational import chi2_cell_residuals
+
+    def write(rows):
+        s, p = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderstatus": pa.array(list(s)),
+                    "o_orderpriority": pa.array(list(p)),
+                    "o_totalprice": pa.array([1.0] * len(rows)),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+
+    write([("A", "X")] * 2 + [("A", "Y")] * 2 + [("B", "X")] * 2 + [("B", "Y")] * 2)
+    got = _df(chi2_cell_residuals(str(tmp_path)))
+    assert (got["residual_r"] == 0.0).all()
+    assert (got["expected_r"] == 2.0).all()
+
+    write([("A", "X")] * 6 + [("A", "Y")] * 2 + [("B", "X")] * 2 + [("B", "Y")] * 2)
+    got = _df(chi2_cell_residuals(str(tmp_path))).set_index(
+        ["o_orderstatus", "o_orderpriority"]
+    )
+    assert got.loc[("A", "X"), "residual_r"] > 0
+    assert got.loc[("B", "X"), "residual_r"] < 0
+    assert got.loc[("A", "Y"), "residual_r"] < 0
