@@ -41,9 +41,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ORDERING CONTRACT (VERDICT r2 #4): the driver grades a fixed-size prefix
     of this dict (CORRECTNESS_r01/r02 each contain exactly the first 50
     entries of the then-current order). Entries are therefore ordered to
-    ROTATE driver-grade coverage: the flagship block first, then every
-    oracle-paired entry that has never appeared in a CORRECTNESS file, then
-    a representative sample of twice-graded entries; twice-graded
+    ROTATE driver-grade coverage: every oracle-paired entry that has never
+    appeared in a CORRECTNESS file first, then a re-grade sample of entries
+    whose implementations were touched this round; previously-graded
     remainders and rows-only entries follow after position 50. ALL entries
     remain present and all oracle-paired entries are verified hash-exact at
     sf0.001 AND sf0.01 by tests/test_oracle_parity.py regardless of
@@ -62,34 +62,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     return {
-        # --- GRADED PREFIX (first 50): third rotation — every entry below
-        # is oracle-paired and has NEVER appeared in a CORRECTNESS_r* file
-        # (r1–r3 graded 94 distinct entries; this prefix adds 50 more; the
-        # remaining 17 never-graded oracle-paired entries are queued for
-        # round 5). First three are the entries whose implementations were
-        # touched this round (min-support pushdown, int64-null dtype).
-        "association_rules_topk": relational.association_rules_topk,
+        # --- GRADED PREFIX (first 50): FOURTH rotation (VERDICT r4 #1) —
+        # positions 1-28 are every oracle-paired entry that has never
+        # appeared in any CORRECTNESS_r* file (r1-r4 graded 144 distinct
+        # entries; with these, every oracle-paired query will have been
+        # driver-graded at least once across r1-r5). Positions 29-50 are a
+        # re-grade sample chosen from the entries this round's changes
+        # touch: the per-key window family (map_key_buckets n_buckets is
+        # now scale-derived, VERDICT r4 #2) and the flagship extraction
+        # block (schema-clean reads, VERDICT r4 #4).
+        "lead_event_delta": relational.lead_event_delta,
+        "cume_dist_by_supplier": relational.cume_dist_by_supplier,
+        "lineitems_above_avg_qty": relational.lineitems_above_avg_qty,
+        "histogram_orders_cents": relational.histogram_orders_cents,
+        "iqr_outliers_by_priority": relational.iqr_outliers_by_priority,
+        "grouping_sets_counts": relational.grouping_sets_counts,
+        "chi2_cell_residuals": relational.chi2_cell_residuals,
+        "scd2_history": relational.scd2_history,
+        "temperature_mixture_allocation": training.temperature_mixture_allocation,
+        "boilerplate_line_removal": textops.boilerplate_line_removal,
+        "exact_quantile": relational.exact_quantile,
+        "funnel_conversion": relational.funnel_conversion,
+        "retention_cohorts": relational.retention_cohorts,
+        "event_time_join": relational.event_time_join,
+        "rfm_quartile_segments": relational.rfm_quartile_segments,
+        "word_len_stats_by_source": relational.word_len_stats_by_source,
+        "exact_distinct_tokens_by_source": relational.exact_distinct_tokens_by_source,
+        "rolling_extremes_per_user": relational.rolling_extremes_per_user,
+        "inlink_counts": textops.inlink_counts,
+        "revenue_share_by_priority": relational.revenue_share_by_priority,
+        "padding_waste_by_length_tile": training.padding_waste_by_length_tile,
+        "span_corruption_stats": training.span_corruption_stats,
+        "campaign_exposure_seconds": relational.campaign_exposure_seconds,
+        "weighted_quantile_doc_len": training.weighted_quantile_doc_len,
+        "top_tokens_per_doc": textops.top_tokens_per_doc,
+        "topk_with_ties_per_group": relational.topk_with_ties_per_group,
+        "weekly_revenue_wow": relational.weekly_revenue_wow,
+        "user_journey_signatures": relational.user_journey_signatures,
+        # --- re-grade sample (window family + flagship; all previously graded)
         "events_since_purchase": relational.events_since_purchase,
         "last_nonnull_carry": relational.last_nonnull_carry,
+        "rolling_avg_per_user": relational.rolling_avg_per_user,
+        "sliding_distinct_users": relational.sliding_distinct_users,
+        "running_distinct_types": relational.running_distinct_types,
+        "windowed_topk_types": relational.windowed_topk_types,
+        "time_weighted_avg_per_user": relational.time_weighted_avg_per_user,
+        "running_total": relational.running_total,
+        "lag_event_delta": relational.lag_event_delta,
+        "session_windows": relational.session_windows,
+        "late_event_filter": relational.late_event_filter,
+        "resample_ffill_hourly": relational.resample_ffill_hourly,
+        "rolling_count_range_window": relational.rolling_count_range_window,
+        "interval_islands": relational.interval_islands,
+        "rank_in_group": relational.rank_in_group,
+        "dense_rank_in_group": relational.dense_rank_in_group,
+        "percent_rank_in_group": relational.percent_rank_in_group,
+        "tumbling_window_agg": relational.tumbling_window_agg,
+        "sliding_window_agg": relational.sliding_window_agg,
+        "extract_pages_text": textops.extract_pages_text,
+        "quality_by_host_stats": textops.quality_by_host_stats,
+        "tumbling_distinct_users": relational.tumbling_distinct_users,
+        # --- past the graded cut: previously-graded (r1-r4) entries and
+        # rows-only entries - ALL verified hash-exact at sf0.001 AND sf0.01
+        # by tests/test_oracle_parity.py regardless of position.
+        "association_rules_topk": relational.association_rules_topk,
         "table_checksum": relational.table_checksum,
         "export_roundtrip_manifest": textops.export_roundtrip_manifest,
         "merge_upsert": relational.merge_upsert,
         "skyline_orders": relational.skyline_orders,
-        "time_weighted_avg_per_user": relational.time_weighted_avg_per_user,
         "chi2_independence": relational.chi2_independence,
         "benford_first_digit": relational.benford_first_digit,
-        "rolling_avg_per_user": relational.rolling_avg_per_user,
         "mode_by_group": relational.mode_by_group,
         "distinct_pairs": relational.distinct_pairs,
         "median_by_group": relational.median_by_group,
-        "rank_in_group": relational.rank_in_group,
-        "sliding_distinct_users": relational.sliding_distinct_users,
         "left_join_null_fill": relational.left_join_null_fill,
-        "interval_islands": relational.interval_islands,
-        "running_distinct_types": relational.running_distinct_types,
-        "windowed_topk_types": relational.windowed_topk_types,
         "except_custkeys": relational.except_custkeys,
-        "dense_rank_in_group": relational.dense_rank_in_group,
         "mad_by_group": relational.mad_by_group,
         "unpivot_measures": relational.unpivot_measures,
         "first_last_value_in_group": relational.first_last_value_in_group,
@@ -118,27 +165,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_contamination": training.split_contamination,
         "repetition_signals": textops.repetition_signals,
         "pack_sequences": training.pack_sequences,
-        # --- past the graded cut: previously-graded (r1/r2/r3) entries,
-        # rows-only entries, and the round-5 rotation queue — ALL verified
-        # hash-exact at sf0.001 AND sf0.01 by tests/test_oracle_parity.py
-        "extract_pages_text": textops.extract_pages_text,
-        "quality_by_host_stats": textops.quality_by_host_stats,
         "problem_rows": textops.problem_rows,
         "extraction_diagnostics": textops.extraction_diagnostics,
         "dedup_replicated_corpus": textops.dedup_replicated_corpus,
         "cc_pipeline_audit": textops.cc_pipeline_audit,
-        "lag_event_delta": relational.lag_event_delta,
-        "lead_event_delta": relational.lead_event_delta,
-        "cume_dist_by_supplier": relational.cume_dist_by_supplier,
         "range_join_campaigns": relational.range_join_campaigns,
         "pivot_event_counts": relational.pivot_event_counts,
         "percentile_by_group": relational.percentile_by_group,
         "ccnet_perplexity_buckets": textops.ccnet_perplexity_buckets,
         "relational_division": relational.relational_division,
-        "lineitems_above_avg_qty": relational.lineitems_above_avg_qty,
-        "histogram_orders_cents": relational.histogram_orders_cents,
-        "iqr_outliers_by_priority": relational.iqr_outliers_by_priority,
-        "running_total": relational.running_total,
         "topk_per_group": relational.topk_per_group,
         "decayed_count_by_type": relational.decayed_count_by_type,
         "distinct_count_by_group": relational.distinct_count_by_group,
@@ -153,30 +188,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_distribution": graph.degree_distribution,
         "triangle_count": graph.triangle_count,
         "incremental_ingest_dedup": incremental.incremental_ingest_dedup,
-        "resample_ffill_hourly": relational.resample_ffill_hourly,
         "event_transition_matrix": relational.event_transition_matrix,
         "burst_detection_windows": relational.burst_detection_windows,
-        "percent_rank_in_group": relational.percent_rank_in_group,
         "cube_counts": relational.cube_counts,
-        "grouping_sets_counts": relational.grouping_sets_counts,
-        "chi2_cell_residuals": relational.chi2_cell_residuals,
         "bigram_pmi_topk": relational.bigram_pmi_topk,
         "snapshot_diff": relational.snapshot_diff,
-        "scd2_history": relational.scd2_history,
-        "temperature_mixture_allocation": training.temperature_mixture_allocation,
         "shuffle_join_detail": relational.shuffle_join_detail,
-        "rolling_count_range_window": relational.rolling_count_range_window,
         "global_row_number": relational.global_row_number,
         "intersect_custkeys": relational.intersect_custkeys,
         "star_join_revenue": relational.star_join_revenue,
         "paragraph_dedup": textops.paragraph_dedup,
-        "boilerplate_line_removal": textops.boilerplate_line_removal,
         "url_canonical_dedup": textops.url_canonical_dedup,
         "stratified_sample_by_decile": training.stratified_sample_by_decile,
         "extract_outlinks": textops.extract_outlinks,
         "training_export_audit": textops.training_export_audit,
-        "late_event_filter": relational.late_event_filter,
-        "tumbling_distinct_users": relational.tumbling_distinct_users,
         "image_header_features": textops.image_header_features,
         "dup_span_coverage": search.dup_span_coverage,
         "bfs_hops": graph.bfs_hops,
@@ -203,11 +228,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_edit_join": enrich.fuzzy_edit_join,
         "asof_join_last_signup": enrich.asof_join_last_signup,
         "classify_three_pass": enrich.classify_three_pass,
-        "exact_quantile": relational.exact_quantile,
-        "funnel_conversion": relational.funnel_conversion,
-        "retention_cohorts": relational.retention_cohorts,
-        "event_time_join": relational.event_time_join,
-        "tumbling_window_agg": relational.tumbling_window_agg,
         "part_brand_stats": relational.part_brand_stats,
         "json_parse_tolerant": relational.json_parse_tolerant,
         "hash_bucket_counts": relational.hash_bucket_counts,
@@ -227,13 +247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats_by_lang": relational.token_stats_by_lang,
         "quality_score": relational.quality_score,
         "quality_filter_rules": relational.quality_filter_rules,
-        "sliding_window_agg": relational.sliding_window_agg,
-        "session_windows": relational.session_windows,
         "approx_quantile_hist": relational.approx_quantile_hist,
         "throttle_events_cooldown": relational.throttle_events_cooldown,
         "kmv_user_overlap": relational.kmv_user_overlap,
         "capped_session_windows": relational.capped_session_windows,
-        "rfm_quartile_segments": relational.rfm_quartile_segments,
         "countmin_token_counts": relational.countmin_token_counts,
         "approx_distinct_tokens": relational.approx_distinct_tokens,
         "approx_distinct_tokens_by_source": relational.approx_distinct_tokens_by_source,
@@ -259,21 +276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_near_dup_pipeline": textops.corpus_near_dup_pipeline,
         "langid_predict": textops.langid_predict,
         "fingerprint_rolling": textops.fingerprint_rolling,
-        "word_len_stats_by_source": relational.word_len_stats_by_source,
-        "exact_distinct_tokens_by_source": relational.exact_distinct_tokens_by_source,
         "compression_ratio_signal": textops.compression_ratio_signal,
         "kcore_nodes": graph.kcore_nodes,
-        "rolling_extremes_per_user": relational.rolling_extremes_per_user,
-        "inlink_counts": textops.inlink_counts,
-        "revenue_share_by_priority": relational.revenue_share_by_priority,
-        "padding_waste_by_length_tile": training.padding_waste_by_length_tile,
-        "span_corruption_stats": training.span_corruption_stats,
-        "campaign_exposure_seconds": relational.campaign_exposure_seconds,
-        "weighted_quantile_doc_len": training.weighted_quantile_doc_len,
-        "top_tokens_per_doc": textops.top_tokens_per_doc,
-        "topk_with_ties_per_group": relational.topk_with_ties_per_group,
-        "weekly_revenue_wow": relational.weekly_revenue_wow,
-        "user_journey_signatures": relational.user_journey_signatures,
     }
 
 
