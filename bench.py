@@ -67,6 +67,10 @@ def _init_ray(num_cpus: int) -> None:
     # preserved or improved.
     ctx.op_resource_reservation_ratio = 0.3
 
+    from pdf_extractor_ray.ioutil import silence_benign_empty_schema_warnings
+
+    silence_benign_empty_schema_warnings()
+
     # untimed warm-up: spawn the worker pool + touch the input files once so
     # timed sections measure compute + shuffle, not process forks / cold reads
     import ray.data as rd

@@ -268,11 +268,9 @@ def read_pages(sf_dir: str, replicate: int = 1, fanout_blocks: int | None = None
     breaks that fusion and fans the chain out. This is a small-input shim
     ONLY — a real 100 TB corpus has thousands of files and natural read
     parallelism, and an all-to-all repartition there would be wrong."""
-    import ray.data as rd
+    from .ioutil import read_table
 
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
     if fanout_blocks:
         docs = docs.repartition(fanout_blocks)
     if replicate > 1:

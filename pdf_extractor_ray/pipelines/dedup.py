@@ -27,9 +27,9 @@ NUM_BANDS = 16  # 16 bands × 4 rows → catches J≳0.6 with high prob
 
 
 def _read_docs(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data as rd
+    from ..ioutil import read_table
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_table(sf_dir, "documents", list(columns))
 
 
 class MinHashBander:

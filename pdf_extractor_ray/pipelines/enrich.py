@@ -16,9 +16,9 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from ..ioutil import read_table
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_table(sf_dir, table, columns)
 
 
 # ---------------------------------------------------------------------------

@@ -114,9 +114,9 @@ def _split(batch: pa.Table) -> pa.Table:
 
 
 def _normalize_source(sf_dir: str, table: str, columns: list[str], tmap: TransformMap):
-    import ray.data as rd
+    from ..ioutil import read_table
 
-    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    ds = read_table(sf_dir, table, columns)
     return ds.map_batches(
         lambda t: _split(apply_transform_map(t, tmap)),
         batch_format="pyarrow",

@@ -32,9 +32,9 @@ from ..functions.tokens import split_ws
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from ..ioutil import read_table
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_table(sf_dir, table, columns)
 
 
 def _n_docs(sf_dir: str) -> int:

@@ -21,6 +21,9 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    from pdf_extractor_ray.ioutil import silence_benign_empty_schema_warnings
+
+    silence_benign_empty_schema_warnings()
     yield
     ray.shutdown()
 
