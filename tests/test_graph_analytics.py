@@ -228,11 +228,8 @@ def test_grouped_hll_accuracy(ray_session):
     from pdf_extractor_ray.pipelines.relational import approx_distinct_tokens_by_source
 
     sf = "/root/testdata/sf0.001"
-    approx = (
-        approx_distinct_tokens_by_source(sf)
-        .to_pandas()
-        .set_index("source")["approx_distinct"]
-    )
+    # returns a DataFrame since the r5 self-audit columns (exact joined in)
+    approx = approx_distinct_tokens_by_source(sf).set_index("source")["approx_distinct"]
     exact = (
         duckdb.sql(
             f"""SELECT source, COUNT(DISTINCT tok) AS n FROM (
