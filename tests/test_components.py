@@ -369,7 +369,15 @@ def test_source_minhash_similarity_vs_bruteforce(ray_session, tmp_path):
     assert df[("A", "C")] < 0.1 and df[("B", "C")] < 0.1
 
     df2 = source_minhash_similarity(str(tmp_path), num_perm=128).to_pandas()
-    assert df.reset_index().equals(df2)
+    # r5: output gained exact_jaccard/abs_err audit columns — determinism
+    # check compares the estimate columns
+    assert df.reset_index().equals(df2[["source_a", "source_b", "est_jaccard"]])
+    # audit columns: exact == brute-force truth on this constructed corpus
+    for r in df2.itertuples(index=False):
+        true = len(sets[r.source_a] & sets[r.source_b]) / len(
+            sets[r.source_a] | sets[r.source_b]
+        )
+        assert abs(r.exact_jaccard - true) < 1e-6
 
 
 def test_pca_project_matches_local_and_captures_structure(ray_session, tmp_path):

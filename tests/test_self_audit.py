@@ -67,6 +67,46 @@ def test_quantile_bound_audit(sf_dir, ray_session):
     assert (h["exact_value"] > 0).all()
 
 
+def test_window_recurrence_audits(sf_dir, ray_session):
+    from pdf_extractor_ray.pipelines.relational import (
+        capped_session_windows,
+        throttle_events_cooldown,
+    )
+
+    t = _df(throttle_events_cooldown(sf_dir))
+    assert ((t["gap_prev_kept_s"] == -1) | (t["gap_prev_kept_s"] >= 3600)).all()
+    c = _df(capped_session_windows(sf_dir))
+    assert (c["since_start_s"] <= 14400).all()
+    assert (c["since_start_s"] >= 0).all()
+
+
+def test_vector_family_audits(sf_dir, ray_session):
+    from pdf_extractor_ray.pipelines.similarity import (
+        cluster_balanced_sample,
+        pca_project,
+        semdedup,
+    )
+
+    s = _df(cluster_balanced_sample(sf_dir))
+    assert (s["rank_in_cluster"] < 20).all()
+    p = _df(pca_project(sf_dir))
+    assert (p["norm_ratio"] <= 1.000001).all()  # Bessel
+    d = _df(semdedup(sf_dir))
+    assert ((d["max_cos_prev"] >= 0.95) == d["is_dup"]).all()
+
+
+def test_pagerank_mass_and_minhash_err_audits(sf_dir, ray_session):
+    from pdf_extractor_ray.pipelines.dedup import source_minhash_similarity
+    from pdf_extractor_ray.pipelines.graph import pagerank
+
+    r = _df(pagerank(sf_dir))
+    assert abs(float(r["rank_sum_all"].iloc[0]) - 1.0) < 1e-4
+    m = _df(source_minhash_similarity(sf_dir))
+    # MinHash s.e. ≈ 1/sqrt(128) ≈ 0.088; 2-sigma band
+    assert (m["abs_err"] <= 0.18).all()
+    assert (m["exact_jaccard"] >= 0).all() and (m["exact_jaccard"] <= 1).all()
+
+
 def test_embedding_near_dup_empty_keeps_schema(sf_dir, ray_session):
     """Zero verified pairs must still return the typed (vec_a, vec_b,
     cos_r) schema — groupby().aggregate() on empty input drops it
