@@ -115,16 +115,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_count_range_window": relational.rolling_count_range_window,
         "interval_islands": relational.interval_islands,
         "rank_in_group": relational.rank_in_group,
-        "dense_rank_in_group": relational.dense_rank_in_group,
-        "percent_rank_in_group": relational.percent_rank_in_group,
-        "tumbling_window_agg": relational.tumbling_window_agg,
-        "sliding_window_agg": relational.sliding_window_agg,
+        # --- four NEW r5 oracle families take graded slots so they get a
+        # driver pass in the round they were written (the displaced four
+        # re-grades — dense_rank/percent_rank/tumbling/sliding — were all
+        # driver-graded in r1-r3 and move past the cut)
+        "clv_by_segment": relational.clv_by_segment,
+        "type_token_ratio": relational.type_token_ratio,
+        "interevent_gap_histogram": relational.interevent_gap_histogram,
+        "vocab_oov_rate": relational.vocab_oov_rate,
         "extract_pages_text": textops.extract_pages_text,
         "quality_by_host_stats": textops.quality_by_host_stats,
         "tumbling_distinct_users": relational.tumbling_distinct_users,
         # --- past the graded cut: previously-graded (r1-r4) entries and
         # rows-only entries - ALL verified hash-exact at sf0.001 AND sf0.01
         # by tests/test_oracle_parity.py regardless of position.
+        "dense_rank_in_group": relational.dense_rank_in_group,
+        "percent_rank_in_group": relational.percent_rank_in_group,
+        "tumbling_window_agg": relational.tumbling_window_agg,
+        "sliding_window_agg": relational.sliding_window_agg,
         "association_rules_topk": relational.association_rules_topk,
         "table_checksum": relational.table_checksum,
         "export_roundtrip_manifest": textops.export_roundtrip_manifest,
@@ -929,6 +937,59 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, n_tokens, n_stop FROM f
             WHERE n_tokens BETWEEN 10 AND 200 AND n_stop * 10 >= n_tokens
+        """,
+        "clv_by_segment": """
+            WITH percust AS (
+              SELECT o_custkey,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents,
+                     CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS BIGINT)
+                       AS tenure_days
+              FROM orders GROUP BY o_custkey)
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   ROUND(CAST(SUM(n_orders) AS DOUBLE) / COUNT(*), 4) AS avg_orders,
+                   ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 4)
+                     AS avg_lifetime_value,
+                   ROUND(CAST(SUM(tenure_days) AS DOUBLE) / COUNT(*), 4)
+                     AS avg_tenure_days
+            FROM customer JOIN percust ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+        """,
+        "type_token_ratio": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                     AS n_distinct,
+                   ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS ttr
+            FROM documents
+        """,
+        "interevent_gap_histogram": """
+            WITH gaps AS (
+              SELECT event_type,
+                     date_diff('second', LAG(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+              FROM events)
+            SELECT event_type,
+                   CAST(length(CAST(gap_s AS VARCHAR)) AS BIGINT) AS gap_digits,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM gaps WHERE gap_s IS NOT NULL
+            GROUP BY event_type, gap_digits
+        """,
+        "vocab_oov_rate": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+            vocab AS (
+              SELECT t FROM tok GROUP BY t
+              ORDER BY COUNT(*) DESC, t ASC LIMIT 20)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_oov,
+                   ROUND(CAST(SUM(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1
+                        END) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+            FROM tok GROUP BY doc_id
         """,
         "tumbling_window_agg": """
             SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

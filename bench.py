@@ -254,6 +254,11 @@ QUERY_PANEL = [
     "weekly_revenue_wow",
     "user_journey_signatures",
     "events_since_purchase",
+    # r5 families
+    "clv_by_segment",
+    "type_token_ratio",
+    "interevent_gap_histogram",
+    "vocab_oov_rate",
 ]
 
 

@@ -5556,3 +5556,264 @@ def chi2_cell_residuals(sf_dir: str):
             "residual_r": np.round(resid, 6),
         }
     )
+
+
+def clv_by_segment(sf_dir: str):
+    """Customer-lifetime-value rollup per market segment — the CRM view on
+    top of the RFM per-customer metric build (NOTES r4: share that build
+    with a lifetime family): per customer, order count / lifetime cents /
+    tenure days from ONE orders scan of per-batch partials; the customer
+    dim co-groups on the SAME custkey bucket (kind-tagged union, the
+    left_join_null_fill layout), and a tiny per-segment rollup finishes.
+
+    Oracle safety: every per-customer metric stays INTEGER (cents via
+    half-away floor, tenure via epoch-µs floor-div — orderdates are
+    midnight-aligned so DuckDB date_diff('day') agrees); the three
+    averages are one int-sum / int-count division each, identical
+    operation order to the SQL (IEEE division is correctly rounded, so
+    the doubles are bit-equal).
+
+    Scale shape: customers never become Ray groups (bucket merge); only
+    |segments| partial rows per bucket reach the driver."""
+    DAY_US = 86_400_000_000
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def fact_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64),
+                "us": t.column("o_orderdate")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64),
+                "cents": np.floor(
+                    t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("key", sort=False).agg(
+            first_us=("us", "min"),
+            last_us=("us", "max"),
+            n_orders=("key", "size"),
+            cents=("cents", "sum"),
+        )
+        n = len(g)
+        return pa.table(
+            {
+                "key": pa.array(g.index.to_numpy(dtype=np.int64)),
+                "kind": pa.array(np.zeros(n, dtype=np.int64)),
+                "first_us": pa.array(g["first_us"].to_numpy(dtype=np.int64)),
+                "last_us": pa.array(g["last_us"].to_numpy(dtype=np.int64)),
+                "n_orders": pa.array(g["n_orders"].to_numpy(dtype=np.int64)),
+                "cents": pa.array(g["cents"].to_numpy(dtype=np.int64)),
+                "seg": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def dim_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "key": t.column("c_custkey").cast(pa.int64()),
+                "kind": pa.array(np.ones(n, dtype=np.int64)),
+                "first_us": pa.array(z),
+                "last_us": pa.array(z),
+                "n_orders": pa.array(z),
+                "cents": pa.array(z),
+                "seg": t.column("c_mktsegment"),
+            }
+        )
+
+    def seg_partial(g: pd.DataFrame) -> pd.DataFrame:
+        facts = g[g["kind"] == 0]
+        m = facts.groupby("key", sort=False).agg(
+            first_us=("first_us", "min"),
+            last_us=("last_us", "max"),
+            n_orders=("n_orders", "sum"),
+            cents=("cents", "sum"),
+        )
+        dim = g[g["kind"] == 1][["key", "seg"]].drop_duplicates("key").set_index("key")
+        j = dim.join(m, how="inner")  # customers WITH orders, like the SQL join
+        if j.empty:
+            return pd.DataFrame(
+                {
+                    "seg": pd.Series([], dtype=object),
+                    "n_customers": pd.Series([], dtype="int64"),
+                    "sum_orders": pd.Series([], dtype="int64"),
+                    "sum_cents": pd.Series([], dtype="int64"),
+                    "sum_tenure": pd.Series([], dtype="int64"),
+                }
+            )
+        j["tenure_days"] = (j["last_us"] - j["first_us"]) // DAY_US
+        s = j.groupby("seg", sort=False).agg(
+            n_customers=("seg", "size"),
+            sum_orders=("n_orders", "sum"),
+            sum_cents=("cents", "sum"),
+            sum_tenure=("tenure_days", "sum"),
+        )
+        return s.reset_index()
+
+    both = orders.map_batches(
+        fact_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(cust.map_batches(dim_rows, batch_format="pyarrow", zero_copy_batch=True))
+    parts = map_key_buckets(both, "key", seg_partial).to_pandas()
+    s = parts.groupby("seg", as_index=False).sum(numeric_only=True)
+    # integer/integer ratios can land on binary-exact .5e-4 ties where
+    # np.round (banker's) diverges from DuckDB ROUND (half-away) — the
+    # repetition_signals rule (NOTES r3): round half-away explicitly.
+    def r4away(x):
+        return np.floor(x * 1e4 + 0.5) / 1e4
+
+    out = pd.DataFrame(
+        {
+            "c_mktsegment": s["seg"],
+            "n_customers": s["n_customers"].astype(np.int64),
+            "avg_orders": r4away(s["sum_orders"] / s["n_customers"]),
+            "avg_lifetime_value": r4away(s["sum_cents"] / s["n_customers"] / 100.0),
+            "avg_tenure_days": r4away(s["sum_tenure"] / s["n_customers"]),
+        }
+    ).sort_values("c_mktsegment")
+    return out.reset_index(drop=True)
+
+
+def type_token_ratio(sf_dir: str):
+    """Per-document type-token ratio (lexical diversity — the quality
+    signal next to repetition/compression ratios in the curation stack):
+    distinct tokens / total tokens per document. Integer/integer ratio ⇒
+    rounded HALF-AWAY (``np.floor(x·1e6+0.5)/1e6``) to match DuckDB ROUND
+    on binary-exact ties (NOTES r3 banker's-rounding rule). Pure stateless
+    batch transform — no shuffle at all; the distinct count per doc is
+    bounded by doc length (batch-local work, the extraction-stage class)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ttr(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = t.column("text").to_pandas().str.split(" ")
+        n_tok = toks.str.len().to_numpy(dtype=np.int64)
+        n_dis = np.fromiter((len(set(x)) for x in toks), np.int64, len(toks))
+        r = np.floor(n_dis / n_tok * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(n_tok),
+                "n_distinct": pa.array(n_dis),
+                "ttr": pa.array(r),
+            }
+        )
+
+    return ds.map_batches(ttr, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def interevent_gap_histogram(sf_dir: str):
+    """Heavy-tail diagnostic for event streams: per event TYPE, a
+    log-scale histogram of the gap (seconds) since the same user's
+    previous event, bucketed by the gap's DECIMAL DIGIT COUNT. Integer-
+    exact log binning: LOG/LN are only faithfully rounded and banned from
+    the oracle path (NOTES float rule) — digit count is a pure integer
+    compare (searchsorted over powers of ten) on the Ray side and
+    ``length(CAST(gap AS VARCHAR))`` in SQL. Gap seconds use DuckDB
+    ``date_diff('second')`` semantics: BOUNDARY CROSSINGS,
+    ``floor(epoch(b)) − floor(epoch(a))`` (the interval_islands trap —
+    events carry µs fractions).
+
+    Scale shape: the per-user LAG runs in the bucketed-window family
+    (``map_key_buckets``); per-bucket (type, digits) pre-counts shrink the
+    driver merge to ≤ |types|·19 rows per bucket."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    pow10 = 10 ** np.arange(1, 19, dtype=np.int64)
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        ts_s = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 1_000_000
+        uid = g["user_id"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        gap_s = np.r_[np.int64(0), ts_s[1:] - ts_s[:-1]][same]
+        et = g["event_type"].to_numpy()[same]
+        digits = np.searchsorted(pow10, gap_s, side="right") + 1
+        d = pd.DataFrame({"event_type": et, "gap_digits": digits})
+        return (
+            d.groupby(["event_type", "gap_digits"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    parts = map_key_buckets(
+        ds, "user_id", gaps, sort_by=["user_id", "ts", "event_id"]
+    ).to_pandas()
+    out = parts.groupby(["event_type", "gap_digits"], as_index=False)["n"].sum()
+    out["gap_digits"] = out["gap_digits"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["event_type", "gap_digits"]).reset_index(drop=True)
+
+
+def vocab_oov_rate(sf_dir: str, k_vocab: int = 20):
+    """Per-document out-of-vocabulary rate against the corpus's own top-K
+    token vocabulary — the tokenizer-coverage signal a training pipeline
+    checks before committing to a vocab. Two passes:
+
+    1. exact global token counts WITHOUT shuffling token instances:
+       per-batch value_counts partials → token-hash bucket merge → each
+       bucket emits only its local top-K (a token lives in one bucket, so
+       the global top-K is a subset of the union of bucket top-Ks) →
+       driver picks the global K by (count DESC, token ASC) — ties at the
+       boundary resolve identically in SQL;
+    2. broadcast the K-token set (``ray.put``) and compute each doc's OOV
+       fraction in a stateless pass. Integer ratio ⇒ half-away rounding
+       (NOTES r3 rule)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        toks = t.column("text").to_pandas().str.split(" ")
+        if len(toks):
+            vc = pd.Series(np.concatenate(toks.to_numpy())).value_counts()
+            tok = vc.index.to_numpy(dtype=object)
+            n = vc.to_numpy(dtype=np.int64)
+        else:
+            tok = np.array([], dtype=object)
+            n = np.array([], dtype=np.int64)
+        th = pd.util.hash_array(tok).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(th % N_KEY_BUCKETS),
+                "token": pa.array(tok, pa.string()),
+                "n": pa.array(n),
+            }
+        )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", sort=False)["n"].sum().reset_index()
+        m = m.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        return m.head(k_vocab)
+
+    cand = (
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(k_vocab)
+    )
+    vocab_ref = ray.put(frozenset(cand["token"].tolist()))
+
+    def oov(t: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = t.column("text").to_pandas().str.split(" ")
+        n_tok = toks.str.len().to_numpy(dtype=np.int64)
+        n_oov = np.fromiter(
+            (sum(1 for w in x if w not in vocab) for x in toks), np.int64, len(toks)
+        )
+        r = np.floor(n_oov / n_tok * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(n_tok),
+                "n_oov": pa.array(n_oov),
+                "oov_rate": pa.array(r),
+            }
+        )
+
+    return ds.map_batches(oov, batch_format="pyarrow", zero_copy_batch=True)
