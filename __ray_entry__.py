@@ -109,26 +109,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_avg_per_user": relational.time_weighted_avg_per_user,
         "running_total": relational.running_total,
         "lag_event_delta": relational.lag_event_delta,
-        "session_windows": relational.session_windows,
         "late_event_filter": relational.late_event_filter,
         "resample_ffill_hourly": relational.resample_ffill_hourly,
         "rolling_count_range_window": relational.rolling_count_range_window,
         "interval_islands": relational.interval_islands,
         "rank_in_group": relational.rank_in_group,
-        # --- four NEW r5 oracle families take graded slots so they get a
-        # driver pass in the round they were written (the displaced four
-        # re-grades — dense_rank/percent_rank/tumbling/sliding — were all
-        # driver-graded in r1-r3 and move past the cut)
+        # --- six NEW r5 oracle families take graded slots so they get a
+        # driver pass in the round they were written (the displaced six
+        # re-grades — dense_rank/percent_rank/tumbling/sliding/
+        # session_windows/tumbling_distinct_users — were all driver-graded
+        # in r1-r3 and move past the cut)
         "clv_by_segment": relational.clv_by_segment,
         "type_token_ratio": relational.type_token_ratio,
         "interevent_gap_histogram": relational.interevent_gap_histogram,
         "vocab_oov_rate": relational.vocab_oov_rate,
+        "median_gap_by_type": relational.median_gap_by_type,
+        "revenue_pareto_share": relational.revenue_pareto_share,
         "extract_pages_text": textops.extract_pages_text,
         "quality_by_host_stats": textops.quality_by_host_stats,
-        "tumbling_distinct_users": relational.tumbling_distinct_users,
         # --- past the graded cut: previously-graded (r1-r4) entries and
         # rows-only entries - ALL verified hash-exact at sf0.001 AND sf0.01
         # by tests/test_oracle_parity.py regardless of position.
+        "session_windows": relational.session_windows,
+        "tumbling_distinct_users": relational.tumbling_distinct_users,
         "dense_rank_in_group": relational.dense_rank_in_group,
         "percent_rank_in_group": relational.percent_rank_in_group,
         "tumbling_window_agg": relational.tumbling_window_agg,
@@ -976,6 +979,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM gaps WHERE gap_s IS NOT NULL
             GROUP BY event_type, gap_digits
+        """,
+        "median_gap_by_type": """
+            WITH gaps AS (
+              SELECT event_type,
+                     date_diff('second', LAG(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+              FROM events)
+            SELECT event_type,
+                   median(gap_s) AS median_gap_s,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps
+            FROM gaps WHERE gap_s IS NOT NULL
+            GROUP BY event_type
+        """,
+        "revenue_pareto_share": """
+            WITH percust AS (
+              SELECT o_custkey,
+                     SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+              FROM orders GROUP BY o_custkey),
+            t AS (SELECT quantile_disc(cents, 0.75) AS t75 FROM percust)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CASE WHEN cents > t75 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_top,
+                   t75 / 100.0 AS threshold,
+                   ROUND(CAST(SUM(CASE WHEN cents > t75 THEN cents ELSE 0 END)
+                        AS DOUBLE) / SUM(cents), 6) AS top_revenue_share
+            FROM percust, t GROUP BY t75
         """,
         "vocab_oov_rate": """
             WITH tok AS (

@@ -259,6 +259,8 @@ QUERY_PANEL = [
     "type_token_ratio",
     "interevent_gap_histogram",
     "vocab_oov_rate",
+    "median_gap_by_type",
+    "revenue_pareto_share",
 ]
 
 

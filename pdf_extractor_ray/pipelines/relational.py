@@ -5817,3 +5817,128 @@ def vocab_oov_rate(sf_dir: str, k_vocab: int = 20):
         )
 
     return ds.map_batches(oov, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def median_gap_by_type(sf_dir: str):
+    """Exact median inter-event gap (seconds) per event type — the latency/
+    cadence summary on top of the LAG family. The huge-group trap is
+    avoided by aggregating COUNTS PER DISTINCT INTEGER GAP VALUE instead
+    of shipping gap rows into one group per type: the grid is bounded by
+    the VALUE RANGE (seconds inside the retention window), never the
+    corpus size (the histogram_orders_cents pattern), so the driver
+    receives |types| × |distinct gaps| count rows and closes the median
+    from cumulative counts. Median semantics = DuckDB ``median`` /
+    quantile_cont(0.5): even count averages the two middle values — gaps
+    are integers, so the midpoint is .0/.5 dyadic-exact."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def gap_counts(g: pd.DataFrame) -> pd.DataFrame:
+        ts_s = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 1_000_000
+        uid = g["user_id"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        gap_s = np.r_[np.int64(0), ts_s[1:] - ts_s[:-1]][same]
+        et = g["event_type"].to_numpy()[same]
+        d = pd.DataFrame({"event_type": et, "gap_s": gap_s})
+        return (
+            d.groupby(["event_type", "gap_s"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    parts = map_key_buckets(
+        ds, "user_id", gap_counts, sort_by=["user_id", "ts", "event_id"]
+    ).to_pandas()
+    merged = parts.groupby(["event_type", "gap_s"], as_index=False)["n"].sum()
+    rows = []
+    for et, g in merged.groupby("event_type", sort=True):
+        g = g.sort_values("gap_s")
+        vals = g["gap_s"].to_numpy(dtype=np.int64)
+        cnt = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        if n % 2:
+            med = float(vals[int(np.searchsorted(cum, (n + 1) // 2))])
+        else:
+            a = vals[int(np.searchsorted(cum, n // 2))]
+            b = vals[int(np.searchsorted(cum, n // 2 + 1))]
+            med = (float(a) + float(b)) / 2.0
+        rows.append({"event_type": et, "median_gap_s": med, "n_gaps": n})
+    out = pd.DataFrame(rows)
+    out["n_gaps"] = out["n_gaps"].astype(np.int64)
+    return out
+
+
+def revenue_pareto_share(sf_dir: str):
+    """Pareto concentration of revenue: what fraction of total order
+    revenue comes from the TOP QUARTILE customers (per-customer lifetime
+    cents strictly above the exact quantile_disc(0.75) threshold —
+    strict-above makes ties resolve identically in SQL). q = 0.75 is
+    dyadic, so ``ceil(q·n)`` cannot drift between the float and exact
+    rationals (the NOTES quantile-literal rule; 0.8's nearest double sits
+    ABOVE the exact value and is NOT oracle-safe).
+
+    Scale shape: one orders scan of per-batch customer partials →
+    custkey-bucket merge (materialized: reused by the threshold selection
+    AND the final rollup); the threshold is the r4 distributed selection
+    (~3 histogram scans); the rollup is per-batch integer partials summed
+    on the driver. Integer cents end-to-end; the one share division is a
+    single int/int ratio rounded half-away."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ck": t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64),
+                "cents": np.floor(
+                    t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("ck", sort=False)["cents"].sum()
+        return pa.table(
+            {
+                "ck": pa.array(g.index.to_numpy(dtype=np.int64)),
+                "cents": pa.array(g.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def merge_b(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("ck", sort=False)["cents"].sum()
+        return pd.DataFrame(
+            {"ck": m.index.to_numpy(dtype=np.int64), "cents": m.to_numpy(dtype=np.int64)}
+        )
+
+    percust = map_key_buckets(
+        orders.map_batches(cust_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "ck",
+        merge_b,
+    ).materialize()
+    thr = _exact_int_quantiles(percust, "cents", (0.75,))
+    t75 = int(thr[0.75])
+
+    def rollup(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        top = c > t75
+        return pa.table(
+            {
+                "n_customers": pa.array([len(c)], pa.int64()),
+                "n_top": pa.array([int(top.sum())], pa.int64()),
+                "cents_all": pa.array([int(c.sum())], pa.int64()),
+                "cents_top": pa.array([int(c[top].sum())], pa.int64()),
+            }
+        )
+
+    s = (
+        percust.map_batches(rollup, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sum()
+    )
+    share = np.floor(int(s["cents_top"]) / int(s["cents_all"]) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame(
+        {
+            "n_customers": [np.int64(s["n_customers"])],
+            "n_top": [np.int64(s["n_top"])],
+            "threshold": [float(t75) / 100.0],
+            "top_revenue_share": [share],
+        }
+    )
