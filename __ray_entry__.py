@@ -110,9 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": relational.running_total,
         "lag_event_delta": relational.lag_event_delta,
         "late_event_filter": relational.late_event_filter,
-        "resample_ffill_hourly": relational.resample_ffill_hourly,
         "rolling_count_range_window": relational.rolling_count_range_window,
-        "interval_islands": relational.interval_islands,
         "rank_in_group": relational.rank_in_group,
         # --- six NEW r5 oracle families take graded slots so they get a
         # driver pass in the round they were written (the displaced six
@@ -125,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_oov_rate": relational.vocab_oov_rate,
         "median_gap_by_type": relational.median_gap_by_type,
         "revenue_pareto_share": relational.revenue_pareto_share,
+        "weekday_seasonality": relational.weekday_seasonality,
+        "null_profile": relational.null_profile,
         "extract_pages_text": textops.extract_pages_text,
         "quality_by_host_stats": textops.quality_by_host_stats,
         # --- past the graded cut: previously-graded (r1-r4) entries and
@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by tests/test_oracle_parity.py regardless of position.
         "session_windows": relational.session_windows,
         "tumbling_distinct_users": relational.tumbling_distinct_users,
+        "resample_ffill_hourly": relational.resample_ffill_hourly,
+        "interval_islands": relational.interval_islands,
         "dense_rank_in_group": relational.dense_rank_in_group,
         "percent_rank_in_group": relational.percent_rank_in_group,
         "tumbling_window_agg": relational.tumbling_window_agg,
@@ -1005,6 +1007,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(CASE WHEN cents > t75 THEN cents ELSE 0 END)
                         AS DOUBLE) / SUM(cents), 6) AS top_revenue_share
             FROM percust, t GROUP BY t75
+        """,
+        "weekday_seasonality": """
+            SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS weekday,
+                   o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0
+                     AS revenue
+            FROM orders GROUP BY weekday, o_orderpriority
+        """,
+        "null_profile": """
+            SELECT 'doc_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_null,
+                   CAST(0 AS BIGINT) AS n_blank FROM documents
+            UNION ALL
+            SELECT 'text', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(text) AS BIGINT),
+                   CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+                   CAST(SUM(CASE WHEN lang = '' THEN 1 ELSE 0 END) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'source', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(source) AS BIGINT),
+                   CAST(SUM(CASE WHEN source = '' THEN 1 ELSE 0 END) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+                   CAST(0 AS BIGINT) FROM documents
         """,
         "vocab_oov_rate": """
             WITH tok AS (

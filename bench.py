@@ -261,6 +261,8 @@ QUERY_PANEL = [
     "vocab_oov_rate",
     "median_gap_by_type",
     "revenue_pareto_share",
+    "weekday_seasonality",
+    "null_profile",
 ]
 
 

@@ -5942,3 +5942,94 @@ def revenue_pareto_share(sf_dir: str):
             "top_revenue_share": [share],
         }
     )
+
+
+def weekday_seasonality(sf_dir: str):
+    """Order seasonality: count and revenue per (weekday, order priority) —
+    the demand-curve rollup every ops dashboard starts from. Weekday is
+    computed INTEGER-exact on both sides (DuckDB ``dayofweek``: Sunday=0;
+    numpy: ``(epoch_days + 4) % 7`` — 1970-01-01 was a Thursday=4), never
+    via locale-dependent strftime names. Bounded-grid aggregate (7 ×
+    |priorities| cells): per-batch partials, driver merge — no shuffle."""
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        wd = (us // DAY_US + 4) % 7
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "weekday": wd,
+                "o_orderpriority": t.column("o_orderpriority").to_pandas(),
+                "cents": cents,
+            }
+        )
+        g = df.groupby(["weekday", "o_orderpriority"], sort=False).agg(
+            n_orders=("cents", "size"), cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # ≤ 35 cells per batch — bounded grid
+        .groupby(["weekday", "o_orderpriority"], as_index=False)
+        .sum()
+    )
+    out = pd.DataFrame(
+        {
+            "weekday": parts["weekday"].astype(np.int64),
+            "o_orderpriority": parts["o_orderpriority"],
+            "n_orders": parts["n_orders"].astype(np.int64),
+            "revenue": parts["cents"].astype(np.int64).to_numpy() / 100.0,
+        }
+    ).sort_values(["weekday", "o_orderpriority"])
+    return out.reset_index(drop=True)
+
+
+def null_profile(sf_dir: str):
+    """Data-quality profile of the documents table: per column, row count,
+    null count and (for strings) empty-string count — the first pass any
+    ingestion pipeline runs on a new drop. One scan, per-batch integer
+    partials over a |columns|-bounded grid; the driver sums ≤ |columns|
+    rows per batch. Exact by construction (pure integer counts)."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = _read(sf_dir, "documents", cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, n_null, n_blank = [], [], []
+        for c in cols:
+            col = t.column(c)
+            names.append(c)
+            n_null.append(col.null_count)
+            if pa.types.is_string(col.type):
+                n_blank.append(
+                    int(pc.sum(pc.equal(col, "")).as_py() or 0)
+                )
+            else:
+                n_blank.append(0)
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n_rows": pa.array([t.num_rows] * len(cols), pa.int64()),
+                "n_null": pa.array(np.asarray(n_null, dtype=np.int64)),
+                "n_blank": pa.array(np.asarray(n_blank, dtype=np.int64)),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("column", as_index=False)
+        .sum()
+    )
+    for c in ("n_rows", "n_null", "n_blank"):
+        parts[c] = parts[c].astype(np.int64)
+    return parts.sort_values("column").reset_index(drop=True)
