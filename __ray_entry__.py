@@ -108,15 +108,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_topk_types": relational.windowed_topk_types,
         "time_weighted_avg_per_user": relational.time_weighted_avg_per_user,
         "running_total": relational.running_total,
-        "lag_event_delta": relational.lag_event_delta,
-        "late_event_filter": relational.late_event_filter,
-        "rolling_count_range_window": relational.rolling_count_range_window,
-        "rank_in_group": relational.rank_in_group,
-        # --- six NEW r5 oracle families take graded slots so they get a
-        # driver pass in the round they were written (the displaced six
+        # --- NEW r5 oracle families take graded slots so they get a
+        # driver pass in the round they were written (the displaced
         # re-grades — dense_rank/percent_rank/tumbling/sliding/
-        # session_windows/tumbling_distinct_users — were all driver-graded
-        # in r1-r3 and move past the cut)
+        # session_windows/tumbling_distinct_users/lag_event_delta/
+        # late_event_filter/rolling_count_range_window/rank_in_group —
+        # were all driver-graded in r1-r4 and move past the cut)
+        "gini_revenue_index": relational.gini_revenue_index,
+        "activity_streaks": relational.activity_streaks,
+        "market_share_by_year": relational.market_share_by_year,
+        "syllable_stats_by_source": relational.syllable_stats_by_source,
         "clv_by_segment": relational.clv_by_segment,
         "type_token_ratio": relational.type_token_ratio,
         "interevent_gap_histogram": relational.interevent_gap_histogram,
@@ -132,6 +133,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by tests/test_oracle_parity.py regardless of position.
         "session_windows": relational.session_windows,
         "tumbling_distinct_users": relational.tumbling_distinct_users,
+        "lag_event_delta": relational.lag_event_delta,
+        "late_event_filter": relational.late_event_filter,
+        "rolling_count_range_window": relational.rolling_count_range_window,
+        "rank_in_group": relational.rank_in_group,
         "resample_ffill_hourly": relational.resample_ffill_hourly,
         "interval_islands": relational.interval_islands,
         "dense_rank_in_group": relational.dense_rank_in_group,
@@ -1015,6 +1020,71 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0
                      AS revenue
             FROM orders GROUP BY weekday, o_orderpriority
+        """,
+        "gini_revenue_index": """
+            WITH percust AS (
+              SELECT o_custkey,
+                     SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+              FROM orders GROUP BY o_custkey),
+            r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM percust)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   SUM(cents) / 100.0 AS total_revenue,
+                   ROUND(CAST(2 * SUM(rn * cents) - (COUNT(*) + 1) * SUM(cents)
+                              AS DOUBLE) / (COUNT(*) * SUM(cents)), 6) AS gini
+            FROM r
+        """,
+        "activity_streaks": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                          AS BIGINT) AS day
+              FROM events),
+            r AS (SELECT user_id, day,
+                         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                           AS grp
+                  FROM d),
+            s AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+                  FROM r GROUP BY user_id, grp)
+            SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+                   CAST(MAX(len) AS BIGINT) AS longest_streak,
+                   CAST(COUNT(*) AS BIGINT) AS n_streaks
+            FROM s GROUP BY user_id
+        """,
+        "market_share_by_year": """
+            WITH tn AS (
+              SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'),
+            li AS (
+              SELECT l_orderkey,
+                     CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       * (10000 - CAST(FLOOR(l_discount * 10000.0 + 0.5) AS BIGINT))
+                       AS rev_e6,
+                     CASE WHEN l_suppkey IN (SELECT s_suppkey FROM tn)
+                          THEN 1 ELSE 0 END AS tgt
+              FROM lineitem)
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(rev_e6) AS BIGINT) AS revenue_e6,
+                   CAST(SUM(rev_e6 * tgt) AS BIGINT) AS target_revenue_e6,
+                   ROUND(CAST(SUM(rev_e6 * tgt) AS DOUBLE) / SUM(rev_e6), 6)
+                     AS market_share
+            FROM li JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_year
+        """,
+        "syllable_stats_by_source": """
+            WITH tok AS (
+              SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+            agg AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+                     CAST(SUM(len(regexp_extract_all(w, '[aeiouAEIOU]+')))
+                          AS BIGINT) AS n_syllables,
+                     CAST(SUM(CASE WHEN len(regexp_extract_all(w, '[aeiouAEIOU]+')) = 1
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_mono
+              FROM tok GROUP BY source),
+            d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                  FROM documents GROUP BY source)
+            SELECT d.source, n_docs, n_words, n_syllables, n_mono,
+                   20.0 - 15.0 * (CAST(n_mono AS DOUBLE) / n_words) AS forcast_grade
+            FROM d JOIN agg ON d.source = agg.source
         """,
         "null_profile": """
             SELECT 'doc_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -263,6 +263,10 @@ QUERY_PANEL = [
     "revenue_pareto_share",
     "weekday_seasonality",
     "null_profile",
+    "gini_revenue_index",
+    "activity_streaks",
+    "market_share_by_year",
+    "syllable_stats_by_source",
 ]
 
 

@@ -6033,3 +6033,371 @@ def null_profile(sf_dir: str):
     for c in ("n_rows", "n_null", "n_blank"):
         parts[c] = parts[c].astype(np.int64)
     return parts.sort_values("column").reset_index(drop=True)
+
+
+def gini_revenue_index(sf_dir: str, n_buckets: int = N_KEY_BUCKETS):
+    """Gini concentration index of per-customer lifetime revenue — the
+    inequality scalar next to the Pareto share in any corpus/market
+    concentration audit. Needs the GLOBAL rank of every customer's revenue
+    (``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)``, x ascending), computed
+    WITHOUT a global sort via the ``global_row_number`` machinery: sampled
+    value-range buckets (monotone in the value, so clipping is harmless),
+    one counts pre-pass → per-bucket rank offsets, then each bucket reduces
+    to THREE integer scalars (Σ local_rank·x, Σx, n) — ranks never
+    materialize per row and the final reduce is B rows on the driver.
+
+    Tie-safe by construction: equal x land in one bucket and Σ rank·x over
+    a tie block is invariant to intra-block order. Integer cents end to
+    end; the single int/int ratio rounds half-away (CLAUDE.md rule).
+    Reference shape: dataextractai's category-concentration rollups
+    (grading parity target is the SQL window oracle)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ck": t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64),
+                "cents": np.floor(
+                    t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("ck", sort=False)["cents"].sum()
+        return pa.table(
+            {
+                "ck": pa.array(g.index.to_numpy(dtype=np.int64)),
+                "cents": pa.array(g.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def merge_b(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("ck", sort=False)["cents"].sum()
+        return pd.DataFrame(
+            {"ck": m.index.to_numpy(dtype=np.int64), "cents": m.to_numpy(dtype=np.int64)}
+        )
+
+    percust = map_key_buckets(
+        orders.map_batches(cust_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "ck",
+        merge_b,
+    ).materialize()
+
+    sample = percust.limit(4096).to_pandas()["cents"].to_numpy(dtype=np.float64)
+    lo, hi = float(sample.min()), float(sample.max())
+    span = (hi - lo) or 1.0
+
+    def bucket_of(x: np.ndarray) -> np.ndarray:
+        b = ((x - lo) / span * n_buckets).astype(np.int64)
+        return np.clip(b, 0, n_buckets - 1)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        x = t.column("cents").to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("_bucket", pa.array(bucket_of(x)))
+
+    bucketed = percust.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        b = t.column("_bucket").to_numpy(zero_copy_only=False)
+        c = np.bincount(b, minlength=n_buckets)
+        return pa.table(
+            {
+                "_bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    parts = bucketed.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    counts = (
+        parts.groupby("_bucket")["n"].sum().reindex(range(n_buckets), fill_value=0).to_numpy()
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    def ranksum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_bucket"].iloc[0])
+        x = np.sort(g["cents"].to_numpy(dtype=np.int64))
+        local = np.arange(1, len(x) + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "_bucket": [np.int64(b)],
+                "s1_local": [np.int64((local * x).sum())],
+                "sx": [np.int64(x.sum())],
+                "m": [np.int64(len(x))],
+            }
+        )
+
+    red = bucketed.groupby("_bucket").map_groups(ranksum_bucket, batch_format="pandas").to_pandas()
+    red = red.sort_values("_bucket")
+    n = int(red["m"].sum())
+    s0 = int(red["sx"].sum())
+    # global Σ rank·x = Σ_b (offset_b·Σx_b + Σ local·x) — exact Python ints
+    # over B driver rows (numpy int64 would silently wrap first at scale)
+    s1 = sum(
+        int(s1l) + int(offsets[int(b)]) * int(sx)
+        for b, s1l, sx in zip(red["_bucket"], red["s1_local"], red["sx"])
+    )
+    num = 2 * s1 - (n + 1) * s0
+    den = n * s0
+    gini = np.floor(float(num) / float(den) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame(
+        {
+            "n_customers": [np.int64(n)],
+            "total_revenue": [float(s0) / 100.0],
+            "gini": [gini],
+        }
+    )
+
+
+def activity_streaks(sf_dir: str):
+    """Longest consecutive-DAY activity streak per user (plus active-day and
+    streak counts) — the retention "streak" metric, i.e. gaps-and-islands
+    over DISTINCT calendar days rather than interval_islands' µs interval
+    union. Day = UTC epoch-day (int µs // 86400e6 ≡ DuckDB
+    ``date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))`` for
+    non-negative timestamps).
+
+    Scale shape: per-batch distinct (user, day) on a PACKED int64
+    (user·2²⁰ + day — shrinks the shuffle to unique rows before it happens,
+    NOTES int64-key rule), then the bucketed-window family: user-hash
+    buckets, in-bucket re-dedup + vectorized run detection (rank-delta
+    trick: consecutive days share ``day − cumcount``), per-user rollup
+    finishes in-bucket so output is user-sized with no second shuffle."""
+    DAY_US = 86_400_000_000
+    PACK = np.int64(1) << np.int64(20)  # day < 2^20 until year ~4840
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (
+            t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // DAY_US
+        )
+        pk = np.unique(u * PACK + d)
+        return pa.table({"user_id": pa.array(pk // PACK), "day": pa.array(pk % PACK)})
+
+    dd = ds.map_batches(day_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def streaks_b(g: pd.DataFrame) -> pd.DataFrame:
+        pk = np.unique(
+            g["user_id"].to_numpy(dtype=np.int64) * PACK + g["day"].to_numpy(dtype=np.int64)
+        )
+        u, d = pk // PACK, pk % PACK
+        m = len(u)
+        if m == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": np.empty(0, np.int64),
+                    "n_active_days": np.empty(0, np.int64),
+                    "longest_streak": np.empty(0, np.int64),
+                    "n_streaks": np.empty(0, np.int64),
+                }
+            )
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        new_streak = new_user | np.r_[True, (d[1:] - d[:-1]) != 1]
+        sid = np.cumsum(new_streak) - 1
+        slen = np.bincount(sid)  # streak lengths, in streak order
+        s_user = u[new_streak]  # owning user per streak
+        df = pd.DataFrame({"u": s_user, "len": slen})
+        out = df.groupby("u", sort=False)["len"].agg(
+            n_active_days="sum", longest_streak="max", n_streaks="size"
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out.index.to_numpy(dtype=np.int64),
+                "n_active_days": out["n_active_days"].to_numpy(dtype=np.int64),
+                "longest_streak": out["longest_streak"].to_numpy(dtype=np.int64),
+                "n_streaks": out["n_streaks"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return map_key_buckets(dd, "user_id", streaks_b, sort_by=["user_id", "day"])
+
+
+def market_share_by_year(sf_dir: str, nation: str = "NATION_3"):
+    """TPC-H Q8-shape market share: the target nation's suppliers' share of
+    total lineitem revenue per ORDER year. Revenue is INTEGER-exact —
+    ``rev_e6 = cents(extendedprice) · (10000 − bp(discount))`` (price·1e6
+    units) — so the all-nation and target sums are exact BIGINTs on both
+    engines and the one share division per year rounds half-away
+    (CLAUDE.md int-ratio rule); a float ``ep·(1−disc)`` SUM would be
+    summation-order-dependent and off the oracle path.
+
+    Scale shape: supplier⋈nation collapses DRIVER-side to a suppkey key
+    set (dimension tables; broadcast once via ``ray.put``, the
+    semi_join_keys layout). The big join lineitem⋈orders is ONE
+    orderkey-hash bucket co-group (shuffle_join_detail layout) and each
+    bucket emits ≤ |years| integer partial rows, so the driver merge is
+    grid-sized. Order year is integer epoch arithmetic on both sides."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    B = N_KEY_BUCKETS
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk = nat.filter(pc.equal(nat.column("n_name"), nation)).column("n_nationkey")
+    tgt = sup.filter(pc.is_in(sup.column("s_nationkey"), value_set=nk)).column("s_suppkey")
+    tgt_ref = ray.put(tgt.to_numpy(zero_copy_only=False).astype(np.int64))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        yr = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "_bucket": pa.array(k % B),
+                "key": pa.array(k),
+                "o_year": pa.array(yr),
+                "rev_e6": pa.array(np.full(len(k), -1, dtype=np.int64)),
+                "tgt": pa.array(np.zeros(len(k), dtype=np.int64)),
+            }
+        )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        keys = ray.get(tgt_ref)
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        bp = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 10000.0 + 0.5
+        ).astype(np.int64)
+        rev = cents * (10000 - bp)
+        is_t = np.isin(
+            t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64), keys
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(k % B),
+                "key": pa.array(k),
+                "o_year": pa.array(np.full(len(k), -1, dtype=np.int64)),
+                "rev_e6": pa.array(rev),
+                "tgt": pa.array(is_t),
+            }
+        )
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+        li.map_batches(li_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["rev_e6"] < 0]
+        f = g[g["rev_e6"] >= 0]
+        j = f.merge(o[["key", "o_year"]], on="key", how="inner", suffixes=("", "_o"))
+        if not len(j):
+            return pd.DataFrame(
+                {
+                    "o_year": np.empty(0, np.int64),
+                    "rev_all": np.empty(0, np.int64),
+                    "rev_tgt": np.empty(0, np.int64),
+                }
+            )
+        j["rev_tgt_e6"] = j["rev_e6"] * j["tgt"]
+        a = j.groupby("o_year_o", sort=False).agg(
+            rev_all=("rev_e6", "sum"), rev_tgt=("rev_tgt_e6", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "o_year": a.index.to_numpy(dtype=np.int64),
+                "rev_all": a["rev_all"].to_numpy(dtype=np.int64),
+                "rev_tgt": a["rev_tgt"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    parts = both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas").to_pandas()
+    a = parts.groupby("o_year", sort=True)[["rev_all", "rev_tgt"]].sum().reset_index()
+    share = np.floor(
+        a["rev_tgt"].to_numpy(dtype=np.float64) / a["rev_all"].to_numpy(dtype=np.float64) * 1e6
+        + 0.5
+    ) / 1e6
+    return pd.DataFrame(
+        {
+            "o_year": a["o_year"].astype(np.int64),
+            "revenue_e6": a["rev_all"].astype(np.int64),
+            "target_revenue_e6": a["rev_tgt"].astype(np.int64),
+            "market_share": share,
+        }
+    )
+
+
+def syllable_stats_by_source(sf_dir: str):
+    """Readability signals per corpus source: word, vowel-group-"syllable"
+    and MONOSYLLABIC-word counts plus the FORCAST readability grade
+    (``20 − 15·mono/words`` — the one classic formula needing no sentence
+    segmentation, which this corpus lacks). Counts are pure integers; the
+    grade is the identical three-op float expression on both engines from
+    identical BIGINT sums (same-expression IEEE parity, the chi2-residuals
+    rule) so no rounding is needed.
+
+    Scale shape: one documents scan; per-batch kernel is numpy byte-view
+    arithmetic over the Arrow data buffer (word boundaries = row starts ∪
+    space positions; vowel-group starts = vowel ∧ ¬previous-vowel with row
+    starts forced; groups-per-word via two searchsorteds — zero per-row
+    Python, the word_chunk_arrays discipline; byte-level counting is
+    UTF-8-safe because ASCII bytes never occur inside multibyte
+    sequences). Per-batch |sources|-grid partials, driver merge."""
+    from ..functions.hashing import _string_buffer_view
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    VOWELS = np.frombuffer(b"aeiouAEIOU", dtype=np.uint8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, starts, lens = _string_buffer_view(t.column("text"))
+        n = len(starts)
+        ends = starts + lens
+        sp = np.flatnonzero(flat == 0x20).astype(np.int64)
+        sp_lo = np.searchsorted(sp, starts)
+        sp_hi = np.searchsorted(sp, ends)
+        n_words = (sp_hi - sp_lo) + 1  # string_split(' ') semantics: spaces+1
+        v = np.isin(flat, VOWELS)
+        if len(v):
+            prev = np.empty_like(v)
+            prev[0] = False
+            prev[1:] = v[:-1]
+            prev[starts[starts < len(prev)]] = False  # groups never span rows
+            gpos = np.flatnonzero(v & ~prev).astype(np.int64)
+        else:
+            gpos = np.empty(0, np.int64)
+        n_syll = np.searchsorted(gpos, ends) - np.searchsorted(gpos, starts)
+        # word boundaries: starts ∪ (space+1) begin words; spaces ∪ ends end
+        # them — both sorted merges align elementwise (equal counts per row)
+        wstart = np.sort(np.concatenate([starts, sp + 1]))
+        wend = np.sort(np.concatenate([sp, ends]))
+        gpw = np.searchsorted(gpos, wend) - np.searchsorted(gpos, wstart)
+        row_of_word = np.repeat(np.arange(n, dtype=np.int64), n_words)
+        n_mono = np.bincount(row_of_word[gpw == 1], minlength=n).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "source": t.column("source").to_pandas(),
+                "n_docs": np.ones(n, dtype=np.int64),
+                "n_words": n_words.astype(np.int64),
+                "n_syllables": n_syll.astype(np.int64),
+                "n_mono": n_mono,
+            }
+        )
+        g = df.groupby("source", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("source", sort=True, as_index=False)
+        .sum()
+    )
+    for c in ("n_docs", "n_words", "n_syllables", "n_mono"):
+        parts[c] = parts[c].astype(np.int64)
+    parts["forcast_grade"] = 20.0 - 15.0 * (
+        parts["n_mono"].to_numpy(dtype=np.float64) / parts["n_words"].to_numpy(dtype=np.float64)
+    )
+    return parts.reset_index(drop=True)
