@@ -105,15 +105,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_avg_per_user": relational.rolling_avg_per_user,
         "sliding_distinct_users": relational.sliding_distinct_users,
         "running_distinct_types": relational.running_distinct_types,
-        "windowed_topk_types": relational.windowed_topk_types,
-        "time_weighted_avg_per_user": relational.time_weighted_avg_per_user,
-        "running_total": relational.running_total,
         # --- NEW r5 oracle families take graded slots so they get a
         # driver pass in the round they were written (the displaced
         # re-grades — dense_rank/percent_rank/tumbling/sliding/
         # session_windows/tumbling_distinct_users/lag_event_delta/
-        # late_event_filter/rolling_count_range_window/rank_in_group —
+        # late_event_filter/rolling_count_range_window/rank_in_group/
+        # windowed_topk_types/time_weighted_avg_per_user/running_total —
         # were all driver-graded in r1-r4 and move past the cut)
+        "customer_order_distribution": relational.customer_order_distribution,
+        "promo_revenue_by_type": relational.promo_revenue_by_type,
+        "dau_engagement_by_month": relational.dau_engagement_by_month,
         "gini_revenue_index": relational.gini_revenue_index,
         "activity_streaks": relational.activity_streaks,
         "market_share_by_year": relational.market_share_by_year,
@@ -133,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by tests/test_oracle_parity.py regardless of position.
         "session_windows": relational.session_windows,
         "tumbling_distinct_users": relational.tumbling_distinct_users,
+        "windowed_topk_types": relational.windowed_topk_types,
+        "time_weighted_avg_per_user": relational.time_weighted_avg_per_user,
+        "running_total": relational.running_total,
         "lag_event_delta": relational.lag_event_delta,
         "late_event_filter": relational.late_event_filter,
         "rolling_count_range_window": relational.rolling_count_range_window,
@@ -1020,6 +1024,40 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0
                      AS revenue
             FROM orders GROUP BY weekday, o_orderpriority
+        """,
+        "customer_order_distribution": """
+            WITH percust AS (
+              SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM percust GROUP BY c_count
+        """,
+        "promo_revenue_by_type": """
+            WITH li AS (
+              SELECT p_type,
+                     CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       * (10000 - CAST(FLOOR(l_discount * 10000.0 + 0.5) AS BIGINT))
+                       AS rev_e6
+              FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT p_type, CAST(SUM(rev_e6) AS BIGINT) AS revenue_e6,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   ROUND(CAST(SUM(rev_e6) AS DOUBLE)
+                         / (SELECT CAST(SUM(rev_e6) AS DOUBLE) FROM li), 6)
+                     AS revenue_share
+            FROM li GROUP BY p_type
+        """,
+        "dau_engagement_by_month": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym,
+                     CAST(ts AS DATE) AS d
+              FROM events)
+            SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_user_days,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id), 6)
+                     AS avg_active_days
+            FROM ud GROUP BY ym
         """,
         "gini_revenue_index": """
             WITH percust AS (

@@ -263,6 +263,9 @@ QUERY_PANEL = [
     "revenue_pareto_share",
     "weekday_seasonality",
     "null_profile",
+    "customer_order_distribution",
+    "promo_revenue_by_type",
+    "dau_engagement_by_month",
     "gini_revenue_index",
     "activity_streaks",
     "market_share_by_year",

@@ -6401,3 +6401,207 @@ def syllable_stats_by_source(sf_dir: str):
         parts["n_mono"].to_numpy(dtype=np.float64) / parts["n_words"].to_numpy(dtype=np.float64)
     )
     return parts.reset_index(drop=True)
+
+
+def customer_order_distribution(sf_dir: str):
+    """TPC-H Q13-shape customer distribution: how many customers placed
+    exactly k orders, INCLUDING the zero-order customers the left join
+    exists for. The classic "engagement histogram" every CRM rollup needs.
+
+    Scale shape: the orders fact never joins customer row-for-row — each
+    batch emits per-custkey count partials, one custkey-hash bucket merge
+    finalizes per-customer counts, and each output batch reduces to a
+    COUNT-VALUE grid (bounded by max orders/customer, ~25 here, never
+    corpus size) via ``np.bincount``. The zero bucket is pure arithmetic:
+    ``count(customer) − |distinct custkeys in orders|`` — two distributed
+    scalars, so the customer dimension is scanned for a count only and no
+    anti-join materializes. All integers end to end."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(ck, return_counts=True)
+        return pa.table({"ck": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    def merge_b(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("ck", sort=False)["n"].sum()
+        return pd.DataFrame({"c_count": m.to_numpy(dtype=np.int64)})
+
+    percust = map_key_buckets(
+        orders.map_batches(cnt_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "ck",
+        merge_b,
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        c = t.column("c_count").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(c) == 0:
+            return pa.table(
+                {"c_count": pa.array([], pa.int64()), "n_customers": pa.array([], pa.int64())}
+            )
+        b = np.bincount(c)
+        nz = np.flatnonzero(b)
+        return pa.table(
+            {"c_count": pa.array(nz.astype(np.int64)), "n_customers": pa.array(b[nz].astype(np.int64))}
+        )
+
+    parts = (
+        percust.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("c_count", sort=True)["n_customers"]
+        .sum()
+        .reset_index()
+    )
+    n_with_orders = int(parts["n_customers"].sum())
+    zero = n_customers - n_with_orders
+    if zero > 0:
+        parts = pd.concat(
+            [pd.DataFrame({"c_count": [0], "n_customers": [zero]}), parts], ignore_index=True
+        )
+    for c in ("c_count", "n_customers"):
+        parts[c] = parts[c].astype(np.int64)
+    return parts.reset_index(drop=True)
+
+
+def promo_revenue_by_type(sf_dir: str):
+    """TPC-H Q14 generalized: discounted revenue and share of total per part
+    TYPE (the PROMO row is Q14's numerator). Revenue is the integer-exact
+    ``rev_e6 = cents(extendedprice)·(10000 − bp(discount))`` algebra so both
+    engines sum BIGINTs; one int/int division per type rounds half-away.
+
+    Scale shape: part is a DIMENSION — its (partkey → type-code) map is
+    built driver-side and broadcast ONCE via ``ray.put`` (sorted-key
+    searchsorted lookup, no per-batch reshipping); the lineitem fact is one
+    scan emitting |types|-grid integer partials per batch (``np.add.at``
+    into an int64 grid — bincount's float weights would lose exactness past
+    2^53), so nothing corpus-sized ever shuffles. Driver merge is
+    |types| rows."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    types = part.column("p_type").to_pandas()
+    cat = pd.Categorical(types)
+    order = np.argsort(pk, kind="stable")
+    lut_ref = ray.put((pk[order], cat.codes.astype(np.int64)[order]))
+    names = list(cat.categories)
+    K = len(names)
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def grid_partial(t: pa.Table) -> pa.Table:
+        keys, codes = ray.get(lut_ref)
+        k = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        bp = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 10000.0 + 0.5
+        ).astype(np.int64)
+        rev = cents * (10000 - bp)
+        code = codes[np.searchsorted(keys, k)]
+        g = np.zeros(K, dtype=np.int64)
+        np.add.at(g, code, rev)
+        n = np.bincount(code, minlength=K).astype(np.int64)
+        return pa.table(
+            {
+                "_code": pa.array(np.arange(K, dtype=np.int64)),
+                "revenue_e6": pa.array(g),
+                "n_items": pa.array(n),
+            }
+        )
+
+    parts = (
+        li.map_batches(grid_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("_code", sort=True)[["revenue_e6", "n_items"]]
+        .sum()
+        .reset_index()
+    )
+    total = int(parts["revenue_e6"].sum())
+    share = np.floor(
+        parts["revenue_e6"].to_numpy(dtype=np.float64) / float(total) * 1e6 + 0.5
+    ) / 1e6
+    out = pd.DataFrame(
+        {
+            "p_type": [names[int(c)] for c in parts["_code"]],
+            "revenue_e6": parts["revenue_e6"].astype(np.int64),
+            "n_items": parts["n_items"].astype(np.int64),
+            "revenue_share": share,
+        }
+    )
+    return out.sort_values("p_type").reset_index(drop=True)
+
+
+def dau_engagement_by_month(sf_dir: str):
+    """Monthly engagement: distinct user-days (Σ DAU over the month), MAU,
+    and average active days per user — the DAU/MAU "stickiness" family with
+    the ratio expressed oracle-safely (user_days/mau is one int/int
+    division, rounded half-away; a per-day AVG would re-order float sums).
+
+    Scale shape: ``activity_streaks``' packed-int64 discipline — per-batch
+    distinct ``user·2²⁰ + epoch_day`` shrinks the shuffle to unique
+    user-days BEFORE it happens; user-hash buckets mean each user's days
+    land in exactly one bucket, so per-bucket (month → user_days,
+    distinct-users) grids SUM exactly across buckets (no double-counted
+    MAU). Month index is integer epoch arithmetic (datetime64[M]) matching
+    ``year(ts)·100 + month(ts)``."""
+    DAY_US = 86_400_000_000
+    PACK = np.int64(1) << np.int64(20)
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (
+            t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // DAY_US
+        )
+        pk = np.unique(u * PACK + d)
+        return pa.table({"user_id": pa.array(pk // PACK), "day": pa.array(pk % PACK)})
+
+    dd = ds.map_batches(day_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def month_grid(g: pd.DataFrame) -> pd.DataFrame:
+        pk = np.unique(
+            g["user_id"].to_numpy(dtype=np.int64) * PACK + g["day"].to_numpy(dtype=np.int64)
+        )
+        u, d = pk // PACK, pk % PACK
+        m = d.astype("datetime64[D]").astype("datetime64[M]").astype(np.int64)
+        ym = (1970 + m // 12) * 100 + (m % 12 + 1)
+        df = pd.DataFrame({"ym": ym, "u": u})
+        out = df.groupby("ym", sort=False).agg(
+            n_user_days=("u", "size"), mau=("u", "nunique")
+        )
+        return pd.DataFrame(
+            {
+                "ym": out.index.to_numpy(dtype=np.int64),
+                "n_user_days": out["n_user_days"].to_numpy(dtype=np.int64),
+                "mau": out["mau"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    parts = (
+        map_key_buckets(dd, "user_id", month_grid)
+        .to_pandas()
+        .groupby("ym", sort=True)[["n_user_days", "mau"]]
+        .sum()
+        .reset_index()
+    )
+    avg = np.floor(
+        parts["n_user_days"].to_numpy(dtype=np.float64)
+        / parts["mau"].to_numpy(dtype=np.float64)
+        * 1e6
+        + 0.5
+    ) / 1e6
+    out = pd.DataFrame(
+        {
+            "ym": parts["ym"].astype(np.int64),
+            "n_user_days": parts["n_user_days"].astype(np.int64),
+            "mau": parts["mau"].astype(np.int64),
+            "avg_active_days": avg,
+        }
+    )
+    return out.reset_index(drop=True)
