@@ -104,7 +104,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_nonnull_carry": relational.last_nonnull_carry,
         "rolling_avg_per_user": relational.rolling_avg_per_user,
         "sliding_distinct_users": relational.sliding_distinct_users,
-        "running_distinct_types": relational.running_distinct_types,
         # --- NEW r5 oracle families take graded slots so they get a
         # driver pass in the round they were written (the displaced
         # re-grades — dense_rank/percent_rank/tumbling/sliding/
@@ -112,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late_event_filter/rolling_count_range_window/rank_in_group/
         # windowed_topk_types/time_weighted_avg_per_user/running_total —
         # were all driver-graded in r1-r4 and move past the cut)
+        "unshipped_backlog_by_priority": relational.unshipped_backlog_by_priority,
         "customer_order_distribution": relational.customer_order_distribution,
         "promo_revenue_by_type": relational.promo_revenue_by_type,
         "dau_engagement_by_month": relational.dau_engagement_by_month,
@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": relational.session_windows,
         "tumbling_distinct_users": relational.tumbling_distinct_users,
         "windowed_topk_types": relational.windowed_topk_types,
+        "running_distinct_types": relational.running_distinct_types,
         "time_weighted_avg_per_user": relational.time_weighted_avg_per_user,
         "running_total": relational.running_total,
         "lag_event_delta": relational.lag_event_delta,
@@ -1024,6 +1025,21 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0
                      AS revenue
             FROM orders GROUP BY weekday, o_orderpriority
+        """,
+        "unshipped_backlog_by_priority": """
+            WITH li AS (
+              SELECT l_orderkey,
+                     CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       * (10000 - CAST(FLOOR(l_discount * 10000.0 + 0.5) AS BIGINT))
+                       AS rev_e6
+              FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-07-01')
+            SELECT o_orderpriority,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(rev_e6) AS BIGINT) AS revenue_e6
+            FROM li JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate <= TIMESTAMP '1998-07-01'
+            GROUP BY o_orderpriority
         """,
         "customer_order_distribution": """
             WITH percust AS (

@@ -263,6 +263,7 @@ QUERY_PANEL = [
     "revenue_pareto_share",
     "weekday_seasonality",
     "null_profile",
+    "unshipped_backlog_by_priority",
     "customer_order_distribution",
     "promo_revenue_by_type",
     "dau_engagement_by_month",

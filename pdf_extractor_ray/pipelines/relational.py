@@ -6605,3 +6605,105 @@ def dau_engagement_by_month(sf_dir: str):
         }
     )
     return out.reset_index(drop=True)
+
+
+def unshipped_backlog_by_priority(sf_dir: str):
+    """TPC-H Q4-flavored backlog snapshot: orders placed by the cutoff whose
+    lineitems are still unshipped after it — open-order count, pending item
+    count and pending discounted revenue per order priority. The COUNT
+    DISTINCT rides the join: an orderkey lives in exactly ONE hash bucket,
+    so per-bucket distinct-order counts SUM exactly across buckets (the
+    dau_engagement containment argument).
+
+    Scale shape: both fact scans filter per batch on integer epoch-µs
+    BEFORE anything shuffles (predicate-first discipline), then one
+    orderkey-hash co-group (kind-tagged union, ``market_share_by_year``
+    layout) emits ≤|priorities| integer grid rows per bucket. Revenue is
+    the integer-exact rev_e6 algebra; everything BIGINT so the driver
+    merge is pure integer sums."""
+    CUTOFF_US = np.datetime64("1998-07-01", "us").astype(np.int64)
+    B = N_KEY_BUCKETS
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        d = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        m = d <= CUTOFF_US
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        prio = t.column("o_orderpriority").to_pandas().to_numpy()[m]
+        return pa.table(
+            {
+                "_bucket": pa.array(k % B),
+                "key": pa.array(k),
+                "prio": pa.array(prio.astype(object), pa.string()),
+                "rev_e6": pa.array(np.full(len(k), -1, dtype=np.int64)),
+            }
+        )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        d = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        m = d > CUTOFF_US
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)[m] * 100.0 + 0.5
+        ).astype(np.int64)
+        bp = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False)[m] * 10000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(k % B),
+                "key": pa.array(k),
+                "prio": pa.array([""] * len(k), pa.string()),
+                "rev_e6": pa.array(cents * (10000 - bp)),
+            }
+        )
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+        li.map_batches(li_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["rev_e6"] < 0]
+        f = g[g["rev_e6"] >= 0]
+        j = f.merge(o[["key", "prio"]], on="key", how="inner", suffixes=("", "_o"))
+        if not len(j):
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype=object),
+                    "n_orders": np.empty(0, np.int64),
+                    "n_items": np.empty(0, np.int64),
+                    "revenue_e6": np.empty(0, np.int64),
+                }
+            )
+        a = j.groupby("prio_o", sort=False).agg(
+            n_orders=("key", "nunique"), n_items=("key", "size"), revenue_e6=("rev_e6", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "o_orderpriority": a.index.to_numpy(),
+                "n_orders": a["n_orders"].to_numpy(dtype=np.int64),
+                "n_items": a["n_items"].to_numpy(dtype=np.int64),
+                "revenue_e6": a["revenue_e6"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    parts = both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby("o_orderpriority", sort=True)[["n_orders", "n_items", "revenue_e6"]]
+        .sum()
+        .reset_index()
+    )
+    for c in ("n_orders", "n_items", "revenue_e6"):
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)
