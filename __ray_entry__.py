@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late_event_filter/rolling_count_range_window/rank_in_group/
         # windowed_topk_types/time_weighted_avg_per_user/running_total —
         # were all driver-graded in r1-r4 and move past the cut)
+        "hapax_ratio_by_source": relational.hapax_ratio_by_source,
         "unshipped_backlog_by_priority": relational.unshipped_backlog_by_priority,
         "customer_order_distribution": relational.customer_order_distribution,
         "promo_revenue_by_type": relational.promo_revenue_by_type,
@@ -134,8 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by tests/test_oracle_parity.py regardless of position.
         "session_windows": relational.session_windows,
         "tumbling_distinct_users": relational.tumbling_distinct_users,
-        "windowed_topk_types": relational.windowed_topk_types,
         "running_distinct_types": relational.running_distinct_types,
+        "windowed_topk_types": relational.windowed_topk_types,
         "time_weighted_avg_per_user": relational.time_weighted_avg_per_user,
         "running_total": relational.running_total,
         "lag_event_delta": relational.lag_event_delta,
@@ -1025,6 +1026,16 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0
                      AS revenue
             FROM orders GROUP BY weekday, o_orderpriority
+        """,
+        "hapax_ratio_by_source": """
+            WITH tok AS (
+              SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+            tc AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                   ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS hapax_ratio
+            FROM tc GROUP BY source
         """,
         "unshipped_backlog_by_priority": """
             WITH li AS (

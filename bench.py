@@ -263,6 +263,7 @@ QUERY_PANEL = [
     "revenue_pareto_share",
     "weekday_seasonality",
     "null_profile",
+    "hapax_ratio_by_source",
     "unshipped_backlog_by_priority",
     "customer_order_distribution",
     "promo_revenue_by_type",

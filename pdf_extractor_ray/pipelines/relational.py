@@ -6707,3 +6707,86 @@ def unshipped_backlog_by_priority(sf_dir: str):
     for c in ("n_orders", "n_items", "revenue_e6"):
         out[c] = out[c].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def hapax_ratio_by_source(sf_dir: str):
+    """Hapax-legomena ratio per source — the fraction of each source's
+    vocabulary appearing EXACTLY once, the classic Zipf-tail /
+    corpus-freshness signal next to ``exact_distinct_tokens_by_source``
+    (same bucket layout, but hapaxhood needs per-(source, token) COUNTS,
+    not distincts, so the per-batch partial is a groupby-size and the
+    in-bucket merge SUMS counts before classifying).
+
+    Scale shape: per-batch (source, token, n) partials shrink the shuffle
+    to per-block vocabulary; token-hash buckets mean a (source, token)
+    pair's total lands in exactly ONE bucket, so per-bucket
+    (vocab, hapax) grids sum exactly across buckets and nothing
+    source-sized ever co-locates. One int/int ratio rounds half-away
+    (CLAUDE.md rule)."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    B = N_KEY_BUCKETS
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "_bucket": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        src = t.column("source").to_pandas()
+        toks = t.column("text").to_pandas().str.split(" ")
+        df = pd.DataFrame(
+            {
+                "source": src.repeat(toks.str.len().to_numpy()),
+                "token": np.concatenate(toks.to_numpy()),
+            }
+        )
+        g = df.groupby(["source", "token"], sort=False).size().reset_index(name="n")
+        tok_h = pd.util.hash_array(g["token"].to_numpy(dtype=object)).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(tok_h % B),
+                "source": pa.array(g["source"].to_numpy(), pa.string()),
+                "token": pa.array(g["token"].to_numpy(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def classify_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["source", "token"], sort=False)["n"].sum().reset_index()
+        out = tot.groupby("source", sort=False)["n"].agg(
+            n_vocab="size", n_hapax=lambda s: int((s.to_numpy() == 1).sum())
+        )
+        return pd.DataFrame(
+            {
+                "source": out.index.to_numpy(),
+                "n_vocab": out["n_vocab"].to_numpy(dtype=np.int64),
+                "n_hapax": out["n_hapax"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = (
+        pairs.groupby("_bucket")
+        .map_groups(classify_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", sort=True)[["n_vocab", "n_hapax"]]
+        .sum()
+        .reset_index()
+    )
+    ratio = np.floor(
+        parts["n_hapax"].to_numpy(dtype=np.float64) / parts["n_vocab"].to_numpy(dtype=np.float64) * 1e6
+        + 0.5
+    ) / 1e6
+    out = pd.DataFrame(
+        {
+            "source": parts["source"],
+            "n_vocab": parts["n_vocab"].astype(np.int64),
+            "n_hapax": parts["n_hapax"].astype(np.int64),
+            "hapax_ratio": ratio,
+        }
+    )
+    return out.reset_index(drop=True)
